@@ -1,0 +1,201 @@
+"""Primitive layers over flat torch-layout param dicts.
+
+All functions take a ``P`` view and a relative module name, read
+``name + ".weight"`` / ``name + ".bias"``, and apply the op with torch
+semantics.  LoRA adapters are consulted transparently: if the active
+``Ctx.lora`` dict contains ``<full key>.lora_A`` / ``.lora_B`` the low-rank
+delta ``(x @ A^T) @ B^T * scale`` is added (reference: lora.py:18-131).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ctx import Ctx, EVAL
+from ..params import P
+
+
+# ---------------------------------------------------------------------------
+# Linear / embedding
+# ---------------------------------------------------------------------------
+
+
+def _lora_delta(ctx: Ctx, full_name: str, x: jax.Array) -> Optional[jax.Array]:
+    if ctx.lora is None:
+        return None
+    a = ctx.lora.get(full_name + ".lora_A")
+    if a is None:
+        return None
+    b = ctx.lora[full_name + ".lora_B"]
+    xd = ctx.dropout(x, ctx.lora_dropout)
+    h = jnp.einsum("...i,ri->...r", xd, a.astype(x.dtype))
+    return jnp.einsum("...r,or->...o", h, b.astype(x.dtype)) * ctx.lora_scale
+
+
+def dense(p: P, name: str, x: jax.Array, ctx: Ctx = EVAL) -> jax.Array:
+    """torch nn.Linear: weight (out, in), y = x @ W^T + b, plus LoRA delta."""
+    w = p[name + ".weight"].astype(x.dtype)
+    y = jnp.einsum("...i,oi->...o", x, w)
+    b = p.get(name + ".bias")
+    if b is not None:
+        y = y + b.astype(x.dtype)
+    delta = _lora_delta(ctx, p.full(name), x)
+    if delta is not None:
+        y = y + delta
+    return y
+
+
+def embedding(p: P, name: str, ids: jax.Array, clamp_min: Optional[int] = None) -> jax.Array:
+    w = p[name + ".weight"]
+    if clamp_min is not None:
+        ids = jnp.maximum(ids, clamp_min)
+    return jnp.take(w, ids, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Convolutions (channel-first, torch layouts)
+# ---------------------------------------------------------------------------
+
+
+def conv1d(
+    p: P,
+    name: str,
+    x: jax.Array,  # (B, C, T)
+    stride: int = 1,
+    padding: int = 0,
+    dilation: int = 1,
+    groups: int = 1,
+    ctx: Ctx = EVAL,
+) -> jax.Array:
+    """torch nn.Conv1d: weight (out, in/groups, k)."""
+    w = p[name + ".weight"].astype(x.dtype)
+    y = lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(stride,),
+        padding=[(padding, padding)],
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        feature_group_count=groups,
+    )
+    b = p.get(name + ".bias")
+    if b is not None:
+        y = y + b.astype(x.dtype)[None, :, None]
+    if ctx.lora is not None and w.shape[-1] == 1 and groups == 1:
+        # 1x1 conv LoRA (reference: lora.py:79-131); adapters stored as
+        # (r, in, 1) / (out, r, 1) conv kernels
+        a = ctx.lora.get(p.full(name) + ".lora_A.weight")
+        if a is not None:
+            bb = ctx.lora[p.full(name) + ".lora_B.weight"]
+            xd = ctx.dropout(x, ctx.lora_dropout)
+            h = jnp.einsum("bct,rc->brt", xd, a[:, :, 0].astype(x.dtype))
+            y = y + jnp.einsum("brt,or->bot", h, bb[:, :, 0].astype(x.dtype)) * ctx.lora_scale
+    return y
+
+
+def conv_transpose1d(
+    p: P,
+    name: str,
+    x: jax.Array,  # (B, C, T)
+    stride: int,
+    padding: int = 0,
+) -> jax.Array:
+    """torch nn.ConvTranspose1d: weight (in, out, k).
+
+    Implemented as an input-dilated convolution with the flipped, transposed
+    kernel — the standard fractionally-strided formulation, which XLA fuses
+    onto the MXU just like a forward conv.
+    """
+    w = p[name + ".weight"].astype(x.dtype)  # (in, out, k)
+    k = w.shape[-1]
+    w_t = jnp.flip(w, axis=-1).transpose(1, 0, 2)  # (out, in, k)
+    pad = k - 1 - padding
+    y = lax.conv_general_dilated(
+        x,
+        w_t,
+        window_strides=(1,),
+        padding=[(pad, pad)],
+        lhs_dilation=(stride,),
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )
+    b = p.get(name + ".bias")
+    if b is not None:
+        y = y + b.astype(x.dtype)[None, :, None]
+    return y
+
+
+# ---------------------------------------------------------------------------
+# Normalization
+# ---------------------------------------------------------------------------
+
+
+def layer_norm(p: P, name: str, x: jax.Array, eps: float = 1e-5) -> jax.Array:
+    """LayerNorm over the last dim; statistics in fp32 for bf16 stability."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * lax.rsqrt(var + eps)
+    y = y * p[name + ".weight"].astype(jnp.float32) + p[name + ".bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def group_norm(p: P, name: str, x: jax.Array, num_groups: int, eps: float = 1e-5) -> jax.Array:
+    """torch nn.GroupNorm over (B, C, T)."""
+    B, C, T = x.shape
+    xf = x.astype(jnp.float32).reshape(B, num_groups, C // num_groups, T)
+    mean = jnp.mean(xf, axis=(2, 3), keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=(2, 3), keepdims=True)
+    y = ((xf - mean) * lax.rsqrt(var + eps)).reshape(B, C, T)
+    y = y * p[name + ".weight"].astype(jnp.float32)[None, :, None]
+    y = y + p[name + ".bias"].astype(jnp.float32)[None, :, None]
+    return y.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Activations
+# ---------------------------------------------------------------------------
+
+
+def mish(x: jax.Array) -> jax.Array:
+    return x * jnp.tanh(jax.nn.softplus(x))
+
+
+def silu(x: jax.Array) -> jax.Array:
+    return jax.nn.silu(x)
+
+
+def gelu(x: jax.Array, approximate: bool = False) -> jax.Array:
+    return jax.nn.gelu(x, approximate=approximate)
+
+
+def glu(x: jax.Array, axis: int) -> jax.Array:
+    a, b = jnp.split(x, 2, axis=axis)
+    return a * jax.nn.sigmoid(b)
+
+
+def leaky_relu(x: jax.Array, slope: float = 0.01) -> jax.Array:
+    return jnp.where(x >= 0, x, slope * x)
+
+
+def snake(x: jax.Array, alpha: jax.Array, alpha_logscale: bool = False) -> jax.Array:
+    """Snake activation x + 1/a * sin^2(a x) (reference: transformer/activation.py Snake).
+
+    ``alpha`` has shape (C,) and broadcasts over (B, C, T).
+    """
+    a = jnp.exp(alpha) if alpha_logscale else alpha
+    a = a[None, :, None]
+    return x + (1.0 / (a + 1e-9)) * jnp.square(jnp.sin(x * a))
+
+
+ACT = {
+    "relu": jax.nn.relu,
+    "swish": silu,
+    "silu": silu,
+    "gelu": gelu,
+    "mish": mish,
+    "tanh": jnp.tanh,
+}

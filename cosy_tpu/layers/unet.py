@@ -1,0 +1,274 @@
+"""U-Net ConditionalDecoder — the CFM velocity estimator.
+
+Topology and weight naming follow the Matcha-derived decoder exactly
+(reference: modules.py:886-1106; stock copy cosyvoice/flow/decoder.py:88-291):
+
+    down_blocks.i = [ResnetBlock1D, [BasicTransformerBlock]*n, Down/Conv]
+    mid_blocks.i  = [ResnetBlock1D, [BasicTransformerBlock]*n]
+    up_blocks.i   = [ResnetBlock1D, [BasicTransformerBlock]*n, Up/Conv]
+    final_block (Block1D), final_proj (1x1 conv), time_mlp (TimestepEmbedding)
+
+Differences from the reference implementation (behavior-preserving, TPU-first):
+- prompt isolation is per-sample (a (B,) vector) instead of the batch max the
+  reference collapses to (flow_model.py:164-172 notes its own simplification);
+- masks/biases are precomputed per resolution level once, not per block;
+- all shapes static; the time axis must be a multiple of 2 (one stride-2 level).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import EstimatorConfig
+from ..ctx import Ctx, EVAL
+from ..params import P, Params, KeyGen, init_linear, init_norm, init_conv1d, init_conv_transpose1d
+from ..ops import masks as M
+from .basic import conv1d, conv_transpose1d, dense, gelu, layer_norm, group_norm, mish, silu
+from .attention import diffusers_attention
+from .posenc import timestep_embedding
+
+
+# ---------------------------------------------------------------------------
+# Blocks
+# ---------------------------------------------------------------------------
+
+
+def block1d(p: P, name: str, x: jax.Array, mask: jax.Array, ctx: Ctx) -> jax.Array:
+    """Conv3 + GroupNorm(8) + Mish, masked before and after (modules.py:60-73)."""
+    sp = p.sub(name)
+    h = conv1d(sp, "block.0", x * mask, padding=1, ctx=ctx)
+    h = group_norm(sp, "block.1", h, num_groups=8)
+    return mish(h) * mask
+
+
+def resnet_block1d(p: P, name: str, x: jax.Array, mask: jax.Array, t: jax.Array, ctx: Ctx) -> jax.Array:
+    """ResNet block with timestep conditioning (modules.py:76-94)."""
+    sp = p.sub(name)
+    h = block1d(sp, "block1", x, mask, ctx)
+    h = h + dense(sp, "mlp.1", mish(t), ctx)[:, :, None]
+    h = block1d(sp, "block2", h, mask, ctx)
+    return h + conv1d(sp, "res_conv", x * mask, ctx=ctx)
+
+
+def feed_forward(p: P, name: str, x: jax.Array, act_fn: str, ctx: Ctx,
+                 gelu_approximate: bool = True, dropout: float = 0.0) -> jax.Array:
+    """diffusers FeedForward: net.0 = activation-with-proj, net.2 = Linear
+    (modules.py:192-224)."""
+    sp = p.sub(name)
+    if act_fn in ("gelu", "gelu-approximate"):
+        h = dense(sp, "net.0.proj", x, ctx)
+        h = gelu(h, approximate=gelu_approximate or act_fn == "gelu-approximate")
+    elif act_fn == "geglu":
+        h = dense(sp, "net.0.proj", x, ctx)
+        h, gate = jnp.split(h, 2, axis=-1)
+        h = h * gelu(gate)
+    elif act_fn in ("snakebeta", "snake"):
+        h = dense(sp, "net.0.proj", x, ctx)
+        alpha = jnp.exp(p[name + ".net.0.alpha"].astype(jnp.float32))
+        beta = jnp.exp(p[name + ".net.0.beta"].astype(jnp.float32))
+        hf = h.astype(jnp.float32)
+        h = (hf + (1.0 / (beta + 1e-9)) * jnp.square(jnp.sin(hf * alpha))).astype(h.dtype)
+    else:
+        raise ValueError(f"unknown act_fn {act_fn}")
+    h = ctx.dropout(h, dropout)
+    return dense(sp, "net.2", h, ctx)
+
+
+def basic_transformer_block(
+    p: P,
+    name: str,
+    x: jax.Array,  # (B, T, C)
+    attn_bias: Optional[jax.Array],
+    heads: int,
+    act_fn: str,
+    ctx: Ctx,
+    gelu_approximate: bool = True,
+    dropout: float = 0.0,
+) -> jax.Array:
+    """attn1 + ff with norm1/norm3 naming (modules.py:296-375)."""
+    sp = p.sub(name)
+    h = layer_norm(sp, "norm1", x)
+    x = x + diffusers_attention(sp, "attn1", h, attn_bias, heads, ctx)
+    h = layer_norm(sp, "norm3", x)
+    x = x + feed_forward(sp, "ff", h, act_fn, ctx, gelu_approximate, dropout)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# ConditionalDecoder forward
+# ---------------------------------------------------------------------------
+
+
+def _level_bias(
+    mask: jax.Array,  # (B, 1, T_l) bool/float valid mask at this level
+    T_full: int,
+    prompt_lens: Optional[jax.Array],
+    dtype,
+) -> jax.Array:
+    """(B, T_l, T_l) additive attention bias: padding + prompt isolation.
+
+    Prompt length is rescaled to the level's resolution like the reference
+    (modules.py:1034-1042: scale = seq_len / full_len, scaled = max(1, int(...))).
+    """
+    T_l = mask.shape[-1]
+    valid = mask.astype(bool)[:, 0, :]  # (B, T_l)
+    bias = M.mask_to_bias(valid[:, None, :], dtype)  # (B, 1, T_l) -> broadcast over queries
+    bias = jnp.broadcast_to(bias, (mask.shape[0], T_l, T_l))
+    if prompt_lens is not None:
+        pl = jnp.asarray(prompt_lens)
+        scaled = jnp.where(pl > 0, jnp.maximum(1, (pl * T_l) // T_full), 0)
+        iso = jax.vmap(lambda s: M.prompt_isolation_bias(T_l, s, dtype))(scaled)
+        bias = bias + iso
+    return bias
+
+
+def conditional_decoder(
+    p: P,
+    cfg: EstimatorConfig,
+    x: jax.Array,  # (B, 80, T) noisy sample
+    mask: jax.Array,  # (B, 1, T) float valid mask
+    mu: jax.Array,  # (B, 80, T) encoder output
+    t: jax.Array,  # (B,) timestep in [0, 1]
+    spks: jax.Array,  # (B, 80)
+    cond: jax.Array,  # (B, 80, T)
+    ctx: Ctx = EVAL,
+    prompt_lens: Optional[jax.Array] = None,  # (B,) int, 0 = no isolation
+) -> jax.Array:
+    """Velocity field estimate (B, 80, T) (reference: modules.py:998-1106)."""
+    B, _, T = x.shape
+    assert T % 2 == 0, "estimator time axis must be a multiple of 2 (one stride-2 U-Net level)"
+    dtype = x.dtype
+
+    temb = timestep_embedding(t, cfg.in_channels).astype(dtype)
+    sp_t = p.sub("time_mlp")
+    temb = dense(sp_t, "linear_2", silu(dense(sp_t, "linear_1", temb, ctx)), ctx)
+
+    spks_t = jnp.broadcast_to(spks[:, :, None], (B, spks.shape[1], T)).astype(dtype)
+    h = jnp.concatenate([x, mu, spks_t, cond], axis=1)  # (B, 320, T)
+
+    n_levels = len(cfg.channels)
+    # per-level masks and attention biases (level l has T // 2^l frames for
+    # l < n_levels; the last down "downsample" is stride-1)
+    level_masks = [mask]
+    for _ in range(n_levels - 1):
+        level_masks.append(level_masks[-1][:, :, ::2])
+    level_bias = [_level_bias(m, T, prompt_lens, dtype) for m in level_masks]
+
+    def run_transformers(prefix, h_ct, lvl):
+        ht = h_ct.transpose(0, 2, 1)  # (B, T_l, C)
+        for j in range(cfg.n_blocks):
+            ht = basic_transformer_block(
+                p, f"{prefix}.{j}", ht, level_bias[lvl], cfg.num_heads,
+                cfg.act_fn, ctx, cfg.gelu_approximate, cfg.dropout,
+            )
+        return ht.transpose(0, 2, 1)
+
+    hiddens = []
+    for i in range(n_levels):
+        lvl = min(i, n_levels - 1)
+        m = level_masks[lvl]
+        h = resnet_block1d(p, f"down_blocks.{i}.0", h, m, temb, ctx)
+        h = run_transformers(f"down_blocks.{i}.1", h, lvl)
+        hiddens.append(h)
+        if i < n_levels - 1:
+            h = conv1d(p, f"down_blocks.{i}.2.conv", h * m, stride=2, padding=1, ctx=ctx)
+        else:
+            h = conv1d(p, f"down_blocks.{i}.2", h * m, padding=1, ctx=ctx)
+
+    mid_lvl = n_levels - 1
+    m = level_masks[mid_lvl]
+    for i in range(cfg.num_mid_blocks):
+        h = resnet_block1d(p, f"mid_blocks.{i}.0", h, m, temb, ctx)
+        h = run_transformers(f"mid_blocks.{i}.1", h, mid_lvl)
+
+    for i in range(n_levels):
+        lvl = n_levels - 1 - i
+        m = level_masks[lvl]
+        skip = hiddens.pop()
+        h = jnp.concatenate([h[:, :, : skip.shape[-1]], skip], axis=1)
+        h = resnet_block1d(p, f"up_blocks.{i}.0", h, m, temb, ctx)
+        h = run_transformers(f"up_blocks.{i}.1", h, lvl)
+        if i < n_levels - 1:
+            h = conv_transpose1d(p, f"up_blocks.{i}.2.conv", h * m, stride=2, padding=1)
+        else:
+            h = conv1d(p, f"up_blocks.{i}.2", h * m, padding=1, ctx=ctx)
+
+    m = level_masks[0]
+    h = block1d(p, "final_block", h, m, ctx)
+    out = conv1d(p, "final_proj", h * m, ctx=ctx)
+    return out * mask
+
+
+# ---------------------------------------------------------------------------
+# Initialization (kaiming_normal convs/linears like the reference
+# modules.py:984-996; only used for tests / training from scratch)
+# ---------------------------------------------------------------------------
+
+
+def init_conditional_decoder(kg: KeyGen, d: Params, prefix: str, cfg: EstimatorConfig):
+    pre = prefix + "." if prefix else ""
+    ted = cfg.time_embed_dim
+
+    init_linear(kg(), d, pre + "time_mlp.linear_1", cfg.in_channels, ted)
+    init_linear(kg(), d, pre + "time_mlp.linear_2", ted, ted)
+
+    def init_resnet(name, dim_in, dim_out):
+        init_linear(kg(), d, f"{name}.mlp.1", ted, dim_out)
+        init_conv1d(kg(), d, f"{name}.block1.block.0", dim_in, dim_out, 3)
+        init_norm(d, f"{name}.block1.block.1", dim_out)
+        init_conv1d(kg(), d, f"{name}.block2.block.0", dim_out, dim_out, 3)
+        init_norm(d, f"{name}.block2.block.1", dim_out)
+        init_conv1d(kg(), d, f"{name}.res_conv", dim_in, dim_out, 1)
+
+    def init_tblock(name, dim):
+        inner = cfg.num_heads * cfg.attention_head_dim
+        init_norm(d, f"{name}.norm1", dim)
+        init_norm(d, f"{name}.norm3", dim)
+        for qkv in ("to_q", "to_k", "to_v"):
+            init_linear(kg(), d, f"{name}.attn1.{qkv}", dim, inner, bias=False)
+        init_linear(kg(), d, f"{name}.attn1.to_out.0", inner, dim)
+        ff_inner = dim * 4
+        if cfg.act_fn == "geglu":
+            init_linear(kg(), d, f"{name}.ff.net.0.proj", dim, ff_inner * 2)
+        else:
+            init_linear(kg(), d, f"{name}.ff.net.0.proj", dim, ff_inner)
+            if cfg.act_fn in ("snakebeta", "snake"):
+                d[f"{name}.ff.net.0.alpha"] = jnp.zeros((ff_inner,), jnp.float32)
+                d[f"{name}.ff.net.0.beta"] = jnp.zeros((ff_inner,), jnp.float32)
+        init_linear(kg(), d, f"{name}.ff.net.2", ff_inner, dim)
+
+    n_levels = len(cfg.channels)
+    out_ch = cfg.in_channels
+    for i in range(n_levels):
+        in_ch, out_ch = out_ch, cfg.channels[i]
+        init_resnet(f"{pre}down_blocks.{i}.0", in_ch, out_ch)
+        for j in range(cfg.n_blocks):
+            init_tblock(f"{pre}down_blocks.{i}.1.{j}", out_ch)
+        if i < n_levels - 1:
+            init_conv1d(kg(), d, f"{pre}down_blocks.{i}.2.conv", out_ch, out_ch, 3)
+        else:
+            init_conv1d(kg(), d, f"{pre}down_blocks.{i}.2", out_ch, out_ch, 3)
+
+    for i in range(cfg.num_mid_blocks):
+        init_resnet(f"{pre}mid_blocks.{i}.0", cfg.channels[-1], cfg.channels[-1])
+        for j in range(cfg.n_blocks):
+            init_tblock(f"{pre}mid_blocks.{i}.1.{j}", cfg.channels[-1])
+
+    rev = tuple(reversed(cfg.channels)) + (cfg.channels[0],)
+    for i in range(len(rev) - 1):
+        in_ch, out_ch = rev[i] * 2, rev[i + 1]
+        init_resnet(f"{pre}up_blocks.{i}.0", in_ch, out_ch)
+        for j in range(cfg.n_blocks):
+            init_tblock(f"{pre}up_blocks.{i}.1.{j}", out_ch)
+        if i < len(rev) - 2:
+            init_conv_transpose1d(kg(), d, f"{pre}up_blocks.{i}.2.conv", out_ch, out_ch, 4)
+        else:
+            init_conv1d(kg(), d, f"{pre}up_blocks.{i}.2", out_ch, out_ch, 3)
+
+    init_conv1d(kg(), d, f"{pre}final_block.block.0", rev[-1], rev[-1], 3)
+    init_norm(d, f"{pre}final_block.block.1", rev[-1])
+    init_conv1d(kg(), d, f"{pre}final_proj", rev[-1], cfg.out_channels, 1)

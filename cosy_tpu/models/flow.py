@@ -1,0 +1,432 @@
+"""Conditional flow-matching mel decoder (MaskedDiffWithXvec + ConditionalCFM).
+
+Reference behavior: flow_model.py (self-contained finetune copy) and
+cosyvoice/flow/{flow,flow_matching}.py.  TPU-first re-design:
+
+- the six anti-semantic-leakage strategies (reference: flow_model.py:309-385)
+  are vectorized over the batch with JAX PRNG draws instead of per-sample
+  Python ``random`` calls — distributionally equivalent, one traced program;
+- the Euler ODE solve is a ``lax.scan`` over a precomputed (t, dt) schedule
+  with the classifier-free-guidance pair batched (2B) exactly like the
+  reference's x_in doubling (flow_model.py:94-125);
+- all shapes static; mel time axis padded to a multiple of 2.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import AntiLeakageConfig, FlowConfig, NoPromptConfig
+from ..ctx import Ctx, EVAL
+from ..params import P, Params, KeyGen, init_linear, init_norm, init_conv1d, init_embedding
+from ..ops import masks as M
+from ..layers.basic import dense, embedding, conv1d, group_norm, mish
+from ..layers.conformer import encoder_forward, init_encoder
+from ..layers.unet import conditional_decoder, init_conditional_decoder
+
+PI = 3.14159265359  # reference truncation (flow_model.py:90)
+
+
+# ---------------------------------------------------------------------------
+# Interpolation (torch F.interpolate mode='linear', align_corners=False)
+# ---------------------------------------------------------------------------
+
+
+def interpolate_linear(x: jax.Array, out_len: int) -> jax.Array:
+    """(B, C, T) -> (B, C, out_len), half-pixel linear interpolation.
+
+    Bit-matches torch.nn.functional.interpolate(mode='linear') which the
+    reference uses in the length regulator (modules.py:817-837).
+    """
+    T = x.shape[-1]
+    pos = (jnp.arange(out_len, dtype=jnp.float32) + 0.5) * (T / out_len) - 0.5
+    pos = jnp.clip(pos, 0.0, T - 1)
+    lo = jnp.floor(pos).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, T - 1)
+    w = (pos - lo).astype(x.dtype)
+    return x[..., lo] * (1.0 - w) + x[..., hi] * w
+
+
+# ---------------------------------------------------------------------------
+# InterpolateRegulator (reference: modules.py:800-837)
+# ---------------------------------------------------------------------------
+
+
+def regulator_stack(p: P, x: jax.Array, stages: int, ctx: Ctx) -> jax.Array:
+    """Conv3+GroupNorm(1)+Mish x stages, then 1x1 conv.  x: (B, C, T)."""
+    for s in range(stages):
+        x = conv1d(p, f"model.{3 * s}", x, padding=1, ctx=ctx)
+        x = group_norm(p, f"model.{3 * s + 1}", x, num_groups=1)
+        x = mish(x)
+    return conv1d(p, f"model.{3 * stages}", x, ctx=ctx)
+
+
+def length_regulator(
+    p: P, x: jax.Array, ylens: jax.Array, out_len: int, stages: int, ctx: Ctx
+) -> jax.Array:
+    """(B, T_tok, C) -> (B, out_len, C) masked by ylens (modules.py:817-821)."""
+    mask = M.make_non_pad_mask(ylens, out_len)[:, :, None].astype(x.dtype)
+    h = interpolate_linear(x.transpose(0, 2, 1), out_len)
+    out = regulator_stack(p, h, stages, ctx).transpose(0, 2, 1)
+    return out * mask
+
+
+def length_regulator_inference(
+    p: P,
+    x1: jax.Array,  # (1, T_prompt_tok, C) prompt tokens' encodings (may be len 0)
+    x2: jax.Array,  # (1, T_tok, C) target tokens' encodings
+    mel_len1: int,
+    mel_len2: int,
+    stages: int,
+    input_frame_rate: int = 50,
+) -> jax.Array:
+    """3-segment seam-preserving interpolation (reference: modules.py:823-837)."""
+    ctx = EVAL
+    if x2.shape[1] > 40:
+        edge = int(20 / input_frame_rate * 22050 / 256)
+        h_head = interpolate_linear(x2[:, :20].transpose(0, 2, 1), edge)
+        h_mid = interpolate_linear(x2[:, 20:-20].transpose(0, 2, 1), mel_len2 - 2 * edge)
+        h_tail = interpolate_linear(x2[:, -20:].transpose(0, 2, 1), edge)
+        h2 = jnp.concatenate([h_head, h_mid, h_tail], axis=2)
+    else:
+        h2 = interpolate_linear(x2.transpose(0, 2, 1), mel_len2)
+    if x1.shape[1] != 0:
+        h1 = interpolate_linear(x1.transpose(0, 2, 1), mel_len1)
+        h = jnp.concatenate([h1, h2], axis=2)
+    else:
+        h = h2
+    return regulator_stack(p, h, stages, ctx).transpose(0, 2, 1)
+
+
+# ---------------------------------------------------------------------------
+# ConditionalCFM
+# ---------------------------------------------------------------------------
+
+
+def cfm_t_span(n_timesteps: int, scheduler: str = "cosine") -> jax.Array:
+    t = jnp.linspace(0.0, 1.0, n_timesteps + 1)
+    if scheduler == "cosine":
+        t = 1.0 - jnp.cos(t * 0.5 * PI)
+    return t
+
+
+def cfm_solve_euler(
+    p: P,
+    cfg: FlowConfig,
+    z: jax.Array,  # (B, 80, T) initial noise
+    mask: jax.Array,  # (B, 1, T)
+    mu: jax.Array,  # (B, 80, T)
+    spks: jax.Array,  # (B, 80)
+    cond: jax.Array,  # (B, 80, T)
+    n_timesteps: int,
+    ctx: Ctx = EVAL,
+) -> jax.Array:
+    """Fixed-step Euler ODE solve with CFG batching (flow_model.py:94-125)."""
+    B = z.shape[0]
+    r = cfg.cfm.inference_cfg_rate
+    t_span = cfm_t_span(n_timesteps, cfg.cfm.t_scheduler)
+    ts = t_span[:-1]
+    dts = t_span[1:] - t_span[:-1]
+
+    mask2 = jnp.concatenate([mask, mask], axis=0)
+    mu2 = jnp.concatenate([mu, jnp.zeros_like(mu)], axis=0)
+    spks2 = jnp.concatenate([spks, jnp.zeros_like(spks)], axis=0)
+    cond2 = jnp.concatenate([cond, jnp.zeros_like(cond)], axis=0)
+
+    def step(x, t_dt):
+        t, dt = t_dt
+        x2 = jnp.concatenate([x, x], axis=0)
+        t2 = jnp.full((2 * B,), t, x.dtype)
+        dphi = conditional_decoder(p, cfg.estimator, x2, mask2, mu2, t2, spks2, cond2, ctx)
+        d_cond, d_uncond = dphi[:B], dphi[B:]
+        dphi = (1.0 + r) * d_cond - r * d_uncond
+        return x + dt * dphi, None
+
+    x, _ = jax.lax.scan(step, z, (ts, dts))
+    return x.astype(jnp.float32)
+
+
+def cfm_compute_loss(
+    p: P,
+    cfg: FlowConfig,
+    rng: jax.Array,
+    x1: jax.Array,  # (B, 80, T) target mel (normalized)
+    mask: jax.Array,  # (B, 1, T) valid mask
+    mu: jax.Array,  # (B, 80, T) encoder output
+    spks: jax.Array,  # (B, 80)
+    cond: jax.Array,  # (B, 80, T)
+    ctx: Ctx,
+    prompt_lens: Optional[jax.Array] = None,  # (B,) int
+    leak: Optional[AntiLeakageConfig] = None,
+) -> jax.Array:
+    """OT-CFM loss with prompt masking + boundary weighting (flow_model.py:127-204)."""
+    B, _, T = x1.shape
+    leak = leak or AntiLeakageConfig()
+    k_t, k_z, k_cfg = jax.random.split(rng, 3)
+
+    t = jax.random.uniform(k_t, (B, 1, 1), x1.dtype)
+    if cfg.cfm.t_scheduler == "cosine":
+        t = 1.0 - jnp.cos(t * 0.5 * PI)
+    z = jax.random.normal(k_z, x1.shape, x1.dtype)
+
+    sigma = cfg.cfm.sigma_min
+    y = (1.0 - (1.0 - sigma) * t) * z + t * x1
+    u = x1 - (1.0 - sigma) * z
+
+    if cfg.cfm.training_cfg_rate > 0:
+        keep = (jax.random.uniform(k_cfg, (B,)) > cfg.cfm.training_cfg_rate).astype(x1.dtype)
+        mu = mu * keep[:, None, None]
+        spks = spks * keep[:, None]
+        cond = cond * keep[:, None, None]
+
+    pred = conditional_decoder(
+        p, cfg.estimator, y, mask, mu, t[:, 0, 0], spks, cond, ctx, prompt_lens=prompt_lens
+    )
+
+    loss_mask = mask
+    if prompt_lens is not None:
+        idx = jnp.arange(T)[None, :]
+        pl = prompt_lens[:, None]
+        w = jnp.where(idx < pl, 0.0, 1.0)
+        if leak.boundary_loss_enabled:
+            in_boundary = (idx >= pl) & (idx < pl + leak.boundary_frames) & (pl > 0)
+            w = jnp.where(in_boundary, leak.boundary_loss_weight, w)
+        loss_mask = loss_mask * w[:, None, :].astype(mask.dtype)
+
+    diff = (pred - u) * loss_mask
+    valid = jnp.sum(loss_mask) * u.shape[1]
+    return jnp.sum(jnp.square(diff)) / jnp.maximum(valid, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# MaskedDiffWithXvec
+# ---------------------------------------------------------------------------
+
+
+def normalize_mel(cfg, mel):
+    return (mel - cfg.mel_mean) / cfg.mel_std
+
+
+def denormalize_mel(cfg, mel):
+    return mel * cfg.mel_std + cfg.mel_mean
+
+
+def _l2_normalize(x: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array:
+    """torch F.normalize: x / max(||x||, eps)."""
+    n = jnp.sqrt(jnp.sum(jnp.square(x), axis=axis, keepdims=True))
+    return x / jnp.maximum(n, eps)
+
+
+def flow_encode(
+    p: P,
+    cfg: FlowConfig,
+    token: jax.Array,  # (B, T_tok)
+    token_len: jax.Array,  # (B,)
+    ctx: Ctx,
+) -> jax.Array:
+    """input_embedding -> Conformer encoder -> encoder_proj (flow_model.py:299-305)."""
+    T_tok = token.shape[1]
+    tok_mask = M.make_non_pad_mask(token_len, T_tok)[:, :, None]
+    emb = embedding(p, "input_embedding", token, clamp_min=0)
+    emb = emb * tok_mask.astype(emb.dtype)
+    h, _ = encoder_forward(
+        p.sub("encoder"), cfg.encoder, emb, token_len, ctx,
+        xscale=cfg.encoder_xscale, conformer=True,
+    )
+    return dense(p, "encoder_proj", h, ctx)
+
+
+@dataclasses.dataclass
+class FlowTrainStats:
+    loss: jax.Array
+
+
+def flow_forward_train(
+    p: P,
+    cfg: FlowConfig,
+    rng: jax.Array,
+    batch: Dict[str, jax.Array],
+    ctx: Ctx,
+    leak: AntiLeakageConfig = AntiLeakageConfig(),
+    no_prompt: bool = False,
+    mel_norm: Tuple[float, float] = (-6.0, 2.0),
+) -> jax.Array:
+    """Training forward with anti-leakage strategies (flow_model.py:248-400).
+
+    batch keys: speech_token (B, T_tok), speech_token_len (B,),
+    speech_feat (B, T, 80), speech_feat_len (B,), embedding (B, 192),
+    optional cross_sample_mel (B, T, 80) + cross_sample_mel_len (B,).
+    Returns scalar flow loss.
+    """
+    mean, std = mel_norm
+    token = batch["speech_token"]
+    token_len = batch["speech_token_len"]
+    feat = (batch["speech_feat"] - mean) / std  # online mel normalization
+    feat_len = batch["speech_feat_len"]
+    spk = batch["embedding"]
+
+    B, T, _ = feat.shape
+    k_strat = jax.random.fold_in(rng, 1)
+    k_loss = jax.random.fold_in(rng, 2)
+
+    spk = dense(p, "spk_embed_affine_layer", _l2_normalize(spk, axis=1), ctx)
+    h = flow_encode(p, cfg, token, token_len, ctx)
+    h = length_regulator(p.sub("length_regulator"), h, feat_len, T, cfg.regulator_stages, ctx)
+
+    feat_bc = feat.transpose(0, 2, 1)  # (B, 80, T)
+    mask = M.make_non_pad_mask(feat_len, T)[:, None, :].astype(h.dtype)
+
+    if no_prompt:
+        conds = jnp.zeros_like(feat_bc)
+        prompt_lens = jnp.zeros((B,), jnp.int32)
+        return cfm_compute_loss(
+            p.sub("decoder.estimator"), cfg, k_loss, feat_bc, mask, h.transpose(0, 2, 1),
+            spk, conds, ctx, prompt_lens=prompt_lens, leak=leak,
+        )
+
+    # ---- anti-leakage strategy draws (vectorized; flow_model.py:309-385) ----
+    ks = jax.random.split(k_strat, 4)
+    j = feat_len.astype(jnp.int32)
+
+    # strategy 3: prompt dropout
+    dropped = (
+        jax.random.uniform(ks[0], (B,)) < leak.prompt_dropout_prob
+        if leak.prompt_dropout_enabled
+        else jnp.zeros((B,), bool)
+    )
+
+    # strategy 2: dynamic prompt length ~ randint[min_idx, max_idx] inclusive
+    if leak.dynamic_prompt_enabled:
+        min_idx = jnp.maximum(1, (leak.prompt_min_ratio * j).astype(jnp.int32))
+        max_idx = jnp.maximum(min_idx + 1, (leak.prompt_max_ratio * j).astype(jnp.int32))
+        span = max_idx - min_idx + 1
+        prompt_lens = min_idx + (jax.random.uniform(ks[1], (B,)) * span).astype(jnp.int32)
+    else:
+        prompt_lens = jnp.maximum(1, (0.3 * j).astype(jnp.int32))
+
+    # strategy 5: cross-sample prompt source
+    cross_mel = batch.get("cross_sample_mel")
+    if leak.cross_sample_enabled and cross_mel is not None:
+        cross_mel = (cross_mel - mean) / std
+        cross_len = batch["cross_sample_mel_len"].astype(jnp.int32)
+        use_cross = cross_len > 0
+        prompt_lens = jnp.where(use_cross, jnp.minimum(prompt_lens, cross_len), prompt_lens)
+        prompt_src = jnp.where(use_cross[:, None, None], cross_mel, feat)
+    else:
+        prompt_src = feat
+
+    prompt_lens = jnp.where(dropped, 0, prompt_lens)
+
+    idx = jnp.arange(T)[None, :]
+    in_prompt = idx < prompt_lens[:, None]  # (B, T)
+    conds = jnp.where(in_prompt[:, :, None], prompt_src, 0.0)
+
+    # strategy 1: silence isolation band (disabled by default; config.py:111)
+    if leak.silence_padding_enabled:
+        sil_tok = jax.random.randint(ks[3], (B,), leak.silence_min_tokens, leak.silence_max_tokens + 1)
+        sil_frames = jnp.clip((sil_tok * 22050 // 256 // cfg.input_frame_rate), 3, 20)
+        fits = (prompt_lens + sil_frames < j) & (prompt_lens > 0)
+        sil_val = (leak.silence_mel_value - mean) / std
+        in_sil = (idx >= prompt_lens[:, None]) & (idx < (prompt_lens + sil_frames)[:, None]) & fits[:, None]
+        conds = jnp.where(in_sil[:, :, None], sil_val, conds)
+        prompt_lens = jnp.where(fits, prompt_lens + sil_frames, prompt_lens)
+        in_prompt = idx < prompt_lens[:, None]
+
+    # strategy 6: text blinding — zero encoder output in the prompt region
+    if leak.text_blinding_enabled:
+        blind = jax.random.uniform(ks[2], (B,)) < leak.text_blinding_prob
+        h = jnp.where((blind[:, None] & in_prompt)[:, :, None], 0.0, h)
+
+    conds = conds.transpose(0, 2, 1)  # (B, 80, T)
+    return cfm_compute_loss(
+        p.sub("decoder.estimator"), cfg, k_loss, feat_bc, mask, h.transpose(0, 2, 1),
+        spk, conds, ctx, prompt_lens=prompt_lens, leak=leak,
+    )
+
+
+def flow_inference(
+    p: P,
+    cfg: FlowConfig,
+    rng: jax.Array,
+    token: jax.Array,  # (1, T_tok) target speech tokens
+    prompt_token: jax.Array,  # (1, T_ptok) may be width 0
+    prompt_feat: jax.Array,  # (1, T_pmel, 80) raw (unnormalized) prompt mel
+    spk_embedding: jax.Array,  # (1, 192)
+    n_timesteps: Optional[int] = None,
+    finetuned_norm: bool = False,
+    mel_norm: Tuple[float, float] = (-6.0, 2.0),
+) -> jax.Array:
+    """Prompted inference (flow_model.py:475-551).  Python-int lengths -> one
+    compiled program per (T_tok, T_ptok, T_pmel) bucket.
+
+    finetuned_norm=True applies the merged-finetune normalize/denormalize patch
+    (reference: inference_joint.py:129-151).
+    """
+    ctx = EVAL
+    mean, std = mel_norm
+    T_ptok = prompt_token.shape[1]
+    T_tok = token.shape[1]
+
+    spk = dense(p, "spk_embed_affine_layer", _l2_normalize(spk_embedding, axis=1), ctx)
+
+    full_token = jnp.concatenate([prompt_token, token], axis=1)
+    token_len = jnp.asarray([T_ptok + T_tok], jnp.int32)
+    h = flow_encode(p, cfg, full_token, token_len, ctx)
+
+    mel_len1 = prompt_feat.shape[1]
+    mel_len2 = int(T_tok / cfg.input_frame_rate * 22050 / 256)
+    T = mel_len1 + mel_len2
+
+    h = length_regulator_inference(
+        p.sub("length_regulator"), h[:, :T_ptok], h[:, T_ptok:],
+        mel_len1, mel_len2, cfg.regulator_stages, cfg.input_frame_rate,
+    )
+
+    if finetuned_norm:
+        prompt_feat = (prompt_feat - mean) / std
+
+    conds = jnp.zeros((1, T, cfg.output_size), h.dtype)
+    if mel_len1 > 0:
+        conds = conds.at[:, :mel_len1].set(prompt_feat)
+    conds = conds.transpose(0, 2, 1)
+
+    if n_timesteps is None:
+        n_timesteps = 20 if T > 500 else (15 if T > 300 else 10)
+
+    # pad to even length for the U-Net; masked region is dropped afterwards
+    T_pad = T + (T % 2)
+    mask = jnp.zeros((1, 1, T_pad), h.dtype).at[:, :, :T].set(1.0)
+    mu = jnp.pad(h.transpose(0, 2, 1), ((0, 0), (0, 0), (0, T_pad - T)))
+    conds = jnp.pad(conds, ((0, 0), (0, 0), (0, T_pad - T)))
+    z = jax.random.normal(rng, (1, cfg.output_size, T_pad), h.dtype)
+
+    feat = cfm_solve_euler(p.sub("decoder.estimator"), cfg, z, mask, mu, spk, conds, n_timesteps, ctx)
+    feat = feat[:, :, mel_len1:T]
+    if finetuned_norm:
+        feat = feat * std + mean
+    return feat
+
+
+# ---------------------------------------------------------------------------
+# Initialization
+# ---------------------------------------------------------------------------
+
+
+def init_flow_params(key: jax.Array, cfg: FlowConfig) -> Params:
+    d: Params = {}
+    kg = KeyGen(key)
+    init_embedding(kg(), d, "input_embedding", cfg.vocab_size, cfg.input_size)
+    init_linear(kg(), d, "spk_embed_affine_layer", cfg.spk_embed_dim, cfg.output_size)
+    init_encoder(kg, d, "encoder", cfg.encoder, conformer=True)
+    init_linear(kg(), d, "encoder_proj", cfg.encoder.output_size, cfg.output_size)
+    for s in range(cfg.regulator_stages):
+        init_conv1d(kg(), d, f"length_regulator.model.{3 * s}", cfg.output_size, cfg.output_size, 3)
+        init_norm(d, f"length_regulator.model.{3 * s + 1}", cfg.output_size)
+    init_conv1d(kg(), d, f"length_regulator.model.{3 * cfg.regulator_stages}",
+                cfg.output_size, cfg.output_size, 1)
+    init_conditional_decoder(kg, d, "decoder.estimator", cfg.estimator)
+    return d

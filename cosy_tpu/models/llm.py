@@ -1,0 +1,351 @@
+"""Speech-token LLM (TransformerLM): text -> 50 Hz speech tokens.
+
+Reference behavior: cosyvoice/llm/llm.py:32-228 and the no-prompt joint
+variant llm_flow_model.py:109-179.  TPU-first re-design:
+
+- the ragged unpad/concat sequence assembly (llm.py:88-95 pad_unpad_sequence)
+  becomes a dense masked packing with static shapes: gathers + where-selects
+  build [sos, spk, text_enc, task_id, speech_emb] per row in one shot;
+- autoregressive decode is a single jitted ``lax.while_loop`` over a
+  fixed-capacity KV cache (dynamic_update_slice writes) with RAS sampling
+  in-loop; EOS rejection before min_len (llm.py:147-162 retry loop) is
+  realized exactly as renormalized sampling with the EOS logit masked;
+- per-layer positional projections are hoisted out of the decode loop.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import LLMConfig
+from ..ctx import Ctx, EVAL
+from ..params import P, Params, KeyGen, init_linear, init_embedding
+from ..ops import masks as M
+from ..ops.sampling import ras_sample
+from ..layers.basic import dense, embedding, layer_norm
+from ..layers.attention import _split_heads
+from ..layers.conformer import encoder_forward, init_encoder, transformer_layer
+from ..layers.posenc import rel_pos_table
+
+IGNORE_ID = -1  # reference: cosyvoice/utils/common.py:26
+
+
+def _l2_normalize(x, axis=-1, eps=1e-12):
+    n = jnp.sqrt(jnp.sum(jnp.square(x), axis=axis, keepdims=True))
+    return x / jnp.maximum(n, eps)
+
+
+# ---------------------------------------------------------------------------
+# Text encoding
+# ---------------------------------------------------------------------------
+
+
+def llm_encode_text(p: P, cfg: LLMConfig, text_token: jax.Array, text_len: jax.Array, ctx: Ctx):
+    """text_embedding -> causal Conformer -> affine (llm.py:78-86, 120-122)."""
+    emb = embedding(p, "text_embedding", text_token)
+    h, _ = encoder_forward(p.sub("text_encoder"), cfg.text_encoder, emb, text_len, ctx,
+                           decoding_chunk_size=1, num_decoding_left_chunks=-1,
+                           conformer=True)
+    return dense(p, "text_encoder_affine_layer", h, ctx)
+
+
+# ---------------------------------------------------------------------------
+# Dense packing (replaces pad_unpad_sequence)
+# ---------------------------------------------------------------------------
+
+
+def pack_lm_inputs(
+    p: P,
+    cfg: LLMConfig,
+    text_enc: jax.Array,  # (B, Tt, D) encoded text
+    text_len: jax.Array,  # (B,)
+    spk_emb: jax.Array,  # (B, D) projected speaker embedding
+    speech_emb: jax.Array,  # (B, Ts, D)
+    speech_len: jax.Array,  # (B,)
+    speech_token: jax.Array,  # (B, Ts) int
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Build (lm_input (B,S,D), lm_len (B,), lm_target (B,S)) densely.
+
+    Layout per row (llm.py:88-95, 116-118):
+        input : [sos, spk, text_0..text_{tl-1}, task, sp_0..sp_{sl-1}, pad]
+        target: [IGNORE x (2+tl),              sp_0..sp_{sl-1}, EOS,  IGNORE]
+    """
+    B, Tt, D = text_enc.shape
+    Ts = speech_emb.shape[1]
+    S = 3 + Tt + Ts
+    dt = text_enc.dtype
+
+    sos = p["llm_embedding.weight"][cfg.sos_eos].astype(dt)
+    task = p["llm_embedding.weight"][cfg.task_id].astype(dt)
+
+    pos = jnp.arange(S)[None, :]  # (1, S)
+    tl = text_len.astype(jnp.int32)[:, None]
+    sl = speech_len.astype(jnp.int32)[:, None]
+
+    text_idx = jnp.clip(pos - 2, 0, Tt - 1)
+    speech_idx = jnp.clip(pos - 3 - tl, 0, Ts - 1)
+    g_text = jnp.take_along_axis(text_enc, jnp.broadcast_to(text_idx, (B, S))[:, :, None], axis=1)
+    g_speech = jnp.take_along_axis(speech_emb, speech_idx[:, :, None], axis=1)
+
+    is_sos = pos == 0
+    is_spk = pos == 1
+    is_text = (pos >= 2) & (pos < 2 + tl)
+    is_task = pos == 2 + tl
+    is_speech = (pos > 2 + tl) & (pos < 3 + tl + sl)
+
+    lm_input = jnp.where(
+        is_sos[:, :, None], sos[None, None, :],
+        jnp.where(
+            is_spk[:, :, None], spk_emb[:, None, :],
+            jnp.where(
+                is_text[:, :, None], g_text,
+                jnp.where(
+                    is_task[:, :, None], task[None, None, :],
+                    jnp.where(is_speech[:, :, None], g_speech, 0.0),
+                ),
+            ),
+        ),
+    )
+    lm_len = (3 + tl + sl)[:, 0]
+
+    tgt_idx = jnp.clip(pos - 2 - tl, 0, Ts - 1)
+    g_tok = jnp.take_along_axis(speech_token, jnp.broadcast_to(jnp.where(pos - 2 - tl >= 0, tgt_idx, 0), (B, S)), axis=1)
+    is_tgt_speech = (pos >= 2 + tl) & (pos < 2 + tl + sl)
+    is_eos = pos == 2 + tl + sl
+    lm_target = jnp.where(
+        is_tgt_speech, g_tok,
+        jnp.where(is_eos, cfg.speech_token_size, IGNORE_ID),
+    )
+    return lm_input, lm_len, lm_target
+
+
+# ---------------------------------------------------------------------------
+# Loss
+# ---------------------------------------------------------------------------
+
+
+def label_smoothing_loss(
+    logits: jax.Array,  # (B, S, V)
+    target: jax.Array,  # (B, S) with IGNORE_ID padding
+    smoothing: float = 0.0,
+    normalize_length: bool = True,
+) -> jax.Array:
+    """KL(true_dist || softmax(logits)) with label smoothing
+    (reference: transformer/label_smoothing_loss.py:21-96)."""
+    B, S, V = logits.shape
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    valid = target != IGNORE_ID
+    tgt = jnp.where(valid, target, 0)
+
+    confidence = 1.0 - smoothing
+    low = smoothing / (V - 1)
+
+    logp_tgt = jnp.take_along_axis(logp, tgt[:, :, None], axis=-1)[:, :, 0]
+    if smoothing > 0.0:
+        # kl = sum_v true*(log true - logp); split into target + others
+        ent = confidence * jnp.log(confidence) + (V - 1) * low * jnp.log(low)
+        kl = ent - (confidence - low) * logp_tgt - low * jnp.sum(logp, axis=-1)
+    else:
+        kl = -logp_tgt
+    kl = jnp.where(valid, kl, 0.0)
+    denom = jnp.maximum(jnp.sum(valid), 1) if normalize_length else B
+    return jnp.sum(kl) / denom
+
+
+def th_accuracy(logits: jax.Array, target: jax.Array) -> jax.Array:
+    """Argmax accuracy over non-ignored positions (common.py:78-97)."""
+    pred = jnp.argmax(logits, axis=-1)
+    valid = target != IGNORE_ID
+    correct = jnp.sum(jnp.where(valid & (pred == target), 1, 0))
+    return correct / jnp.maximum(jnp.sum(valid), 1)
+
+
+def llm_forward_train(
+    p: P,
+    cfg: LLMConfig,
+    batch: Dict[str, jax.Array],
+    ctx: Ctx,
+) -> Dict[str, jax.Array]:
+    """No-prompt training forward (llm_flow_model.py:109-179; same layout as
+    the original llm.py:97-145).  Returns {'loss', 'acc'}."""
+    text_token = batch["text_token"]
+    text_len = batch["text_token_len"]
+    speech_token = batch["speech_token"]
+    speech_len = batch["speech_token_len"]
+    spk = batch["embedding"]
+
+    text_enc = llm_encode_text(p, cfg, text_token, text_len, ctx)
+    spk_emb = dense(p, "spk_embed_affine_layer", _l2_normalize(spk, axis=1), ctx)
+    speech_emb = embedding(p, "speech_embedding", jnp.maximum(speech_token, 0))
+
+    lm_input, lm_len, lm_target = pack_lm_inputs(
+        p, cfg, text_enc, text_len, spk_emb, speech_emb, speech_len, speech_token
+    )
+
+    lm_out, _ = encoder_forward(p.sub("llm"), cfg.llm, lm_input, lm_len, ctx, conformer=False)
+    logits = dense(p, "llm_decoder", lm_out, ctx)
+
+    loss = label_smoothing_loss(logits, lm_target, cfg.lsm_weight, cfg.length_normalized_loss)
+    acc = th_accuracy(logits, lm_target)
+    return {"loss": loss, "acc": acc}
+
+
+# ---------------------------------------------------------------------------
+# Autoregressive decode
+# ---------------------------------------------------------------------------
+
+
+class DecodeResult(NamedTuple):
+    tokens: jax.Array  # (max_len,) int32, EOS-terminated, padded with -1
+    length: jax.Array  # scalar int32 — number of valid tokens
+
+
+def llm_decode(
+    p: P,
+    cfg: LLMConfig,
+    rng: jax.Array,
+    prefix_emb: jax.Array,  # (1, L0, D) packed [sos, spk, text, task, prompt_speech]
+    prefix_len: int,
+    min_len: jax.Array,  # scalar
+    max_len: int,  # static decode capacity
+    top_p: float = 0.8,
+    top_k: int = 25,
+    win_size: int = 10,
+    tau_r: float = 0.1,
+) -> DecodeResult:
+    """Greedy-loop AR decode with fixed-capacity KV cache (llm.py:164-228).
+
+    The whole function jits into one program per (prefix_len, max_len) bucket.
+    """
+    ecfg = cfg.llm
+    D = ecfg.output_size
+    H = ecfg.attention_heads
+    dk = ecfg.head_dim
+    nl = ecfg.num_blocks
+    L0 = prefix_emb.shape[1]
+    S = L0 + max_len  # total KV capacity
+    dt = prefix_emb.dtype
+    eos = cfg.speech_token_size
+
+    sp_llm = p.sub("llm")
+
+    # ---- input embed (linear_legacy: Linear+LN+Dropout+ReLU, then xscale) ----
+    def embed_tokens(x):
+        sp = sp_llm.sub("embed")
+        x = dense(sp, "out.0", x)
+        x = layer_norm(sp, "out.1", x, eps=1e-5)
+        x = jax.nn.relu(x)
+        return x * jnp.asarray(D, dt) ** 0.5
+
+    # ---- hoisted positional keys: per layer (1, H, 2S-1, dk) ----
+    table = rel_pos_table(S, D).astype(dt)
+    pos_ks = []
+    for i in range(nl):
+        pk = dense(sp_llm.sub(f"encoders.{i}.self_attn"), "linear_pos", table)
+        pos_ks.append(_split_heads(pk, H))
+    pos_ks = jnp.stack(pos_ks)  # (nl, 1, H, 2S-1, dk)
+
+    k_buf = jnp.zeros((nl, 1, H, S, dk), dt)
+    v_buf = jnp.zeros((nl, 1, H, S, dk), dt)
+
+    def run_layers(x, kbuf, vbuf, cache_index, attn_bias, pos_window):
+        """x: (1, T, D). pos_window: fn(layer) -> (1, H, P, dk)."""
+        new_k, new_v = [], []
+        for i in range(nl):
+            x, (ki, vi) = transformer_layer(
+                sp_llm, f"encoders.{i}", ecfg, x, attn_bias, None, EVAL,
+                kv_cache=(kbuf[i], vbuf[i]), cache_index=cache_index,
+                pos_k=pos_window(i),
+            )
+            new_k.append(ki)
+            new_v.append(vi)
+        x = layer_norm(sp_llm, "after_norm", x, eps=1e-5)
+        return x, jnp.stack(new_k), jnp.stack(new_v)
+
+    # ---- prefill: run the plain causal encoder over the L0 prefix and write
+    # each layer's K/V into the fixed-capacity buffers ----
+    x0 = embed_tokens(prefix_emb)
+    pe0 = rel_pos_table(L0, D).astype(dt)
+    causal0 = jnp.where(jnp.arange(L0)[:, None] >= jnp.arange(L0)[None, :], 0.0, M.NEG_BIAS)[None].astype(dt)
+
+    h = x0
+    for i in range(nl):
+        sp_l = sp_llm.sub(f"encoders.{i}")
+        # capture K/V of this layer's input (post-norm1) for the cache
+        hn = layer_norm(sp_l, "norm1", h, eps=ecfg.layer_norm_eps)
+        ki = _split_heads(dense(sp_l.sub("self_attn"), "linear_k", hn), H)
+        vi = _split_heads(dense(sp_l.sub("self_attn"), "linear_v", hn), H)
+        k_buf = k_buf.at[i, :, :, :L0].set(ki.astype(dt))
+        v_buf = v_buf.at[i, :, :, :L0].set(vi.astype(dt))
+        h = transformer_layer(sp_llm, f"encoders.{i}", ecfg, h, causal0, pe0, EVAL)
+    h = layer_norm(sp_llm, "after_norm", h, eps=1e-5)
+    logits0 = dense(p, "llm_decoder", h[:, -1])[0]  # (V,)
+
+    # ---- decode loop ----
+    def pos_window_at(L):
+        def get(i):
+            return jax.lax.dynamic_slice(pos_ks[i], (0, 0, S - 1 - L, 0), (1, H, S, dk))
+        return get
+
+    def sample(rng_i, logits, step_i, tokens, ntok):
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32))
+        # force continue on first token; mask EOS before min_len (exact
+        # renormalized equivalent of the reference's rejection loop)
+        mask_eos = (step_i == 0) | (step_i < min_len)
+        logp = logp.at[eos].set(jnp.where(mask_eos, -jnp.inf, logp[eos]))
+        return ras_sample(rng_i, logp, tokens, ntok, top_p, top_k, win_size, tau_r)
+
+    tokens = jnp.full((max_len,), -1, jnp.int32)
+
+    k_s, rng = jax.random.split(rng)
+    first = sample(k_s, logits0, jnp.asarray(0), tokens, jnp.asarray(0)).astype(jnp.int32)
+    tokens = tokens.at[0].set(first)
+
+    def cond(state):
+        i, tokens, last, kb, vb, rng, done = state
+        return (~done) & (i < max_len)
+
+    def body(state):
+        i, tokens, last, kb, vb, rng, done = state
+        L = L0 + i - 1  # cache position for this step's K/V (token i-1's row... )
+        # token at step i attends over prefix + tokens[0..i-1]; its own K/V is
+        # written at index L0 + i - 1? No: the *input* is tokens[i-1]'s
+        # embedding, producing logits for token i.  Its K/V slot is L0 + i - 1.
+        x = embedding(p, "speech_embedding", last[None, None])  # (1, 1, D)
+        x = embed_tokens(x)
+        kpos = jnp.arange(S)[None, None, :]
+        bias = jnp.where(kpos <= L, 0.0, M.NEG_BIAS).astype(dt)  # (1, 1, S)
+        h, kb, vb = run_layers(x, kb, vb, L, bias, pos_window_at(L))
+        logits = dense(p, "llm_decoder", h[:, -1])[0]
+        k_i, rng = jax.random.split(rng)
+        tok = sample(k_i, logits, i, tokens, i).astype(jnp.int32)
+        is_eos = tok == eos
+        tokens = jnp.where(is_eos, tokens, tokens.at[i].set(tok))
+        return (i + 1, tokens, tok, kb, vb, rng, is_eos)
+
+    state = (jnp.asarray(1), tokens, first, k_buf, v_buf, rng, first == eos)
+    i, tokens, last, _, _, _, done = jax.lax.while_loop(cond, body, state)
+    length = jnp.sum(tokens >= 0)
+    return DecodeResult(tokens=tokens, length=length)
+
+
+# ---------------------------------------------------------------------------
+# Initialization
+# ---------------------------------------------------------------------------
+
+
+def init_llm_params(key: jax.Array, cfg: LLMConfig) -> Params:
+    d: Params = {}
+    kg = KeyGen(key)
+    init_embedding(kg(), d, "text_embedding", cfg.text_token_size, cfg.text_encoder_input_size)
+    init_encoder(kg, d, "text_encoder", cfg.text_encoder, conformer=True)
+    init_linear(kg(), d, "text_encoder_affine_layer", cfg.text_encoder.output_size, cfg.llm_input_size)
+    init_embedding(kg(), d, "llm_embedding", 2, cfg.llm_input_size)
+    init_encoder(kg, d, "llm", cfg.llm, conformer=False)
+    init_linear(kg(), d, "llm_decoder", cfg.llm_output_size, cfg.speech_token_size + 1)
+    init_embedding(kg(), d, "speech_embedding", cfg.speech_token_size, cfg.llm_input_size)
+    init_linear(kg(), d, "spk_embed_affine_layer", cfg.spk_embed_dim, cfg.llm_input_size)
+    return d

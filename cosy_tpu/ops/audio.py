@@ -1,0 +1,193 @@
+"""Audio feature ops as fused XLA computations.
+
+The mel frontend bit-matches the Matcha mel_spectrogram the pretrained
+flow/HiFT models expect (reference: matcha/utils/audio.py:45-82, wired in via
+the model-dir yaml feat_extractor):
+
+    reflect-pad (n_fft - hop)/2 | hann STFT center=False | sqrt(re^2+im^2+1e-9)
+    | slaney mel basis | ln(clamp(x, 1e-5))
+
+Everything is jit-able: one fused XLA program per (batch, length) bucket, in
+contrast to the reference's per-clip torch.stft on host (prepare_joint_data.py
+:160-185).  The slaney-normalized mel filterbank is computed from the standard
+formulas (librosa-compatible; librosa itself is not a dependency).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# CosyVoice-300M mel config (model-dir yaml; see SURVEY.md §5 config notes)
+N_FFT = 1024
+NUM_MELS = 80
+SAMPLE_RATE = 22050
+HOP_SIZE = 256
+WIN_SIZE = 1024
+FMIN = 0.0
+FMAX = 8000.0
+
+
+# ---------------------------------------------------------------------------
+# Slaney mel filterbank (librosa.filters.mel(htk=False, norm='slaney'))
+# ---------------------------------------------------------------------------
+
+
+def _hz_to_mel(f: np.ndarray) -> np.ndarray:
+    f = np.asarray(f, dtype=np.float64)
+    f_sp = 200.0 / 3
+    mels = f / f_sp
+    min_log_hz = 1000.0
+    min_log_mel = min_log_hz / f_sp
+    logstep = math.log(6.4) / 27.0
+    log_region = f >= min_log_hz
+    mels = np.where(log_region, min_log_mel + np.log(np.maximum(f, 1e-10) / min_log_hz) / logstep, mels)
+    return mels
+
+
+def _mel_to_hz(m: np.ndarray) -> np.ndarray:
+    m = np.asarray(m, dtype=np.float64)
+    f_sp = 200.0 / 3
+    freqs = m * f_sp
+    min_log_hz = 1000.0
+    min_log_mel = min_log_hz / f_sp
+    logstep = math.log(6.4) / 27.0
+    log_region = m >= min_log_mel
+    freqs = np.where(log_region, min_log_hz * np.exp(logstep * (m - min_log_mel)), freqs)
+    return freqs
+
+
+@functools.lru_cache(maxsize=8)
+def mel_filterbank(
+    sr: int = SAMPLE_RATE,
+    n_fft: int = N_FFT,
+    n_mels: int = NUM_MELS,
+    fmin: float = FMIN,
+    fmax: float = FMAX,
+) -> np.ndarray:
+    """(n_mels, 1 + n_fft//2) slaney-normalized triangular filterbank."""
+    fft_freqs = np.linspace(0.0, sr / 2.0, 1 + n_fft // 2)
+    mel_pts = np.linspace(_hz_to_mel(np.array(fmin)), _hz_to_mel(np.array(fmax)), n_mels + 2)
+    hz_pts = _mel_to_hz(mel_pts)
+
+    fdiff = np.diff(hz_pts)
+    ramps = hz_pts[:, None] - fft_freqs[None, :]
+    lower = -ramps[:-2] / fdiff[:-1, None]
+    upper = ramps[2:] / fdiff[1:, None]
+    weights = np.maximum(0.0, np.minimum(lower, upper))
+
+    enorm = 2.0 / (hz_pts[2 : n_mels + 2] - hz_pts[:n_mels])
+    weights *= enorm[:, None]
+    return weights.astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# STFT (torch.stft parity: center=False, onesided, hann)
+# ---------------------------------------------------------------------------
+
+
+def frame_signal(y: jax.Array, frame_len: int, hop: int) -> jax.Array:
+    """(B, L) -> (B, n_frames, frame_len) via gather framing."""
+    n_frames = 1 + (y.shape[-1] - frame_len) // hop
+    starts = jnp.arange(n_frames) * hop
+    idx = starts[:, None] + jnp.arange(frame_len)[None, :]
+    return y[:, idx]
+
+
+def stft_magnitude(
+    y: jax.Array,  # (B, L) pre-padded
+    n_fft: int = N_FFT,
+    hop: int = HOP_SIZE,
+    win: int = WIN_SIZE,
+    eps: float = 1e-9,
+) -> jax.Array:
+    """(B, F, T) magnitude spectrum, F = n_fft//2 + 1 (audio.py:57-77)."""
+    window = jnp.asarray(np.hanning(win + 1)[:-1], jnp.float32)  # periodic hann
+    frames = frame_signal(y.astype(jnp.float32), n_fft, hop) * window[None, None, :]
+    spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)  # (B, T, F)
+    mag = jnp.sqrt(jnp.square(spec.real) + jnp.square(spec.imag) + eps)
+    return mag.transpose(0, 2, 1)
+
+
+def reflect_pad(y: jax.Array, pad: int) -> jax.Array:
+    return jnp.pad(y, ((0, 0), (pad, pad)), mode="reflect")
+
+
+@functools.partial(jax.jit, static_argnames=("n_fft", "n_mels", "sr", "hop", "win"))
+def mel_spectrogram(
+    y: jax.Array,  # (B, L) waveform in [-1, 1]
+    n_fft: int = N_FFT,
+    n_mels: int = NUM_MELS,
+    sr: int = SAMPLE_RATE,
+    hop: int = HOP_SIZE,
+    win: int = WIN_SIZE,
+    fmin: float = FMIN,
+    fmax: float = FMAX,
+) -> jax.Array:
+    """(B, n_mels, T) natural-log mel spectrogram — the exact features the
+    pretrained flow/HiFT expect (audio.py:45-82)."""
+    pad = (n_fft - hop) // 2
+    y = reflect_pad(y, pad)
+    mag = stft_magnitude(y, n_fft, hop, win)
+    basis = jnp.asarray(mel_filterbank(sr, n_fft, n_mels, fmin, fmax))
+    mel = jnp.einsum("mf,bft->bmt", basis, mag)
+    return jnp.log(jnp.maximum(mel, 1e-5))
+
+
+def num_mel_frames(n_samples: int, n_fft: int = N_FFT, hop: int = HOP_SIZE) -> int:
+    padded = n_samples + 2 * ((n_fft - hop) // 2)
+    return 1 + (padded - n_fft) // hop
+
+
+# ---------------------------------------------------------------------------
+# iSTFT (HiFT head: n_fft 16, hop 4, centered — torch.istft parity)
+# ---------------------------------------------------------------------------
+
+
+def istft(
+    real: jax.Array,  # (B, F, T)
+    imag: jax.Array,
+    n_fft: int,
+    hop: int,
+) -> jax.Array:
+    """Inverse STFT with hann window and center=True semantics, matching
+    torch.istft as used by HiFT (generator.py:512-518).
+
+    Overlap-add with window-square normalization, then center-crop n_fft//2.
+    """
+    B, F, T = real.shape
+    window = jnp.asarray(np.hanning(n_fft + 1)[:-1], jnp.float32)
+    spec = (real + 1j * imag).transpose(0, 2, 1)  # (B, T, F)
+    frames = jnp.fft.irfft(spec, n=n_fft, axis=-1)  # (B, T, n_fft)
+    frames = frames * window[None, None, :]
+
+    out_len = n_fft + hop * (T - 1)
+    idx = (jnp.arange(T) * hop)[:, None] + jnp.arange(n_fft)[None, :]  # (T, n_fft)
+    sig = jnp.zeros((B, out_len), jnp.float32)
+    sig = sig.at[:, idx.reshape(-1)].add(frames.reshape(B, -1))
+    wsum = jnp.zeros((out_len,), jnp.float32)
+    wsum = wsum.at[idx.reshape(-1)].add(jnp.tile(jnp.square(window), (T,)))
+    sig = sig / jnp.maximum(wsum, 1e-11)[None, :]
+    crop = n_fft // 2
+    return sig[:, crop : out_len - crop]
+
+
+def stft_center(
+    y: jax.Array,  # (B, L)
+    n_fft: int,
+    hop: int,
+) -> jax.Array:
+    """Complex STFT with center=True reflect padding (torch.stft default),
+    used for the HiFT source signal (generator.py:504-510).  Returns (B, F, T)
+    complex."""
+    pad = n_fft // 2
+    y = jnp.pad(y.astype(jnp.float32), ((0, 0), (pad, pad)), mode="reflect")
+    window = jnp.asarray(np.hanning(n_fft + 1)[:-1], jnp.float32)
+    frames = frame_signal(y, n_fft, hop) * window[None, None, :]
+    spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)
+    return spec.transpose(0, 2, 1)

@@ -1,0 +1,107 @@
+"""End-to-end tiny joint-LoRA pipeline drive through the public cosy_tpu API.
+
+Exercises: init -> LoRA init -> joint (LLM+Flow) loss -> lora-only grads ->
+5 optimizer steps -> merge -> prompt-free flow inference from merged weights
+-> AR decode.  Used by the repo verify flow; CPU-friendly (tiny shapes).
+"""
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from cosy_tpu.config import FlowConfig, LLMConfig, EncoderConfig, EstimatorConfig, LoRAConfig
+from cosy_tpu.models import flow as F, llm as L
+from cosy_tpu.params import P
+from cosy_tpu.ctx import Ctx
+from cosy_tpu import lora as lora_mod
+
+
+def main():
+    key = jax.random.PRNGKey(0)
+    fcfg = FlowConfig(
+        input_size=32, output_size=16, spk_embed_dim=24, vocab_size=50,
+        encoder=EncoderConfig(input_size=32, output_size=32, attention_heads=2,
+                              linear_units=48, num_blocks=2),
+        estimator=EstimatorConfig(in_channels=64, out_channels=16, channels=(24, 24),
+                                  attention_head_dim=8, n_blocks=1, num_mid_blocks=2, num_heads=2))
+    lcfg = LLMConfig(
+        text_encoder_input_size=24, llm_input_size=32, llm_output_size=32,
+        text_token_size=60, speech_token_size=50, spk_embed_dim=24,
+        text_encoder=EncoderConfig(input_size=24, output_size=32, attention_heads=2,
+                                   linear_units=48, num_blocks=2, static_chunk_size=1),
+        llm=EncoderConfig(input_size=32, output_size=32, attention_heads=2, linear_units=48,
+                          num_blocks=2, static_chunk_size=1, input_layer="linear_legacy"))
+
+    fparams = F.init_flow_params(jax.random.fold_in(key, 1), fcfg)
+    lparams = L.init_llm_params(jax.random.fold_in(key, 2), lcfg)
+
+    flora_cfg = LoRAConfig(r=4, alpha=8, dropout=0.0,
+                           target_modules=("to_q", "to_k", "to_v", "linear_q", "linear_k",
+                                           "linear_v", "w_1", "w_2"))
+    llora_cfg = LoRAConfig(r=4, alpha=8, dropout=0.0)
+    flora = lora_mod.init_lora(jax.random.fold_in(key, 3), fparams, flora_cfg)
+    llora = lora_mod.init_lora(jax.random.fold_in(key, 4), lparams, llora_cfg)
+    print(f"flow lora adapters: {len(flora)//2} layers, {lora_mod.lora_num_params(flora)} params")
+    print(f"llm  lora adapters: {len(llora)//2} layers, {lora_mod.lora_num_params(llora)} params")
+
+    B, Tt, Ts, Tm = 2, 6, 10, 20
+    batch = {
+        "text_token": jax.random.randint(key, (B, Tt), 0, 60),
+        "text_token_len": jnp.array([6, 4]),
+        "speech_token": jax.random.randint(key, (B, Ts), 0, 50),
+        "speech_token_len": jnp.array([10, 7]),
+        "speech_feat": jax.random.normal(key, (B, Tm, 16)) * 2 - 6,
+        "speech_feat_len": jnp.array([20, 16]),
+        "embedding": jax.random.normal(key, (B, 24)),
+    }
+
+    def joint_loss(loras, rng):
+        fctx = Ctx(rng=jax.random.fold_in(rng, 1), train=True, lora=loras["flow"],
+                   lora_scale=flora_cfg.scaling)
+        lctx = Ctx(rng=jax.random.fold_in(rng, 2), train=True, lora=loras["llm"],
+                   lora_scale=llora_cfg.scaling)
+        fl = F.flow_forward_train(P(fparams), fcfg, jax.random.fold_in(rng, 3), batch, fctx,
+                                  no_prompt=True)
+        ll = L.llm_forward_train(P(lparams), lcfg, batch, lctx)
+        return 2.0 * ll["loss"] + 1.0 * fl, (ll["loss"], fl)
+
+    grad_fn = jax.jit(jax.value_and_grad(joint_loss, has_aux=True))
+    (loss, (llml, fll)), grads = grad_fn({"flow": flora, "llm": llora}, jax.random.PRNGKey(7))
+    gnorm = jnp.sqrt(sum(jnp.sum(jnp.square(g)) for g in jax.tree.leaves(grads)))
+    print(f"joint loss {loss:.4f} (llm {llml:.4f} flow {fll:.4f}), lora grad-norm {gnorm:.4f}")
+    loss0 = float(loss)
+
+    opt = optax.adamw(1e-3)
+    loras = {"flow": flora, "llm": llora}
+    st = opt.init(loras)
+    for _ in range(5):
+        (loss, _), grads = grad_fn(loras, jax.random.PRNGKey(7))
+        up, st = opt.update(grads, st, loras)
+        loras = optax.apply_updates(loras, up)
+    print(f"loss after 5 lora steps (fixed rng): {float(loss):.4f} (started {loss0:.4f})")
+    assert float(loss) < loss0, "optimizer steps must reduce the fixed-rng loss"
+
+    merged_flow = lora_mod.merge_lora(fparams, loras["flow"], flora_cfg.scaling)
+    tok = jax.random.randint(key, (1, 12), 0, 50)
+    mel = F.flow_inference(P(merged_flow), fcfg, jax.random.PRNGKey(3), tok,
+                           jnp.zeros((1, 0), jnp.int32), jnp.zeros((1, 0, 16)),
+                           jax.random.normal(key, (1, 24)), n_timesteps=4)
+    print(f"prompt-free mel from merged weights: {mel.shape}, finite={bool(jnp.isfinite(mel).all())}")
+    assert bool(jnp.isfinite(mel).all())
+
+    text_enc = L.llm_encode_text(P(lparams), lcfg, batch["text_token"][:1],
+                                 batch["text_token_len"][:1], L.EVAL)
+    from cosy_tpu.layers.basic import dense
+    spk_emb = dense(P(lparams), "spk_embed_affine_layer",
+                    L._l2_normalize(batch["embedding"][:1], axis=1))
+    prefix = jnp.concatenate([
+        lparams["llm_embedding.weight"][0][None, None], spk_emb[:, None], text_enc,
+        lparams["llm_embedding.weight"][1][None, None]], axis=1)
+    res = L.llm_decode(P(lparams), lcfg, jax.random.PRNGKey(5), prefix, prefix.shape[1],
+                       jnp.asarray(2), 24)
+    print(f"AR decode: {int(res.length)} tokens: {res.tokens[:int(res.length)]}")
+    print("E2E OK")
+
+
+if __name__ == "__main__":
+    main()
