@@ -1,0 +1,149 @@
+"""Benchmark: CFM mel generation + joint LoRA train step on the real chip.
+
+Prints ONE JSON line to stdout:
+    {"metric": "cfm_mel_frames_per_sec_per_chip", "value": N,
+     "unit": "frames/s/chip", "vs_baseline": N}
+
+Secondary numbers (joint train step time, AR-relevant decode shapes) go to
+stderr.  The reference publishes no throughput numbers (BASELINE.md), so
+vs_baseline is reported against the previous round's value when
+BENCH_baseline.json exists, else 1.0.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cosy_tpu.config import ModelConfig, TrainConfig
+from cosy_tpu.ctx import EVAL
+from cosy_tpu.params import P, cast
+from cosy_tpu.models import flow as F, llm as L
+from cosy_tpu.models.joint import joint_forward_train
+from cosy_tpu.lora import init_lora
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def timed(fn, *args, warmup=2, iters=5):
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def bench_cfm(model_cfg: ModelConfig, dtype=jnp.bfloat16, B=4, T=512, nfe=10):
+    """Batched low-NFE Euler CFM sampling — the inference hot loop."""
+    key = jax.random.PRNGKey(0)
+    est_params = {}
+    from cosy_tpu.params import KeyGen
+    from cosy_tpu.layers.unet import init_conditional_decoder
+
+    kg = KeyGen(key)
+    init_conditional_decoder(kg, est_params, "", model_cfg.flow.estimator)
+    est_params = cast(est_params, dtype)
+
+    z = jax.random.normal(key, (B, 80, T), dtype)
+    mask = jnp.ones((B, 1, T), dtype)
+    mu = jax.random.normal(key, (B, 80, T), dtype)
+    spks = jax.random.normal(key, (B, 80), dtype)
+    cond = jnp.zeros((B, 80, T), dtype)
+
+    fn = jax.jit(lambda p, z: F.cfm_solve_euler(
+        P(p), model_cfg.flow, z, mask, mu, spks, cond, nfe, EVAL))
+    t = timed(fn, est_params, z)
+    frames = B * T
+    log(f"[cfm] B={B} T={T} nfe={nfe} dtype={dtype.__name__}: "
+        f"{t*1e3:.1f} ms/solve -> {frames/t:.1f} mel frames/s/chip")
+    return frames / t
+
+
+def bench_joint_step(model_cfg: ModelConfig, train_cfg: TrainConfig, dtype=jnp.bfloat16):
+    """Joint LLM+Flow LoRA train step at the reference config (bs1 x accum16,
+    seq 250 — config.py:219-224), loss+grad only (optimizer cost is negligible
+    for LoRA params)."""
+    key = jax.random.PRNGKey(0)
+    llm_params = jax.jit(lambda k: L.init_llm_params(k, model_cfg.llm))(key)
+    flow_params = jax.jit(lambda k: F.init_flow_params(k, model_cfg.flow))(key)
+    llm_params = cast(llm_params, dtype)
+    flow_params = cast(flow_params, dtype)
+    loras = {
+        "llm": init_lora(jax.random.fold_in(key, 1), llm_params, train_cfg.llm_lora),
+        "flow": init_lora(jax.random.fold_in(key, 2), flow_params, train_cfg.flow_lora),
+    }
+
+    rng = np.random.default_rng(0)
+    accum, B = train_cfg.accumulate_grad_batches, train_cfg.batch_size
+    Tt, Ts, Tm = 32, 144, 248
+    super_batch = {
+        "text_token": jnp.asarray(rng.integers(0, 1000, (accum, B, Tt)), jnp.int32),
+        "text_token_len": jnp.full((accum, B), Tt, jnp.int32),
+        "speech_token": jnp.asarray(rng.integers(0, 4096, (accum, B, Ts)), jnp.int32),
+        "speech_token_len": jnp.full((accum, B), Ts, jnp.int32),
+        "speech_feat": jnp.asarray(rng.standard_normal((accum, B, Tm, 80)) * 2 - 6, jnp.float32),
+        "speech_feat_len": jnp.full((accum, B), Tm, jnp.int32),
+        "embedding": jnp.asarray(rng.standard_normal((accum, B, 192)), jnp.float32),
+    }
+
+    def loss_fn(loras, llm_p, flow_p, r, micro):
+        return joint_forward_train(llm_p, flow_p, loras, model_cfg,
+                                   train_cfg, r, micro, train=True)["loss"]
+
+    def step(loras, llm_p, flow_p, batch, r):
+        rngs = jax.random.split(r, accum)
+
+        def body(gsum, xs):
+            micro, ri = xs
+            g = jax.grad(loss_fn)(loras, llm_p, flow_p, ri, micro)
+            return jax.tree.map(jnp.add, gsum, g), None
+
+        zero = jax.tree.map(jnp.zeros_like, loras)
+        gsum, _ = jax.lax.scan(body, zero, (batch, rngs))
+        return jax.tree.map(lambda g: g / accum, gsum)
+
+    fn = jax.jit(step)
+    t = timed(fn, loras, llm_params, flow_params, super_batch, jax.random.PRNGKey(3),
+              warmup=1, iters=3)
+    log(f"[joint] bs{B} x accum{accum}, seq {Tm}: {t*1e3:.1f} ms/optimizer-step "
+        f"({t*1e3/accum:.1f} ms/micro-batch)")
+    return t
+
+
+def main():
+    model_cfg = ModelConfig()
+    train_cfg = TrainConfig()
+    log(f"devices: {jax.devices()}")
+
+    fps = bench_cfm(model_cfg)
+    try:
+        bench_joint_step(model_cfg, train_cfg)
+    except Exception as e:  # noqa: BLE001
+        log(f"[joint] bench failed: {e}")
+
+    base = 1.0
+    if os.path.exists("BENCH_baseline.json"):
+        try:
+            prev = json.load(open("BENCH_baseline.json"))
+            base = fps / float(prev["value"])
+        except Exception:  # noqa: BLE001
+            base = 1.0
+    print(json.dumps({
+        "metric": "cfm_mel_frames_per_sec_per_chip",
+        "value": round(fps, 1),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(base, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

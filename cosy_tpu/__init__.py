@@ -19,3 +19,26 @@ weight-naming parity and merged adapters export back in the original format.
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache (first full-model compile is ~minutes
+    over the TPU tunnel; cached compiles are seconds).  Opt out with
+    COSY_TPU_NO_CACHE=1."""
+    import os
+
+    if os.environ.get("COSY_TPU_NO_CACHE"):
+        return
+    path = os.environ.get("JAX_COMPILATION_CACHE_DIR") or os.path.expanduser(
+        "~/.cache/cosy_tpu/jax")
+    try:
+        os.makedirs(path, exist_ok=True)
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001 — cache is best-effort
+        pass
+
+
+_enable_compilation_cache()

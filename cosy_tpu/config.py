@@ -127,7 +127,8 @@ class LLMConfig:
     text_encoder_input_size: int = 512
     llm_input_size: int = 1024
     llm_output_size: int = 1024
-    text_token_size: int = 51866
+    # 58836 BPE ranks + special tokens (reference tokenizer.py:169-206)
+    text_token_size: int = 60515
     speech_token_size: int = 4096
     spk_embed_dim: int = 192
     sos_eos: int = 0

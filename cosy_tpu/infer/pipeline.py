@@ -1,0 +1,261 @@
+"""TTS inference pipeline: text tokens -> speech tokens -> mel -> waveform.
+
+Reference behavior: cosyvoice/cli/model.py (CosyVoiceModel.tts / token2wav /
+llm_job) plus the finetune patches in inference_joint.py:129-151 (mel
+normalize/denormalize around flow) and the boundary-trim anti-leakage step
+(model.py:182-190).
+
+TPU-first re-design: the reference's producer-thread + polling-consumer
+handoff (model.py:234-258) becomes an explicit staged pipeline — a jitted AR
+decode produces the full token sequence (or hop-sized chunks in streaming
+mode), then flow+HiFT run as batched jitted stages.  Stream chunking keeps the
+reference's hop/overlap/fade constants (model.py:51-61).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Iterator, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import InferenceConfig, ModelConfig
+from ..ctx import EVAL
+from ..params import P, Params
+from ..layers.basic import dense
+from ..models import flow as F
+from ..models import llm as L
+from ..models import hift as H
+
+
+def fade_in_out(fade_in: np.ndarray, fade_out: np.ndarray, window: np.ndarray) -> np.ndarray:
+    """Crossfade the head of fade_in with the tail of fade_out
+    (reference: cosyvoice/utils/common.py:142-152)."""
+    n = window.shape[0] // 2
+    out = np.array(fade_in)
+    out[..., :n] = fade_in[..., :n] * window[:n] + fade_out[..., -n:] * window[n:]
+    return out
+
+
+@dataclasses.dataclass
+class StreamState:
+    """Per-request streaming carries (reference: model.py:66-72, 192-211)."""
+    mel_overlap: np.ndarray  # (1, 80, 0..mel_overlap_len)
+    hift_mel: Optional[np.ndarray] = None
+    hift_source: Optional[np.ndarray] = None
+    hift_speech: Optional[np.ndarray] = None
+
+
+class TTSPipeline:
+    """Non-streaming and streaming synthesis over flat param dicts."""
+
+    def __init__(
+        self,
+        model_cfg: ModelConfig,
+        llm_params: Params,
+        flow_params: Params,
+        hift_params: Params,
+        infer_cfg: InferenceConfig = InferenceConfig(),
+        finetuned_norm: bool = True,
+    ):
+        self.cfg = model_cfg
+        self.icfg = infer_cfg
+        self.llm_params = llm_params
+        self.flow_params = flow_params
+        self.hift_params = hift_params
+        self.finetuned_norm = finetuned_norm
+
+        fr = model_cfg.flow.input_frame_rate
+        self.token_min_hop_len = 2 * fr
+        self.token_max_hop_len = 4 * fr
+        self.token_overlap_len = 20
+        self.mel_overlap_len = int(self.token_overlap_len / fr * 22050 / 256)
+        self.mel_window = np.hamming(2 * self.mel_overlap_len)
+        self.mel_cache_len = 20
+        self.source_cache_len = self.mel_cache_len * 256
+        self.speech_window = np.hamming(2 * self.source_cache_len)
+
+    # ------------------------------------------------------------------
+    # stage 1: AR speech-token generation
+    # ------------------------------------------------------------------
+
+    def generate_tokens(
+        self,
+        rng: jax.Array,
+        text_tokens: np.ndarray,  # (1, Tt)
+        prompt_text: Optional[np.ndarray] = None,  # (1, Tp)
+        prompt_speech_token: Optional[np.ndarray] = None,
+        spk_embedding: Optional[np.ndarray] = None,  # (1, 192); zeros = prompt-free
+        max_len_cap: int = 2048,
+    ) -> np.ndarray:
+        """Build the LM prefix and run the jitted while-loop decode
+        (reference: llm.py:164-228)."""
+        cfg = self.cfg.llm
+        p = P(self.llm_params)
+
+        tt = np.asarray(text_tokens)
+        if prompt_text is not None and prompt_text.size:
+            tt = np.concatenate([np.asarray(prompt_text), tt], axis=1)
+        text_len = tt.shape[1]
+        prompt_text_len = prompt_text.shape[1] if prompt_text is not None else 0
+
+        text_enc = L.llm_encode_text(p, cfg, jnp.asarray(tt, jnp.int32),
+                                     jnp.asarray([text_len]), EVAL)
+
+        if spk_embedding is None:
+            spk_embedding = np.zeros((1, cfg.spk_embed_dim), np.float32)
+        spk = dense(p, "spk_embed_affine_layer",
+                    L._l2_normalize(jnp.asarray(spk_embedding), axis=1))
+
+        parts = [
+            self.llm_params["llm_embedding.weight"][cfg.sos_eos][None, None],
+            spk[:, None],
+            text_enc,
+            self.llm_params["llm_embedding.weight"][cfg.task_id][None, None],
+        ]
+        if prompt_speech_token is not None and prompt_speech_token.size:
+            pse = jnp.take(self.llm_params["speech_embedding.weight"],
+                           jnp.asarray(prompt_speech_token, jnp.int32), axis=0)
+            parts.append(pse.reshape(1, -1, cfg.llm_input_size))
+        prefix = jnp.concatenate(parts, axis=1)
+
+        target_text = text_len - prompt_text_len
+        min_len = int(target_text * self.icfg.min_token_text_ratio)
+        max_len = min(int(target_text * self.icfg.max_token_text_ratio), max_len_cap)
+        # bucket max_len to limit recompiles across requests
+        bucket = 128
+        max_len = max(bucket, ((max_len + bucket - 1) // bucket) * bucket)
+
+        res = L.llm_decode(
+            p, cfg, rng, prefix, prefix.shape[1], jnp.asarray(min_len), max_len,
+            top_p=self.icfg.sampling_top_p, top_k=self.icfg.sampling_top_k,
+            win_size=self.icfg.ras_win_size, tau_r=self.icfg.ras_tau_r,
+        )
+        n = int(res.length)
+        return np.asarray(res.tokens)[None, :n]
+
+    # ------------------------------------------------------------------
+    # stage 2+3: tokens -> mel -> wav
+    # ------------------------------------------------------------------
+
+    def token2wav(
+        self,
+        rng: jax.Array,
+        token: np.ndarray,  # (1, T)
+        prompt_token: Optional[np.ndarray],
+        prompt_feat: Optional[np.ndarray],  # (1, Tm, 80) raw mel
+        spk_embedding: np.ndarray,  # (1, 192)
+        stream_state: Optional[StreamState] = None,
+        finalize: bool = True,
+        speed: float = 1.0,
+    ) -> Tuple[np.ndarray, Optional[StreamState]]:
+        """Flow + boundary trim + (stream fades/caches) + HiFT
+        (reference: model.py:171-219)."""
+        k_flow, k_hift = jax.random.split(rng)
+        prompt_token = prompt_token if prompt_token is not None else np.zeros((1, 0), np.int32)
+        prompt_feat = prompt_feat if prompt_feat is not None else np.zeros((1, 0, 80), np.float32)
+
+        mel = F.flow_inference(
+            P(self.flow_params), self.cfg.flow, k_flow,
+            jnp.asarray(token, jnp.int32), jnp.asarray(prompt_token, jnp.int32),
+            jnp.asarray(prompt_feat), jnp.asarray(spk_embedding),
+            finetuned_norm=self.finetuned_norm,
+            mel_norm=(self.cfg.mel_mean, self.cfg.mel_std),
+        )
+        mel = np.asarray(mel)  # (1, 80, Tmel)
+
+        # anti-leakage boundary trim (model.py:182-190)
+        boundary_trim = int(prompt_feat.shape[1] * self.icfg.boundary_trim_ratio)
+        if boundary_trim > 0 and mel.shape[2] > boundary_trim:
+            mel = mel[:, :, boundary_trim:]
+
+        if stream_state is None:
+            stream_state = StreamState(mel_overlap=np.zeros((1, 80, 0), np.float32))
+
+        if stream_state.mel_overlap.shape[2] != 0:
+            mel = fade_in_out(mel, stream_state.mel_overlap, self.mel_window)
+
+        if stream_state.hift_mel is not None:
+            mel = np.concatenate([stream_state.hift_mel, mel], axis=2)
+            cache_source = stream_state.hift_source
+        else:
+            cache_source = np.zeros((1, 1, 0), np.float32)
+
+        if not finalize:
+            stream_state.mel_overlap = mel[:, :, -self.mel_overlap_len:]
+            mel = mel[:, :, : -self.mel_overlap_len]
+            wav, source = self._hift(k_hift, mel, cache_source)
+            if stream_state.hift_speech is not None:
+                wav = fade_in_out(wav, stream_state.hift_speech, self.speech_window)
+            stream_state.hift_mel = mel[:, :, -self.mel_cache_len:]
+            stream_state.hift_source = source[:, :, -self.source_cache_len:]
+            stream_state.hift_speech = wav[:, -self.source_cache_len:]
+            wav = wav[:, : -self.source_cache_len]
+            return wav, stream_state
+
+        if speed != 1.0:
+            mel = np.asarray(F.interpolate_linear(jnp.asarray(mel), int(mel.shape[2] / speed)))
+        wav, _ = self._hift(k_hift, mel, cache_source)
+        if stream_state.hift_speech is not None:
+            wav = fade_in_out(wav, stream_state.hift_speech, self.speech_window)
+        return wav, None
+
+    def _hift(self, rng, mel: np.ndarray, cache_source: np.ndarray):
+        wav, source = H.hift_inference(
+            P(self.hift_params), self.cfg.hift, rng, jnp.asarray(mel),
+            jnp.asarray(cache_source) if cache_source.shape[2] else None)
+        return np.asarray(wav), np.asarray(source)
+
+    # ------------------------------------------------------------------
+    # full pipeline
+    # ------------------------------------------------------------------
+
+    def synthesize(
+        self,
+        rng: jax.Array,
+        text_tokens: np.ndarray,
+        prompt_text: Optional[np.ndarray] = None,
+        prompt_speech_token: Optional[np.ndarray] = None,
+        prompt_feat: Optional[np.ndarray] = None,
+        spk_embedding: Optional[np.ndarray] = None,
+        stream: bool = False,
+        speed: float = 1.0,
+    ) -> Iterator[Dict[str, np.ndarray]]:
+        """Yields {'tts_speech': (1, n) float32} chunks (one chunk when
+        stream=False), mirroring CosyVoiceModel.tts (model.py:221-288)."""
+        k_llm, k_wav = jax.random.split(rng)
+        if spk_embedding is None:
+            spk_embedding = np.zeros((1, self.cfg.llm.spk_embed_dim), np.float32)
+
+        tokens = self.generate_tokens(
+            k_llm, text_tokens, prompt_text, prompt_speech_token, spk_embedding)
+
+        if not stream:
+            wav, _ = self.token2wav(
+                k_wav, tokens, prompt_speech_token, prompt_feat, spk_embedding,
+                finalize=True, speed=speed)
+            yield {"tts_speech": wav}
+            return
+
+        # streaming: consume hop-sized windows with overlap
+        state = StreamState(mel_overlap=np.zeros((1, 80, 0), np.float32))
+        hop = self.token_min_hop_len
+        pos = 0
+        n = tokens.shape[1]
+        ki = 0
+        while n - pos >= hop + self.token_overlap_len:
+            window = tokens[:, pos : pos + hop + self.token_overlap_len]
+            wav, state = self.token2wav(
+                jax.random.fold_in(k_wav, ki), window, prompt_speech_token,
+                prompt_feat, spk_embedding, stream_state=state, finalize=False)
+            yield {"tts_speech": wav}
+            pos += hop
+            hop = min(self.token_max_hop_len, hop)
+            ki += 1
+        window = tokens[:, pos:]
+        wav, _ = self.token2wav(
+            jax.random.fold_in(k_wav, ki), window, prompt_speech_token,
+            prompt_feat, spk_embedding, stream_state=state, finalize=True)
+        yield {"tts_speech": wav}

@@ -144,7 +144,7 @@ def cfm_solve_euler(
         dphi = conditional_decoder(p, cfg.estimator, x2, mask2, mu2, t2, spks2, cond2, ctx)
         d_cond, d_uncond = dphi[:B], dphi[B:]
         dphi = (1.0 + r) * d_cond - r * d_uncond
-        return x + dt * dphi, None
+        return (x + dt * dphi).astype(x.dtype), None
 
     x, _ = jax.lax.scan(step, z, (ts, dts))
     return x.astype(jnp.float32)

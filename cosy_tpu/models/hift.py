@@ -1,0 +1,181 @@
+"""HiFT NSF-iSTFT vocoder: mel (B, 80, T) -> waveform (B, T*256).
+
+Reference behavior: cosyvoice/hifigan/generator.py (HiFTGenerator, SineGen,
+SourceModuleHnNSF, ResBlock) and f0_predictor.py (ConvRNNF0Predictor).
+
+TPU-first notes:
+- weight_norm is folded into plain weights at load time (compat.fold_weight_norm)
+  — the runtime graph sees only dense convs, which XLA fuses;
+- the tiny 16-point iSTFT head is expressed as framing matmuls + irfft
+  (ops/audio.istft) instead of torch.istft;
+- the sine source's random phases / additive noise take an explicit PRNG key.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import HiFTConfig
+from ..ctx import Ctx, EVAL
+from ..params import P, Params
+from ..layers.basic import conv1d, conv_transpose1d, dense, leaky_relu, snake
+from ..ops.audio import istft, stft_center
+from .flow import interpolate_linear
+
+
+def _get_padding(kernel: int, dilation: int = 1) -> int:
+    return (kernel * dilation - dilation) // 2
+
+
+# ---------------------------------------------------------------------------
+# f0 predictor (ConvRNNF0Predictor)
+# ---------------------------------------------------------------------------
+
+
+def f0_predict(p: P, mel: jax.Array, ctx: Ctx = EVAL) -> jax.Array:
+    """(B, 80, T) -> (B, T) f0 in Hz (f0_predictor.py:22-58)."""
+    x = mel
+    for i in range(5):
+        x = conv1d(p, f"condnet.{2 * i}", x, padding=1, ctx=ctx)
+        x = jax.nn.elu(x)
+    x = x.transpose(0, 2, 1)
+    return jnp.abs(dense(p, "classifier", x, ctx))[:, :, 0]
+
+
+# ---------------------------------------------------------------------------
+# NSF sine source
+# ---------------------------------------------------------------------------
+
+
+def sine_source(
+    p: P,
+    cfg: HiFTConfig,
+    rng: jax.Array,
+    f0_up: jax.Array,  # (B, 1, L) upsampled f0 in Hz
+) -> jax.Array:
+    """(B, 1, L) harmonic excitation (generator.py:109-223).
+
+    SineGen: per-harmonic phase accumulation with random initial phases
+    (fundamental phase fixed to 0), voiced/unvoiced gating, additive noise;
+    SourceModuleHnNSF: tanh(linear(harmonics)).
+    """
+    B, _, L = f0_up.shape
+    H = cfg.nb_harmonics + 1
+    k_phase, k_noise = jax.random.split(rng)
+
+    harmonics = jnp.arange(1, H + 1, dtype=jnp.float32)[None, :, None]
+    F_mat = f0_up * harmonics / cfg.sampling_rate  # (B, H, L)
+    theta = 2.0 * jnp.pi * (jnp.cumsum(F_mat, axis=-1) % 1.0)
+    phase = jax.random.uniform(k_phase, (B, H, 1), minval=-jnp.pi, maxval=jnp.pi)
+    phase = phase.at[:, 0, :].set(0.0)
+    sine = cfg.nsf_alpha * jnp.sin(theta + phase)
+
+    uv = (f0_up > cfg.nsf_voiced_threshold).astype(jnp.float32)  # (B, 1, L)
+    noise_amp = uv * cfg.nsf_sigma + (1.0 - uv) * cfg.nsf_alpha / 3.0
+    noise = noise_amp * jax.random.normal(k_noise, sine.shape)
+    sine = sine * uv + noise  # (B, H, L)
+
+    merged = jnp.tanh(dense(p, "l_linear", sine.transpose(0, 2, 1)))  # (B, L, 1)
+    return merged.transpose(0, 2, 1)
+
+
+# ---------------------------------------------------------------------------
+# ResBlock
+# ---------------------------------------------------------------------------
+
+
+def resblock(p: P, name: str, x: jax.Array, kernel: int, dilations: Tuple[int, ...], ctx: Ctx) -> jax.Array:
+    """Snake-activated dilated residual block (generator.py:46-101)."""
+    sp = p.sub(name)
+    for i, d in enumerate(dilations):
+        xt = snake(x, p[f"{name}.activations1.{i}.alpha"].astype(jnp.float32))
+        xt = conv1d(sp, f"convs1.{i}", xt, padding=_get_padding(kernel, d), dilation=d, ctx=ctx)
+        xt = snake(xt, p[f"{name}.activations2.{i}.alpha"].astype(jnp.float32))
+        xt = conv1d(sp, f"convs2.{i}", xt, padding=_get_padding(kernel, 1), ctx=ctx)
+        x = xt + x
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Generator
+# ---------------------------------------------------------------------------
+
+
+def hift_decode(
+    p: P,
+    cfg: HiFTConfig,
+    mel: jax.Array,  # (B, 80, T)
+    source: jax.Array,  # (B, 1, T * prod(up) * hop)
+    ctx: Ctx = EVAL,
+) -> jax.Array:
+    """Deterministic decode given an excitation source (generator.py:520-552)."""
+    n_fft, hop = cfg.istft_n_fft, cfg.istft_hop_len
+    s_spec = stft_center(source[:, 0, :], n_fft, hop)  # (B, F, Ts) complex
+    s_stft = jnp.concatenate([s_spec.real, s_spec.imag], axis=1)  # (B, n_fft+2, Ts)
+
+    x = conv1d(p, "conv_pre", mel, padding=3, ctx=ctx)
+    num_up = len(cfg.upsample_rates)
+    nk = len(cfg.resblock_kernel_sizes)
+
+    downsample_rates = [1] + list(cfg.upsample_rates)[::-1][:-1]
+    down_cum = list(np.cumprod(downsample_rates)[::-1])
+
+    for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
+        x = leaky_relu(x, cfg.lrelu_slope)
+        x = conv_transpose1d(p, f"ups.{i}", x, stride=u, padding=(k - u) // 2)
+        if i == num_up - 1:
+            x = jnp.pad(x, ((0, 0), (0, 0), (1, 0)), mode="reflect")
+
+        du = int(down_cum[i])
+        if du == 1:
+            si = conv1d(p, f"source_downs.{i}", x=s_stft, ctx=ctx)
+        else:
+            si = conv1d(p, f"source_downs.{i}", s_stft, stride=du, padding=du // 2, ctx=ctx)
+        si = resblock(p, f"source_resblocks.{i}", si,
+                      cfg.source_resblock_kernel_sizes[i],
+                      cfg.source_resblock_dilation_sizes[i], ctx)
+        x = x + si
+
+        xs = None
+        for j in range(nk):
+            r = resblock(p, f"resblocks.{i * nk + j}", x,
+                         cfg.resblock_kernel_sizes[j], cfg.resblock_dilation_sizes[j], ctx)
+            xs = r if xs is None else xs + r
+        x = xs / nk
+
+    x = leaky_relu(x)  # default slope (generator.py:545 uses F.leaky_relu w/o slope)
+    x = conv1d(p, "conv_post", x, padding=3, ctx=ctx)
+    magnitude = jnp.exp(x[:, : n_fft // 2 + 1, :])
+    magnitude = jnp.minimum(magnitude, 1e2)
+    phase = jnp.sin(x[:, n_fft // 2 + 1 :, :])
+
+    wav = istft(magnitude * jnp.cos(phase), magnitude * jnp.sin(phase), n_fft, hop)
+    return jnp.clip(wav, -cfg.audio_limit, cfg.audio_limit)
+
+
+def hift_inference(
+    p: P,
+    cfg: HiFTConfig,
+    rng: jax.Array,
+    mel: jax.Array,  # (B, 80, T)
+    cache_source: Optional[jax.Array] = None,  # (B, 1, L_cache) streaming source carry
+) -> Tuple[jax.Array, jax.Array]:
+    """mel -> (wav, source) (generator.py:570-582)."""
+    up_total = int(np.prod(cfg.upsample_rates)) * cfg.istft_hop_len
+    f0 = f0_predict(p.sub("f0_predictor"), mel)
+    # nearest-neighbor upsample by up_total (torch nn.Upsample default mode)
+    f0_up = (
+        jnp.broadcast_to(f0[:, None, :, None], (f0.shape[0], 1, f0.shape[1], up_total))
+        .reshape(f0.shape[0], 1, -1)
+    )
+    s = sine_source(p.sub("m_source"), cfg, rng, f0_up)
+    if cache_source is not None and cache_source.shape[2] != 0:
+        Lc = cache_source.shape[2]
+        s = s.at[:, :, :Lc].set(cache_source)
+    wav = hift_decode(p, cfg, mel, s)
+    return wav, s

@@ -157,7 +157,7 @@ def save_torch_checkpoint(params: Params, path: str):
     """Save a flat JAX param dict as a torch-loadable ``.pt`` state_dict."""
     import torch
 
-    state = {k: torch.from_numpy(np.asarray(jax.device_get(v))) for k, v in params.items()}
+    state = {k: torch.from_numpy(np.array(jax.device_get(v))) for k, v in params.items()}
     torch.save(state, path)
 
 

@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Joint LLM + Flow LoRA training CLI.
+
+TPU-native equivalent of the reference entry point (reference:
+train_joint.py:229-393): same modes (joint / llm_only / flow_only), resume,
+loss-threshold + early stopping, merged-weight export.
+
+Usage:
+    python train_joint.py --data-dir data [--mode joint] [--resume CKPT]
+        [--pretrained pretrained_models/CosyVoice-300M] [--epochs N]
+        [--batch-size N] [--lr LR] [--output output]
+"""
+
+import argparse
+import os
+
+import jax
+
+from cosy_tpu.config import ModelConfig, TrainConfig, replace
+from cosy_tpu.compat.loader import load_or_init
+from cosy_tpu.data.dataset import FlowFinetuneDataset, DataLoader
+from cosy_tpu.parallel import mesh as pmesh
+from cosy_tpu.train.trainer import JointTrainer
+
+
+def main():
+    ap = argparse.ArgumentParser(description="Joint LLM+Flow LoRA training (TPU)")
+    ap.add_argument("--mode", default="joint", choices=["joint", "llm_only", "flow_only"])
+    ap.add_argument("--resume", default=None, help="checkpoint to resume from")
+    ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--batch-size", type=int, default=None)
+    ap.add_argument("--lr", type=float, default=None)
+    ap.add_argument("--data-dir", default="data")
+    ap.add_argument("--pretrained", default="pretrained_models/CosyVoice-300M")
+    ap.add_argument("--output", default="output")
+    ap.add_argument("--max-feat-len", type=int, default=None)
+    ap.add_argument("--accum", type=int, default=None, help="gradient accumulation steps")
+    ap.add_argument("--no-augmentation", action="store_true")
+    args = ap.parse_args()
+
+    model_cfg = ModelConfig()
+    tcfg = TrainConfig(training_mode=args.mode)
+    if args.epochs:
+        tcfg = replace(tcfg, max_epochs=args.epochs)
+    if args.batch_size:
+        tcfg = replace(tcfg, batch_size=args.batch_size)
+    if args.lr:
+        tcfg = replace(tcfg, learning_rate=args.lr)
+    if args.max_feat_len:
+        tcfg = replace(tcfg, max_feat_len=args.max_feat_len)
+    if args.accum:
+        tcfg = replace(tcfg, accumulate_grad_batches=args.accum)
+
+    print("=" * 60)
+    print("cosy_tpu joint LLM + Flow LoRA training")
+    print("=" * 60)
+    print(f"mode={tcfg.training_mode} lr={tcfg.learning_rate} "
+          f"bs={tcfg.batch_size} x accum={tcfg.accumulate_grad_batches} "
+          f"max_feat_len={tcfg.max_feat_len}")
+    print(f"stop: llm_loss<={tcfg.llm_loss_threshold} flow_loss<={tcfg.flow_loss_threshold} "
+          f"early-stop patience {tcfg.early_stop_patience}")
+    print(f"devices: {jax.devices()}")
+
+    rng = jax.random.PRNGKey(tcfg.seed)
+    pretrained = load_or_init(args.pretrained, model_cfg, rng)
+
+    dataset = FlowFinetuneDataset(args.data_dir, augmentation=not args.no_augmentation,
+                                  leak=tcfg.anti_leakage, seed=tcfg.seed)
+    if len(dataset) == 0:
+        print(f"no data in {args.data_dir}; run prepare_joint_data.py first")
+        return
+    # pad batch size up to the dp mesh size
+    mesh = pmesh.make_mesh()
+    dp = mesh.shape["dp"]
+    if tcfg.batch_size % dp != 0:
+        tcfg = replace(tcfg, batch_size=((tcfg.batch_size + dp - 1) // dp) * dp)
+        print(f"batch_size rounded up to {tcfg.batch_size} for the {dp}-way dp mesh")
+
+    loader = DataLoader(dataset, tcfg, seed=tcfg.seed,
+                        num_shards=jax.process_count(), shard_index=jax.process_index())
+    total_steps = max(1, loader.steps_per_epoch()) * tcfg.max_epochs
+
+    trainer = JointTrainer(model_cfg, tcfg, pretrained["llm"], pretrained["flow"],
+                           out_dir=args.output, mesh=mesh, total_steps=total_steps)
+    state = trainer.fit(loader, resume=args.resume)
+
+    print("\nsaving merged weights...")
+    trainer.export_merged(state, save=True)
+    print("done; next: python inference_joint.py --text '...'")
+
+
+if __name__ == "__main__":
+    main()
