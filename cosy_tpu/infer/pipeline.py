@@ -32,10 +32,17 @@ from ..models import hift as H
 
 def fade_in_out(fade_in: np.ndarray, fade_out: np.ndarray, window: np.ndarray) -> np.ndarray:
     """Crossfade the head of fade_in with the tail of fade_out
-    (reference: cosyvoice/utils/common.py:142-152)."""
-    n = window.shape[0] // 2
+    (reference: cosyvoice/utils/common.py:142-152).
+
+    Clamped to the shorter of the two signals: the final streaming chunk can
+    be shorter than the overlap window (e.g. after the boundary trim), which
+    would crash the reference's unguarded slice."""
+    n = min(window.shape[0] // 2, fade_in.shape[-1], fade_out.shape[-1])
+    if n == 0:
+        return np.array(fade_in)
+    half = window.shape[0] // 2
     out = np.array(fade_in)
-    out[..., :n] = fade_in[..., :n] * window[:n] + fade_out[..., -n:] * window[n:]
+    out[..., :n] = fade_in[..., :n] * window[:n] + fade_out[..., -n:] * window[half:half + n]
     return out
 
 
@@ -104,14 +111,16 @@ class TTSPipeline:
         text_enc = L.llm_encode_text(p, cfg, jnp.asarray(tt, jnp.int32),
                                      jnp.asarray([text_len]), EVAL)
 
-        if spk_embedding is None:
-            spk_embedding = np.zeros((1, cfg.spk_embed_dim), np.float32)
-        spk = dense(p, "spk_embed_affine_layer",
-                    L._l2_normalize(jnp.asarray(spk_embedding), axis=1))
-
         parts = [
             self.llm_params["llm_embedding.weight"][cfg.sos_eos][None, None],
-            spk[:, None],
+        ]
+        if spk_embedding is not None:
+            # spk_embedding=None omits the speaker row entirely, matching the
+            # reference's empty-embedding path (llm.py:188-193, instruct mode)
+            spk = dense(p, "spk_embed_affine_layer",
+                        L._l2_normalize(jnp.asarray(spk_embedding), axis=1))
+            parts.append(spk[:, None])
+        parts += [
             text_enc,
             self.llm_params["llm_embedding.weight"][cfg.task_id][None, None],
         ]
@@ -215,23 +224,43 @@ class TTSPipeline:
     def synthesize(
         self,
         rng: jax.Array,
-        text_tokens: np.ndarray,
+        text_tokens: Optional[np.ndarray] = None,
         prompt_text: Optional[np.ndarray] = None,
         prompt_speech_token: Optional[np.ndarray] = None,
         prompt_feat: Optional[np.ndarray] = None,
         spk_embedding: Optional[np.ndarray] = None,
+        llm_prompt_speech_token: Optional[np.ndarray] = None,
+        flow_prompt_speech_token: Optional[np.ndarray] = None,
+        llm_embedding: Optional[np.ndarray] = None,
+        flow_embedding: Optional[np.ndarray] = None,
+        source_speech_token: Optional[np.ndarray] = None,
         stream: bool = False,
         speed: float = 1.0,
     ) -> Iterator[Dict[str, np.ndarray]]:
         """Yields {'tts_speech': (1, n) float32} chunks (one chunk when
-        stream=False), mirroring CosyVoiceModel.tts (model.py:221-288)."""
+        stream=False), mirroring CosyVoiceModel.tts (model.py:221-288).
+
+        ``source_speech_token`` enables the VC path: speech tokens bypass the
+        LLM entirely (model.py:167-169).  The llm_/flow_-prefixed arguments
+        mirror the reference's split conditioning; the unprefixed ones are a
+        convenience that applies to both stages.
+        """
         k_llm, k_wav = jax.random.split(rng)
-        if spk_embedding is None:
-            spk_embedding = np.zeros((1, self.cfg.llm.spk_embed_dim), np.float32)
+        llm_prompt = llm_prompt_speech_token if llm_prompt_speech_token is not None else prompt_speech_token
+        flow_prompt = flow_prompt_speech_token if flow_prompt_speech_token is not None else prompt_speech_token
+        llm_emb = llm_embedding if llm_embedding is not None else spk_embedding
+        flow_emb = flow_embedding if flow_embedding is not None else spk_embedding
+        if flow_emb is None:
+            flow_emb = np.zeros((1, self.cfg.llm.spk_embed_dim), np.float32)
 
-        tokens = self.generate_tokens(
-            k_llm, text_tokens, prompt_text, prompt_speech_token, spk_embedding)
+        if source_speech_token is not None and source_speech_token.size:
+            tokens = np.asarray(source_speech_token, np.int32).reshape(1, -1)
+        else:
+            tokens = self.generate_tokens(
+                k_llm, text_tokens, prompt_text, llm_prompt, llm_emb)
 
+        prompt_speech_token = flow_prompt
+        spk_embedding = flow_emb
         if not stream:
             wav, _ = self.token2wav(
                 k_wav, tokens, prompt_speech_token, prompt_feat, spk_embedding,

@@ -61,6 +61,20 @@ def embedding(p: P, name: str, ids: jax.Array, clamp_min: Optional[int] = None) 
 # ---------------------------------------------------------------------------
 
 
+def _weight(p: P, name: str, dtype) -> jax.Array:
+    """Fetch a conv/linear weight, computing the weight-norm parameterization
+    w = g * v / ||v|| on the fly when the params store g/v factors (training
+    with weight_norm, as the reference HiFT/discriminators do)."""
+    w = p.get(name + ".weight")
+    if w is not None:
+        return w.astype(dtype)
+    g = p[name + ".weight_g"]
+    v = p[name + ".weight_v"]
+    axes = tuple(range(1, v.ndim))
+    norm = jnp.sqrt(jnp.sum(jnp.square(v.astype(jnp.float32)), axis=axes, keepdims=True))
+    return (g * v / jnp.maximum(norm, 1e-12)).astype(dtype)
+
+
 def conv1d(
     p: P,
     name: str,
@@ -72,7 +86,7 @@ def conv1d(
     ctx: Ctx = EVAL,
 ) -> jax.Array:
     """torch nn.Conv1d: weight (out, in/groups, k)."""
-    w = p[name + ".weight"].astype(x.dtype)
+    w = _weight(p, name, x.dtype)
     y = lax.conv_general_dilated(
         x,
         w,
@@ -110,7 +124,7 @@ def conv_transpose1d(
     kernel — the standard fractionally-strided formulation, which XLA fuses
     onto the MXU just like a forward conv.
     """
-    w = p[name + ".weight"].astype(x.dtype)  # (in, out, k)
+    w = _weight(p, name, x.dtype)  # (in, out, k)
     k = w.shape[-1]
     w_t = jnp.flip(w, axis=-1).transpose(1, 0, 2)  # (out, in, k)
     pad = k - 1 - padding
@@ -125,6 +139,29 @@ def conv_transpose1d(
     b = p.get(name + ".bias")
     if b is not None:
         y = y + b.astype(x.dtype)[None, :, None]
+    return y
+
+
+def conv2d(
+    p: P,
+    name: str,
+    x: jax.Array,  # (B, C, H, W)
+    stride=(1, 1),
+    padding=(0, 0),
+    ctx: Ctx = EVAL,
+) -> jax.Array:
+    """torch nn.Conv2d: weight (out, in, kh, kw) — used by the GAN
+    discriminators."""
+    w = _weight(p, name, x.dtype)
+    y = lax.conv_general_dilated(
+        x, w,
+        window_strides=tuple(stride),
+        padding=[(padding[0], padding[0]), (padding[1], padding[1])],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    b = p.get(name + ".bias")
+    if b is not None:
+        y = y + b.astype(x.dtype)[None, :, None, None]
     return y
 
 

@@ -1,0 +1,104 @@
+"""HiFiGAN (vocoder) adversarial trainer: alternating generator/discriminator
+turns.
+
+Reference behavior: cosyvoice/utils/executor.py:88-144 (train_one_epoc_gan —
+discriminator step then generator step per batch, two AdamW optimizers with
+their own schedules) driven by cosyvoice/bin/train.py.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import HiFTConfig
+from ..params import Params
+from ..models.gan import hifigan_generator_loss, hifigan_discriminator_loss
+
+
+class HiFiGanTrainer:
+    def __init__(
+        self,
+        cfg: HiFTConfig,
+        gen_params: Params,
+        disc_params: Params,
+        gen_lr: float = 2e-4,
+        disc_lr: float = 2e-4,
+        mel_weight: float = 45.0,
+        feat_match_weight: float = 2.0,
+        tpr_weight: float = 1.0,
+        tpr_tau: float = 0.04,
+        grad_clip: float = 5.0,
+    ):
+        self.cfg = cfg
+        self.gen_params = gen_params
+        self.disc_params = disc_params
+        self.weights = dict(mel_weight=mel_weight, feat_match_weight=feat_match_weight,
+                            tpr_weight=tpr_weight, tpr_tau=tpr_tau)
+        self.gen_opt = optax.chain(optax.clip_by_global_norm(grad_clip), optax.adamw(gen_lr))
+        self.disc_opt = optax.chain(optax.clip_by_global_norm(grad_clip), optax.adamw(disc_lr))
+        self.gen_opt_state = self.gen_opt.init(gen_params)
+        self.disc_opt_state = self.disc_opt.init(disc_params)
+        self._gen_step = None
+        self._disc_step = None
+
+    def _build(self):
+        cfg, w = self.cfg, self.weights
+        gen_opt, disc_opt = self.gen_opt, self.disc_opt
+
+        def gen_loss(gp, dp, rng, batch):
+            out = hifigan_generator_loss(
+                gp, dp, cfg, rng, batch, w["mel_weight"], w["feat_match_weight"],
+                w["tpr_weight"], w["tpr_tau"])
+            return out["loss"], out
+
+        def disc_loss(dp, gp, rng, batch):
+            out = hifigan_discriminator_loss(gp, dp, cfg, rng, batch,
+                                             w["tpr_weight"], w["tpr_tau"])
+            return out["loss"], out
+
+        def gen_step(gp, gos, dp, rng, batch):
+            (_, metrics), grads = jax.value_and_grad(gen_loss, has_aux=True)(gp, dp, rng, batch)
+            updates, gos = gen_opt.update(grads, gos, gp)
+            return optax.apply_updates(gp, updates), gos, metrics
+
+        def disc_step(dp, dos, gp, rng, batch):
+            (_, metrics), grads = jax.value_and_grad(disc_loss, has_aux=True)(dp, gp, rng, batch)
+            updates, dos = disc_opt.update(grads, dos, dp)
+            return optax.apply_updates(dp, updates), dos, metrics
+
+        self._gen_step = jax.jit(gen_step, donate_argnums=(0, 1))
+        self._disc_step = jax.jit(disc_step, donate_argnums=(0, 1))
+
+    def step(self, batch: Dict[str, np.ndarray], rng: jax.Array) -> Dict[str, float]:
+        """One discriminator turn + one generator turn (executor.py:100-140)."""
+        if self._gen_step is None:
+            self._build()
+        k1, k2 = jax.random.split(rng)
+        self.disc_params, self.disc_opt_state, d_metrics = self._disc_step(
+            self.disc_params, self.disc_opt_state, self.gen_params, k1, batch)
+        self.gen_params, self.gen_opt_state, g_metrics = self._gen_step(
+            self.gen_params, self.gen_opt_state, self.disc_params, k2, batch)
+        out = {f"disc/{k}": float(v) for k, v in d_metrics.items()}
+        out.update({f"gen/{k}": float(v) for k, v in g_metrics.items()})
+        return out
+
+    def fit(self, loader: Iterable, epochs: int, rng: Optional[jax.Array] = None,
+            log_every: int = 10):
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        step = 0
+        for epoch in range(epochs):
+            t0 = time.time()
+            for batch in loader:
+                m = self.step(batch, jax.random.fold_in(rng, step))
+                if step % log_every == 0:
+                    line = " ".join(f"{k}={v:.4f}" for k, v in sorted(m.items()))
+                    print(f"gan epoch {epoch} step {step}: {line}")
+                step += 1
+            print(f"== gan epoch {epoch} done ({time.time() - t0:.1f}s)")
+        return self.gen_params, self.disc_params

@@ -74,8 +74,12 @@ def main():
     pipe = TTSPipeline(model_cfg, params["llm"], params["flow"], params["hift"],
                        InferenceConfig(), finetuned_norm=True)
 
+    # zero speaker embedding with the spk row present — the reference's
+    # prompt-free path (inference_joint.py:179-181)
+    zero_spk = np.zeros((1, model_cfg.llm.spk_embed_dim), np.float32)
     chunks = []
     for out in pipe.synthesize(jax.random.fold_in(rng, 1), ids,
+                               spk_embedding=zero_spk,
                                stream=args.stream, speed=args.speed):
         chunks.append(out["tts_speech"])
         print(f"  chunk: {out['tts_speech'].shape[1] / model_cfg.sample_rate:.2f}s")

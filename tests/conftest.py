@@ -9,6 +9,9 @@ import os
 # hard-override: the environment profile sets JAX_PLATFORMS=axon (TPU tunnel)
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["JAX_PLATFORM_NAME"] = "cpu"
+# the persistent compilation cache may hold AOT results compiled with
+# different CPU feature flags (SIGILL risk) — tests always compile fresh
+os.environ["COSY_TPU_NO_CACHE"] = "1"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
