@@ -119,6 +119,28 @@ def bench_joint_step(model_cfg: ModelConfig, train_cfg: TrainConfig, dtype=jnp.b
     return t
 
 
+def bench_ar_decode(model_cfg: ModelConfig, dtype=jnp.bfloat16, prefix_len=64, max_len=256):
+    """AR speech-token decode throughput — the RTF-critical loop (each token
+    is 20 ms of audio; > 50 tok/s means faster-than-realtime LLM)."""
+    key = jax.random.PRNGKey(0)
+    llm_params = jax.jit(lambda k: L.init_llm_params(k, model_cfg.llm))(key)
+    llm_params = cast(llm_params, dtype)
+
+    prefix = jax.random.normal(key, (1, prefix_len, model_cfg.llm.llm_input_size), dtype)
+    fn = jax.jit(lambda p, r: L.llm_decode(
+        P(p), model_cfg.llm, r, prefix, prefix_len, jnp.asarray(max_len), max_len))
+    n, dt = 0, 1.0
+    for i in range(2):  # first iteration compiles
+        t0 = time.perf_counter()
+        res = fn(llm_params, jax.random.PRNGKey(i))
+        n = int(jax.block_until_ready(res.length))
+        dt = time.perf_counter() - t0
+    tps = n / dt
+    log(f"[decode] prefix {prefix_len}, {n} tokens in {dt*1e3:.0f} ms -> "
+        f"{tps:.1f} tok/s ({tps/50:.1f}x realtime)")
+    return tps
+
+
 def main():
     model_cfg = ModelConfig()
     train_cfg = TrainConfig()
@@ -129,6 +151,10 @@ def main():
         bench_joint_step(model_cfg, train_cfg)
     except Exception as e:  # noqa: BLE001
         log(f"[joint] bench failed: {e}")
+    try:
+        bench_ar_decode(model_cfg)
+    except Exception as e:  # noqa: BLE001
+        log(f"[decode] bench failed: {e}")
 
     base = 1.0
     if os.path.exists("BENCH_baseline.json"):

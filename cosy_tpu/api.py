@@ -131,3 +131,71 @@ class CosyVoice:
                      speed: float = 1.0):
         model_input = self.frontend.frontend_vc(source_speech_16k, prompt_speech_16k)
         yield from self._run(model_input, stream, speed)
+
+
+class CosyVoice2(CosyVoice):
+    """CosyVoice2 API: Qwen2LM + causal streaming flow at 24 kHz
+    (reference: cosyvoice.py:142-194).  ``inference_instruct`` is replaced by
+    ``inference_instruct2`` (natural-language instruction + voice prompt)."""
+
+    def __init__(
+        self,
+        model_dir: str,
+        llm_cfg=None,
+        flow_cfg=None,
+        hift_cfg=None,
+        infer_cfg: Optional[InferenceConfig] = None,
+        seed: int = 0,
+    ):
+        from .models.qwen2lm import Qwen2LMConfig
+        from .models.flow2 import Flow2Config
+        from .config import HiFTConfig
+        from .infer.pipeline2 import TTS2Pipeline
+
+        self.model_dir = model_dir
+        self.sample_rate = 24000
+        llm_cfg = llm_cfg or Qwen2LMConfig()
+        flow_cfg = flow_cfg or Flow2Config()
+        hift_cfg = hift_cfg or HiFTConfig(sampling_rate=24000, upsample_rates=(8, 5, 3),
+                                          upsample_kernel_sizes=(16, 11, 7))
+        params = load_pretrained(model_dir)
+        self.frontend = Frontend(model_dir, self.sample_rate)
+        self.model = TTS2Pipeline(llm_cfg, flow_cfg, hift_cfg, params["llm"],
+                                  params["flow"], params["hift"],
+                                  infer_cfg or InferenceConfig(), hop_samples=480)
+        self._rng = jax.random.PRNGKey(seed)
+        self._n = 0
+
+    def _run(self, model_input: dict, stream: bool, speed: float):
+        start = time.time()
+        kwargs = dict(
+            text_tokens=model_input.get("text"),
+            prompt_text=model_input.get("prompt_text"),
+            prompt_feat=model_input.get("prompt_speech_feat"),
+            llm_prompt_speech_token=model_input.get("llm_prompt_speech_token"),
+            flow_prompt_speech_token=model_input.get("flow_prompt_speech_token"),
+            flow_embedding=model_input.get("flow_embedding"),
+            source_speech_token=model_input.get("source_speech_token"),
+        )
+        for out in self.model.synthesize(self._next_rng(), stream=stream,
+                                         speed=speed, **kwargs):
+            n = out["tts_speech"].shape[1] / self.sample_rate
+            logging.info("yield speech len %.2f, rtf %.3f", n,
+                         (time.time() - start) / max(n, 1e-6))
+            yield out
+            start = time.time()
+
+    def inference_instruct(self, *a, **kw):
+        raise NotImplementedError("inference_instruct is CosyVoice(1); use "
+                                  "inference_instruct2 (cosyvoice.py:186 semantics)")
+
+    def inference_instruct2(self, tts_text: str, instruct_text: str,
+                            prompt_speech_16k: np.ndarray, zero_shot_spk_id: str = "",
+                            stream: bool = False, speed: float = 1.0,
+                            text_frontend: bool = True):
+        for seg in self.frontend.normalize(tts_text, split=True):
+            model_input = self.frontend.frontend_zero_shot(
+                seg, instruct_text + "<|endofprompt|>", prompt_speech_16k, zero_shot_spk_id)
+            # instruct2: no speech-token prompt on the LLM side (frontend.py:240-244)
+            model_input.pop("llm_prompt_speech_token", None)
+            yield from self._run(model_input, stream, speed)

@@ -1,0 +1,222 @@
+"""CosyVoice2 TTS pipeline: Qwen2LM -> causal flow -> HiFT.
+
+Reference behavior: cosyvoice/cli/model.py:291-437 (CosyVoice2Model): 25-token
+hops, token-offset mel trimming (token_mel_ratio 2), HiFT mel/source/speech
+caches (mel_cache_len 8, source cache 8*480), no flow z/mu cache (the causal
+flow uses the fixed seeded noise buffer instead).
+
+Note CosyVoice2 runs at 24 kHz with hop 480 — sample-rate plumbing is carried
+by the configs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Iterator, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import InferenceConfig
+from ..ctx import EVAL
+from ..params import P, Params
+from ..layers.basic import embedding
+from ..models.flow2 import Flow2Config, flow2_inference
+from ..models.qwen2lm import Qwen2LMConfig, qwen2lm_decode
+from ..models import hift as H
+from ..config import HiFTConfig
+from .pipeline import fade_in_out
+
+
+@dataclasses.dataclass
+class Stream2State:
+    hift_mel: Optional[np.ndarray] = None
+    hift_source: Optional[np.ndarray] = None
+    hift_speech: Optional[np.ndarray] = None
+
+
+class TTS2Pipeline:
+    def __init__(
+        self,
+        llm_cfg: Qwen2LMConfig,
+        flow_cfg: Flow2Config,
+        hift_cfg: HiFTConfig,
+        llm_params: Params,
+        flow_params: Params,
+        hift_params: Params,
+        infer_cfg: InferenceConfig = InferenceConfig(),
+        hop_samples: int = 480,
+    ):
+        self.lcfg = llm_cfg
+        self.fcfg = flow_cfg
+        self.hcfg = hift_cfg
+        self.llm_params = llm_params
+        self.flow_params = flow_params
+        self.hift_params = hift_params
+        self.icfg = infer_cfg
+        self.token_hop_len = 25  # model.py:307 — must match training chunks
+        self.mel_cache_len = 8
+        self.source_cache_len = self.mel_cache_len * hop_samples
+        self.speech_window = np.hamming(2 * self.source_cache_len)
+
+    # ------------------------------------------------------------------
+
+    def generate_tokens(
+        self,
+        rng: jax.Array,
+        text_tokens: np.ndarray,
+        prompt_text: Optional[np.ndarray] = None,
+        prompt_speech_token: Optional[np.ndarray] = None,
+        max_len_cap: int = 2048,
+    ) -> np.ndarray:
+        """[sos, text, task, prompt_speech] prefix -> while-loop decode
+        (llm.py:427-462; no speaker row in CosyVoice2)."""
+        p = P(self.llm_params)
+        tt = np.asarray(text_tokens)
+        if prompt_text is not None and prompt_text.size:
+            tt = np.concatenate([np.asarray(prompt_text), tt], axis=1)
+        prompt_text_len = prompt_text.shape[1] if prompt_text is not None else 0
+
+        text_emb = embedding(p.sub("llm.model.model"), "embed_tokens",
+                             jnp.asarray(tt, jnp.int32))
+        parts = [
+            self.llm_params["llm_embedding.weight"][self.lcfg.sos_eos][None, None],
+            text_emb,
+            self.llm_params["llm_embedding.weight"][self.lcfg.task_id][None, None],
+        ]
+        if prompt_speech_token is not None and prompt_speech_token.size:
+            pse = embedding(p, "speech_embedding",
+                            jnp.asarray(prompt_speech_token, jnp.int32))
+            parts.append(pse.reshape(1, -1, self.lcfg.llm_input_size))
+        prefix = jnp.concatenate(parts, axis=1)
+
+        target_text = tt.shape[1] - prompt_text_len
+        min_len = int(target_text * self.icfg.min_token_text_ratio)
+        max_len = min(int(target_text * self.icfg.max_token_text_ratio), max_len_cap)
+        bucket = 128
+        max_len = max(bucket, ((max_len + bucket - 1) // bucket) * bucket)
+
+        res = qwen2lm_decode(
+            p, self.lcfg, rng, prefix, jnp.asarray(min_len), max_len,
+            top_p=self.icfg.sampling_top_p, top_k=self.icfg.sampling_top_k,
+            win_size=self.icfg.ras_win_size, tau_r=self.icfg.ras_tau_r)
+        n = int(res.length)
+        return np.asarray(res.tokens)[None, :n]
+
+    # ------------------------------------------------------------------
+
+    def token2wav(
+        self,
+        rng: jax.Array,
+        token: np.ndarray,
+        prompt_token: Optional[np.ndarray],
+        prompt_feat: Optional[np.ndarray],
+        spk_embedding: np.ndarray,
+        token_offset: int,
+        state: Optional[Stream2State] = None,
+        stream: bool = False,
+        finalize: bool = True,
+        speed: float = 1.0,
+    ) -> Tuple[np.ndarray, Optional[Stream2State]]:
+        """model.py:336-370."""
+        prompt_token = prompt_token if prompt_token is not None else np.zeros((1, 0), np.int32)
+        prompt_feat = prompt_feat if prompt_feat is not None else np.zeros((1, 0, 80), np.float32)
+
+        mel = flow2_inference(
+            P(self.flow_params), self.fcfg,
+            jnp.asarray(token, jnp.int32), jnp.asarray(prompt_token, jnp.int32),
+            jnp.asarray(prompt_feat), jnp.asarray(spk_embedding),
+            streaming=stream, finalize=finalize,
+            n_timesteps=self.icfg.nfe_short,
+        )
+        mel = np.asarray(mel)[:, :, token_offset * self.fcfg.token_mel_ratio :]
+
+        if state is None:
+            state = Stream2State()
+        if state.hift_mel is not None:
+            mel = np.concatenate([state.hift_mel, mel], axis=2)
+            cache_source = state.hift_source
+        else:
+            cache_source = np.zeros((1, 1, 0), np.float32)
+
+        def run_hift(m, src):
+            wav, source = H.hift_inference(
+                P(self.hift_params), self.hcfg, rng, jnp.asarray(m),
+                jnp.asarray(src) if src.shape[2] else None)
+            return np.asarray(wav), np.asarray(source)
+
+        if not finalize:
+            wav, source = run_hift(mel, cache_source)
+            if state.hift_speech is not None:
+                wav = fade_in_out(wav, state.hift_speech, self.speech_window)
+            state.hift_mel = mel[:, :, -self.mel_cache_len :]
+            state.hift_source = source[:, :, -self.source_cache_len :]
+            state.hift_speech = wav[:, -self.source_cache_len :]
+            return wav[:, : -self.source_cache_len], state
+
+        if speed != 1.0:
+            from ..models.flow import interpolate_linear
+
+            mel = np.asarray(interpolate_linear(jnp.asarray(mel), int(mel.shape[2] / speed)))
+        wav, _ = run_hift(mel, cache_source)
+        if state.hift_speech is not None:
+            wav = fade_in_out(wav, state.hift_speech, self.speech_window)
+        return wav, None
+
+    # ------------------------------------------------------------------
+
+    def synthesize(
+        self,
+        rng: jax.Array,
+        text_tokens: Optional[np.ndarray] = None,
+        prompt_text: Optional[np.ndarray] = None,
+        llm_prompt_speech_token: Optional[np.ndarray] = None,
+        flow_prompt_speech_token: Optional[np.ndarray] = None,
+        prompt_feat: Optional[np.ndarray] = None,
+        flow_embedding: Optional[np.ndarray] = None,
+        source_speech_token: Optional[np.ndarray] = None,
+        stream: bool = False,
+        speed: float = 1.0,
+    ) -> Iterator[Dict[str, np.ndarray]]:
+        """model.py:372-430 with the staged-pipeline structure."""
+        k_llm, k_wav = jax.random.split(rng)
+        if flow_embedding is None:
+            flow_embedding = np.zeros((1, self.fcfg.spk_embed_dim), np.float32)
+
+        if source_speech_token is not None and source_speech_token.size:
+            tokens = np.asarray(source_speech_token, np.int32).reshape(1, -1)
+        else:
+            tokens = self.generate_tokens(k_llm, text_tokens, prompt_text,
+                                          llm_prompt_speech_token)
+        fp = flow_prompt_speech_token
+
+        if not stream:
+            wav, _ = self.token2wav(k_wav, tokens, fp, prompt_feat, flow_embedding,
+                                    token_offset=0, finalize=True, speed=speed)
+            yield {"tts_speech": wav}
+            return
+
+        # streaming: hops of 25 tokens with pre-lookahead; prompt padded to a
+        # hop multiple on the first chunk (model.py:388-404)
+        n_prompt = fp.shape[1] if fp is not None else 0
+        pad0 = int(np.ceil(n_prompt / self.token_hop_len) * self.token_hop_len - n_prompt)
+        state = Stream2State()
+        token_offset = 0
+        n = tokens.shape[1]
+        ki = 0
+        while True:
+            hop = self.token_hop_len + pad0 if token_offset == 0 else self.token_hop_len
+            if n - token_offset < hop + self.fcfg.pre_lookahead_len:
+                break
+            window = tokens[:, : token_offset + hop + self.fcfg.pre_lookahead_len]
+            wav, state = self.token2wav(
+                jax.random.fold_in(k_wav, ki), window, fp, prompt_feat,
+                flow_embedding, token_offset, state, stream=True, finalize=False)
+            token_offset += hop
+            ki += 1
+            yield {"tts_speech": wav}
+        wav, _ = self.token2wav(
+            jax.random.fold_in(k_wav, ki), tokens, fp, prompt_feat, flow_embedding,
+            token_offset, state, finalize=True)
+        yield {"tts_speech": wav}

@@ -37,21 +37,36 @@ from .posenc import timestep_embedding
 # ---------------------------------------------------------------------------
 
 
-def block1d(p: P, name: str, x: jax.Array, mask: jax.Array, ctx: Ctx) -> jax.Array:
-    """Conv3 + GroupNorm(8) + Mish, masked before and after (modules.py:60-73)."""
+def block1d(p: P, name: str, x: jax.Array, mask: jax.Array, ctx: Ctx,
+            causal: bool = False) -> jax.Array:
+    """Conv3 + GroupNorm(8) + Mish, masked before and after (modules.py:60-73).
+
+    Causal variant (CosyVoice2): left-padded conv + LayerNorm over channels
+    (state-dict index block.2) + Mish (decoder.py:65-78)."""
     sp = p.sub(name)
-    h = conv1d(sp, "block.0", x * mask, padding=1, ctx=ctx)
-    h = group_norm(sp, "block.1", h, num_groups=8)
+    if causal:
+        h = jnp.pad(x * mask, ((0, 0), (0, 0), (2, 0)))
+        h = conv1d(sp, "block.0", h, ctx=ctx)
+        h = layer_norm(sp, "block.2", h.transpose(0, 2, 1)).transpose(0, 2, 1)
+    else:
+        h = conv1d(sp, "block.0", x * mask, padding=1, ctx=ctx)
+        h = group_norm(sp, "block.1", h, num_groups=8)
     return mish(h) * mask
 
 
-def resnet_block1d(p: P, name: str, x: jax.Array, mask: jax.Array, t: jax.Array, ctx: Ctx) -> jax.Array:
+def resnet_block1d(p: P, name: str, x: jax.Array, mask: jax.Array, t: jax.Array,
+                   ctx: Ctx, causal: bool = False) -> jax.Array:
     """ResNet block with timestep conditioning (modules.py:76-94)."""
     sp = p.sub(name)
-    h = block1d(sp, "block1", x, mask, ctx)
+    h = block1d(sp, "block1", x, mask, ctx, causal)
     h = h + dense(sp, "mlp.1", mish(t), ctx)[:, :, None]
-    h = block1d(sp, "block2", h, mask, ctx)
+    h = block1d(sp, "block2", h, mask, ctx, causal)
     return h + conv1d(sp, "res_conv", x * mask, ctx=ctx)
+
+
+def causal_conv1d(p: P, name: str, x: jax.Array, kernel: int, ctx: Ctx) -> jax.Array:
+    """Left-padded conv (decoder.py:36-62)."""
+    return conv1d(p, name, jnp.pad(x, ((0, 0), (0, 0), (kernel - 1, 0))), ctx=ctx)
 
 
 def feed_forward(p: P, name: str, x: jax.Array, act_fn: str, ctx: Ctx,
@@ -137,8 +152,12 @@ def conditional_decoder(
     cond: jax.Array,  # (B, 80, T)
     ctx: Ctx = EVAL,
     prompt_lens: Optional[jax.Array] = None,  # (B,) int, 0 = no isolation
+    causal: bool = False,
+    streaming: bool = False,
+    static_chunk_size: int = 50,
 ) -> jax.Array:
-    """Velocity field estimate (B, 80, T) (reference: modules.py:998-1106)."""
+    """Velocity field estimate (B, 80, T) (reference: modules.py:998-1106;
+    causal/streaming variant: cosyvoice/flow/decoder.py:294-494)."""
     B, _, T = x.shape
     assert T % 2 == 0, "estimator time axis must be a multiple of 2 (one stride-2 U-Net level)"
     dtype = x.dtype
@@ -156,7 +175,18 @@ def conditional_decoder(
     level_masks = [mask]
     for _ in range(n_levels - 1):
         level_masks.append(level_masks[-1][:, :, ::2])
-    level_bias = [_level_bias(m, T, prompt_lens, dtype) for m in level_masks]
+    if streaming:
+        # static chunk attention at every level (decoder.py:439-443)
+        def _stream_bias(m):
+            T_l = m.shape[-1]
+            chunk = M.subsequent_chunk_mask(T_l, static_chunk_size, -1)
+            allowed = m.astype(bool) & chunk[None]
+            dead = jnp.sum(allowed, axis=-1, keepdims=True) == 0
+            return M.mask_to_bias(allowed | dead, dtype)
+
+        level_bias = [_stream_bias(m) for m in level_masks]
+    else:
+        level_bias = [_level_bias(m, T, prompt_lens, dtype) for m in level_masks]
 
     def run_transformers(prefix, h_ct, lvl):
         ht = h_ct.transpose(0, 2, 1)  # (B, T_l, C)
@@ -171,18 +201,20 @@ def conditional_decoder(
     for i in range(n_levels):
         lvl = min(i, n_levels - 1)
         m = level_masks[lvl]
-        h = resnet_block1d(p, f"down_blocks.{i}.0", h, m, temb, ctx)
+        h = resnet_block1d(p, f"down_blocks.{i}.0", h, m, temb, ctx, causal)
         h = run_transformers(f"down_blocks.{i}.1", h, lvl)
         hiddens.append(h)
         if i < n_levels - 1:
             h = conv1d(p, f"down_blocks.{i}.2.conv", h * m, stride=2, padding=1, ctx=ctx)
+        elif causal:
+            h = causal_conv1d(p, f"down_blocks.{i}.2", h * m, 3, ctx)
         else:
             h = conv1d(p, f"down_blocks.{i}.2", h * m, padding=1, ctx=ctx)
 
     mid_lvl = n_levels - 1
     m = level_masks[mid_lvl]
     for i in range(cfg.num_mid_blocks):
-        h = resnet_block1d(p, f"mid_blocks.{i}.0", h, m, temb, ctx)
+        h = resnet_block1d(p, f"mid_blocks.{i}.0", h, m, temb, ctx, causal)
         h = run_transformers(f"mid_blocks.{i}.1", h, mid_lvl)
 
     for i in range(n_levels):
@@ -190,15 +222,17 @@ def conditional_decoder(
         m = level_masks[lvl]
         skip = hiddens.pop()
         h = jnp.concatenate([h[:, :, : skip.shape[-1]], skip], axis=1)
-        h = resnet_block1d(p, f"up_blocks.{i}.0", h, m, temb, ctx)
+        h = resnet_block1d(p, f"up_blocks.{i}.0", h, m, temb, ctx, causal)
         h = run_transformers(f"up_blocks.{i}.1", h, lvl)
         if i < n_levels - 1:
             h = conv_transpose1d(p, f"up_blocks.{i}.2.conv", h * m, stride=2, padding=1)
+        elif causal:
+            h = causal_conv1d(p, f"up_blocks.{i}.2", h * m, 3, ctx)
         else:
             h = conv1d(p, f"up_blocks.{i}.2", h * m, padding=1, ctx=ctx)
 
     m = level_masks[0]
-    h = block1d(p, "final_block", h, m, ctx)
+    h = block1d(p, "final_block", h, m, ctx, causal)
     out = conv1d(p, "final_proj", h * m, ctx=ctx)
     return out * mask
 
@@ -209,9 +243,11 @@ def conditional_decoder(
 # ---------------------------------------------------------------------------
 
 
-def init_conditional_decoder(kg: KeyGen, d: Params, prefix: str, cfg: EstimatorConfig):
+def init_conditional_decoder(kg: KeyGen, d: Params, prefix: str, cfg: EstimatorConfig,
+                             causal: bool = False):
     pre = prefix + "." if prefix else ""
     ted = cfg.time_embed_dim
+    norm_idx = 2 if causal else 1  # causal blocks use LayerNorm at block.2
 
     init_linear(kg(), d, pre + "time_mlp.linear_1", cfg.in_channels, ted)
     init_linear(kg(), d, pre + "time_mlp.linear_2", ted, ted)
@@ -219,9 +255,9 @@ def init_conditional_decoder(kg: KeyGen, d: Params, prefix: str, cfg: EstimatorC
     def init_resnet(name, dim_in, dim_out):
         init_linear(kg(), d, f"{name}.mlp.1", ted, dim_out)
         init_conv1d(kg(), d, f"{name}.block1.block.0", dim_in, dim_out, 3)
-        init_norm(d, f"{name}.block1.block.1", dim_out)
+        init_norm(d, f"{name}.block1.block.{norm_idx}", dim_out)
         init_conv1d(kg(), d, f"{name}.block2.block.0", dim_out, dim_out, 3)
-        init_norm(d, f"{name}.block2.block.1", dim_out)
+        init_norm(d, f"{name}.block2.block.{norm_idx}", dim_out)
         init_conv1d(kg(), d, f"{name}.res_conv", dim_in, dim_out, 1)
 
     def init_tblock(name, dim):
@@ -270,5 +306,5 @@ def init_conditional_decoder(kg: KeyGen, d: Params, prefix: str, cfg: EstimatorC
             init_conv1d(kg(), d, f"{pre}up_blocks.{i}.2", out_ch, out_ch, 3)
 
     init_conv1d(kg(), d, f"{pre}final_block.block.0", rev[-1], rev[-1], 3)
-    init_norm(d, f"{pre}final_block.block.1", rev[-1])
+    init_norm(d, f"{pre}final_block.block.{norm_idx}", rev[-1])
     init_conv1d(kg(), d, f"{pre}final_proj", rev[-1], cfg.out_channels, 1)

@@ -1,0 +1,359 @@
+"""Qwen2LM — CosyVoice2's speech-token LLM over the Qwen2 backbone.
+
+Reference behavior: cosyvoice/llm/llm.py:262-611 (Qwen2LM).  TPU-first:
+- the ragged uni/bistream sequence mixing (prepare_lm_input_target,
+  llm.py:304-344) is built densely with integer index maps — both layouts are
+  materialized and selected per sample with the reference's coin flip
+  (p=0.5 and speech/text ratio > mix_ratio[1]/mix_ratio[0]);
+- AR decode is a fixed-capacity lax.while_loop with GQA KV caches; tokens
+  above speech_token_size are skipped without feeding (llm.py:504-507).
+
+Weight naming: llm.model.model.* (HF Qwen2 under the Qwen2Encoder wrapper),
+llm_embedding, llm_decoder, speech_embedding — loads CosyVoice2 llm.pt
+verbatim.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ctx import Ctx, EVAL
+from ..params import P, Params, KeyGen, init_linear, init_embedding
+from ..ops import masks as M
+from ..ops.sampling import ras_sample
+from ..layers.basic import dense, embedding
+from ..layers.qwen2 import Qwen2Config, init_qwen2_params, qwen2_forward, qwen2_layer, rms_norm
+from .llm import IGNORE_ID, label_smoothing_loss, th_accuracy
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class Qwen2LMConfig:
+    llm_input_size: int = 896
+    llm_output_size: int = 896
+    speech_token_size: int = 6561  # CosyVoice2 FSQ speech tokens
+    sos_eos: int = 0
+    task_id: int = 1
+    fill_token: int = 2
+    mix_ratio: Tuple[int, int] = (5, 15)
+    length_normalized_loss: bool = True
+    lsm_weight: float = 0.0
+    qwen: Qwen2Config = field(default_factory=Qwen2Config)
+
+
+# ---------------------------------------------------------------------------
+# Dense uni/bistream packing
+# ---------------------------------------------------------------------------
+
+
+def _pack_unistream(cfg, pos, tl, sl, text_emb_g, speech_emb_g, speech_tok_g, sos, task):
+    """input [sos, text, task, speech]; target [IGN*(1+tl), speech, EOS]
+    (llm.py:335-338)."""
+    is_sos = pos == 0
+    is_text = (pos >= 1) & (pos < 1 + tl)
+    is_task = pos == 1 + tl
+    is_speech = (pos > 1 + tl) & (pos < 2 + tl + sl)
+    t_idx = jnp.clip(pos - 1, 0, text_emb_g.shape[1] - 1)
+    s_idx = jnp.clip(pos - 2 - tl, 0, speech_emb_g.shape[1] - 1)
+    g_text = jnp.take_along_axis(text_emb_g, jnp.broadcast_to(t_idx, tl.shape[:1] + pos.shape[1:])[:, :, None], axis=1)
+    g_speech = jnp.take_along_axis(speech_emb_g, s_idx[:, :, None], axis=1)
+    lm_input = jnp.where(
+        is_sos[:, :, None], sos,
+        jnp.where(is_text[:, :, None], g_text,
+                  jnp.where(is_task[:, :, None], task,
+                            jnp.where(is_speech[:, :, None], g_speech, 0.0))))
+    # target
+    tgt_sidx = jnp.clip(pos - 1 - tl, 0, speech_tok_g.shape[1] - 1)
+    g_tok = jnp.take_along_axis(speech_tok_g, jnp.broadcast_to(tgt_sidx, tl.shape[:1] + pos.shape[1:]), axis=1)
+    is_tgt_speech = (pos >= 1 + tl) & (pos < 1 + tl + sl)
+    is_eos = pos == 1 + tl + sl
+    lm_target = jnp.where(is_tgt_speech, g_tok,
+                          jnp.where(is_eos, cfg.speech_token_size, IGNORE_ID))
+    lm_len = (2 + tl + sl)[:, 0]
+    return lm_input, lm_target, lm_len
+
+
+def _pack_bistream(cfg, pos, tl, sl, text_emb_g, speech_emb_g, speech_tok_g, sos, task):
+    """Interleaved [5 text | 15 speech] blocks with FILL targets, then the
+    partial tail [text_rest, task, speech_rest] (llm.py:312-333)."""
+    m0, m1 = cfg.mix_ratio
+    blk = m0 + m1
+    n_full = tl // m0  # number of complete text blocks
+    q = pos - 1
+    block = q // blk
+    off = q % blk
+    in_blocks = (pos >= 1) & (block < n_full)
+
+    base = 1 + blk * n_full
+    r = pos - base
+    t_rest = tl - m0 * n_full
+    s_rest = sl - m1 * n_full
+
+    # ---- input selection ----
+    blk_is_text = in_blocks & (off < m0)
+    blk_t_idx = block * m0 + off
+    blk_s_idx = block * m1 + (off - m0)
+    tail_is_text = (r >= 0) & (r < t_rest)
+    tail_is_task = r == t_rest
+    tail_is_speech = (r > t_rest) & (r < t_rest + 1 + s_rest)
+    tail_s_idx = m1 * n_full + r - t_rest - 1
+    tail_t_idx = m0 * n_full + r
+
+    t_idx = jnp.clip(jnp.where(blk_is_text, blk_t_idx, tail_t_idx), 0, text_emb_g.shape[1] - 1)
+    s_idx = jnp.clip(jnp.where(in_blocks, blk_s_idx, tail_s_idx), 0, speech_emb_g.shape[1] - 1)
+    g_text = jnp.take_along_axis(text_emb_g, t_idx[:, :, None], axis=1)
+    g_speech = jnp.take_along_axis(speech_emb_g, s_idx[:, :, None], axis=1)
+
+    lm_input = jnp.where(
+        (pos == 0)[:, :, None], sos,
+        jnp.where((blk_is_text | tail_is_text)[:, :, None], g_text,
+                  jnp.where(tail_is_task[:, :, None], task,
+                            jnp.where(((in_blocks & (off >= m0)) | tail_is_speech)[:, :, None],
+                                      g_speech, 0.0))))
+
+    # ---- target selection ----
+    # full block: off 0..m0-2 -> IGNORE; off m0-1..m0+m1-2 -> speech; off last -> FILL
+    blk_tgt_speech = in_blocks & (off >= m0 - 1) & (off < m0 - 1 + m1)
+    blk_tgt_fill = in_blocks & (off == blk - 1)
+    blk_tgt_sidx = block * m1 + (off - (m0 - 1))
+    # tail: r 0..t_rest-1 IGNORE; t_rest..t_rest+s_rest-1 speech; then EOS
+    tail_tgt_speech = (r >= t_rest) & (r < t_rest + s_rest)
+    tail_tgt_eos = r == t_rest + s_rest
+    tail_tgt_sidx = m1 * n_full + r - t_rest
+
+    tgt_sidx = jnp.clip(jnp.where(in_blocks, blk_tgt_sidx, tail_tgt_sidx), 0,
+                        speech_tok_g.shape[1] - 1)
+    g_tok = jnp.take_along_axis(speech_tok_g, tgt_sidx, axis=1)
+    lm_target = jnp.where(
+        blk_tgt_fill, cfg.speech_token_size + 2,
+        jnp.where(blk_tgt_speech | tail_tgt_speech, g_tok,
+                  jnp.where(tail_tgt_eos & (pos > 0), cfg.speech_token_size, IGNORE_ID)))
+    lm_len = (2 + tl + sl)[:, 0]
+    return lm_input, lm_target, lm_len
+
+
+def qwen2lm_forward_train(
+    p: P,
+    cfg: Qwen2LMConfig,
+    batch: Dict[str, jax.Array],
+    ctx: Ctx,
+    rng: Optional[jax.Array] = None,
+) -> Dict[str, jax.Array]:
+    """Training forward (llm.py:346-378).  ``rng`` drives the per-sample
+    uni/bistream coin flip; None forces unistream."""
+    text_token = batch["text_token"]
+    tl_vec = batch["text_token_len"].astype(jnp.int32)
+    speech_token = batch["speech_token"]
+    sl_vec = batch["speech_token_len"].astype(jnp.int32)
+    B = text_token.shape[0]
+
+    qp = p.sub("llm.model.model")
+    text_emb = embedding(qp, "embed_tokens", text_token)
+    speech_emb = embedding(p, "speech_embedding", jnp.maximum(speech_token, 0))
+
+    Tt, Ts = text_token.shape[1], speech_token.shape[1]
+    S = 2 + Tt + Ts
+    pos = jnp.arange(S)[None, :]
+    tl = tl_vec[:, None]
+    sl = sl_vec[:, None]
+    dt = text_emb.dtype
+    sos = p["llm_embedding.weight"][cfg.sos_eos].astype(dt)[None, None]
+    task = p["llm_embedding.weight"][cfg.task_id].astype(dt)[None, None]
+
+    uni = _pack_unistream(cfg, pos, tl, sl, text_emb, speech_emb, speech_token, sos, task)
+    bi = _pack_bistream(cfg, pos, tl, sl, text_emb, speech_emb, speech_token, sos, task)
+
+    if rng is not None:
+        coin = jax.random.uniform(rng, (B,)) < 0.5
+    else:
+        coin = jnp.zeros((B,), bool)
+    use_bi = coin & (sl_vec * cfg.mix_ratio[0] > tl_vec * cfg.mix_ratio[1])
+    lm_input = jnp.where(use_bi[:, None, None], bi[0], uni[0])
+    lm_target = jnp.where(use_bi[:, None], bi[1], uni[1])
+    lm_len = uni[2]  # identical lengths by construction
+
+    hidden = qwen2_forward(qp, cfg.qwen, lm_input, lm_len, ctx)
+    logits = dense(p, "llm_decoder", hidden, ctx)
+    # mask positions beyond lm_len out of the loss via target IGNORE (already)
+    loss = label_smoothing_loss(logits, lm_target, cfg.lsm_weight, cfg.length_normalized_loss)
+    acc = th_accuracy(logits, lm_target)
+    return {"loss": loss, "acc": acc}
+
+
+def qwen2lm_forward_dpo(
+    p: P,
+    cfg: Qwen2LMConfig,
+    batch: Dict[str, jax.Array],
+    ctx: Ctx,
+    rng: Optional[jax.Array] = None,
+) -> Dict[str, jax.Array]:
+    """DPO forward (llm.py:380-425): runs chosen and rejected continuations
+    through the LM and returns per-sample mean target log-probs for the DPO
+    loss (models.gan.dpo_loss)."""
+    B = batch["text_token"].shape[0]
+    double = {
+        "text_token": jnp.concatenate([batch["text_token"], batch["text_token"]], axis=0),
+        "text_token_len": jnp.concatenate([batch["text_token_len"], batch["text_token_len"]], axis=0),
+        "speech_token": jnp.concatenate([batch["speech_token"], batch["reject_speech_token"]], axis=0),
+        "speech_token_len": jnp.concatenate(
+            [batch["speech_token_len"], batch["reject_speech_token_len"]], axis=0),
+    }
+    # rebuild the packed inputs/targets (unistream/bistream per sample)
+    text_token = double["text_token"]
+    tl_vec = double["text_token_len"].astype(jnp.int32)
+    speech_token = double["speech_token"]
+    sl_vec = double["speech_token_len"].astype(jnp.int32)
+    qp = p.sub("llm.model.model")
+    text_emb = embedding(qp, "embed_tokens", text_token)
+    speech_emb = embedding(p, "speech_embedding", jnp.maximum(speech_token, 0))
+    S = 2 + text_token.shape[1] + speech_token.shape[1]
+    pos = jnp.arange(S)[None, :]
+    dt = text_emb.dtype
+    sos = p["llm_embedding.weight"][cfg.sos_eos].astype(dt)[None, None]
+    task = p["llm_embedding.weight"][cfg.task_id].astype(dt)[None, None]
+    uni = _pack_unistream(cfg, pos, tl_vec[:, None], sl_vec[:, None],
+                          text_emb, speech_emb, speech_token, sos, task)
+    bi = _pack_bistream(cfg, pos, tl_vec[:, None], sl_vec[:, None],
+                        text_emb, speech_emb, speech_token, sos, task)
+    if rng is not None:
+        coin = jnp.tile(jax.random.uniform(rng, (B,)) < 0.5, 2)
+    else:
+        coin = jnp.zeros((2 * B,), bool)
+    use_bi = coin & (sl_vec * cfg.mix_ratio[0] > tl_vec * cfg.mix_ratio[1])
+    lm_input = jnp.where(use_bi[:, None, None], bi[0], uni[0])
+    lm_target = jnp.where(use_bi[:, None], bi[1], uni[1])
+
+    hidden = qwen2_forward(qp, cfg.qwen, lm_input, uni[2], ctx)
+    logits = dense(p, "llm_decoder", hidden, ctx)
+
+    chosen_logits, rejected_logits = logits[:B], logits[B:]
+    chosen_tgt, rejected_tgt = lm_target[:B], lm_target[B:]
+    loss = label_smoothing_loss(chosen_logits, chosen_tgt, cfg.lsm_weight,
+                                cfg.length_normalized_loss)
+    acc = th_accuracy(chosen_logits, chosen_tgt)
+
+    def mean_logps(lg, tgt):
+        # NOTE: the reference averages log-probs over the IGNORE mask — an
+        # acknowledged quirk (llm.py:419-424) reproduced verbatim for parity.
+        mask = tgt == IGNORE_ID
+        logp = jax.nn.log_softmax(lg.astype(jnp.float32), axis=-1)
+        safe = jnp.where(mask, 0, tgt)
+        token_lp = jnp.take_along_axis(logp, safe[:, :, None], axis=-1)[:, :, 0]
+        return jnp.sum(token_lp * mask, axis=-1) / jnp.maximum(jnp.sum(mask, axis=-1), 1)
+
+    return {
+        "loss": loss,
+        "acc": acc,
+        "chosen_logps": mean_logps(chosen_logits, chosen_tgt),
+        "rejected_logps": mean_logps(rejected_logits, rejected_tgt),
+    }
+
+
+# ---------------------------------------------------------------------------
+# AR decode
+# ---------------------------------------------------------------------------
+
+
+class DecodeResult(NamedTuple):
+    tokens: jax.Array
+    length: jax.Array
+
+
+def qwen2lm_decode(
+    p: P,
+    cfg: Qwen2LMConfig,
+    rng: jax.Array,
+    prefix_emb: jax.Array,  # (1, L0, D) [sos, text, task, prompt_speech]
+    min_len: jax.Array,
+    max_len: int,
+    top_p: float = 0.8,
+    top_k: int = 25,
+    win_size: int = 10,
+    tau_r: float = 0.1,
+) -> DecodeResult:
+    """Fixed-capacity while-loop decode with GQA caches (llm.py:495-511)."""
+    q = cfg.qwen
+    L0 = prefix_emb.shape[1]
+    S = L0 + max_len
+    dt = prefix_emb.dtype
+    eos = cfg.speech_token_size
+    nl = q.num_hidden_layers
+    qp = p.sub("llm.model.model")
+
+    k_buf = jnp.zeros((nl, 1, q.num_key_value_heads, S, q.head_dim), dt)
+    v_buf = jnp.zeros((nl, 1, q.num_key_value_heads, S, q.head_dim), dt)
+
+    # ---- prefill (keys span the full S-capacity cache) ----
+    causal = jnp.arange(S)[None, :] <= jnp.arange(L0)[:, None]
+    bias0 = M.mask_to_bias(causal[None], dt)
+    positions0 = jnp.arange(L0)
+    h = prefix_emb
+    for i in range(nl):
+        h, (kb, vb) = qwen2_layer(
+            qp.sub(f"layers.{i}"), q, h, positions0, bias0, EVAL,
+            kv_cache=(k_buf[i], v_buf[i]), cache_index=0)
+        k_buf = k_buf.at[i].set(kb)
+        v_buf = v_buf.at[i].set(vb)
+    h = rms_norm(qp, "norm", h, q.rms_norm_eps)
+    logits0 = dense(p, "llm_decoder", h[:, -1])[0]
+
+    def sample(rng_i, logits, step_i, tokens, ntok):
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32))
+        mask_eos = step_i < min_len
+        logp = logp.at[eos].set(jnp.where(mask_eos, -jnp.inf, logp[eos]))
+        return ras_sample(rng_i, logp, tokens, ntok, top_p, top_k, win_size, tau_r)
+
+    tokens = jnp.full((max_len,), -1, jnp.int32)
+    k_s, rng = jax.random.split(rng)
+    first = sample(k_s, logits0, jnp.asarray(0), tokens, jnp.asarray(0)).astype(jnp.int32)
+    is_special0 = first >= eos
+    tokens = jnp.where(is_special0, tokens, tokens.at[0].set(first))
+
+    def cond_fn(state):
+        i, n, tokens, last, kb, vb, rng, done = state
+        return (~done) & (i < max_len)
+
+    def body(state):
+        i, n, tokens, last, kb, vb, rng, done = state
+        L = L0 + i - 1  # this step's cache slot / absolute position
+        x = embedding(p, "speech_embedding", jnp.maximum(last, 0)[None, None]).astype(dt)
+        kpos = jnp.arange(S)[None, None, :]
+        bias = jnp.where(kpos <= L, 0.0, M.NEG_BIAS).astype(dt)
+        positions = jnp.full((1,), L)
+        h = x
+        new_kb, new_vb = kb, vb
+        for li in range(nl):
+            h, (kli, vli) = qwen2_layer(
+                qp.sub(f"layers.{li}"), q, h, positions, bias, EVAL,
+                kv_cache=(new_kb[li], new_vb[li]), cache_index=L)
+            new_kb = new_kb.at[li].set(kli)
+            new_vb = new_vb.at[li].set(vli)
+        h = rms_norm(qp, "norm", h, q.rms_norm_eps)
+        logits = dense(p, "llm_decoder", h[:, -1])[0]
+        k_i, rng = jax.random.split(rng)
+        tok = sample(k_i, logits, i, tokens, n).astype(jnp.int32)
+        is_eos = tok == eos
+        is_skip = tok > eos  # fill tokens: not stored, not fed (llm.py:506-507)
+        tokens = jnp.where(is_eos | is_skip, tokens, tokens.at[n].set(tok))
+        n = jnp.where(is_eos | is_skip, n, n + 1)
+        last = jnp.where(is_skip, last, tok)
+        return (i + 1, n, tokens, last, new_kb, new_vb, rng, is_eos)
+
+    n0 = jnp.where(is_special0, 0, 1)
+    state = (jnp.asarray(1), n0, tokens, first, k_buf, v_buf, rng, first == eos)
+    _, n, tokens, _, _, _, _, _ = jax.lax.while_loop(cond_fn, body, state)
+    return DecodeResult(tokens=tokens, length=n)
+
+
+def init_qwen2lm_params(key: jax.Array, cfg: Qwen2LMConfig) -> Params:
+    d: Params = {}
+    kg = KeyGen(key)
+    for k, v in init_qwen2_params(kg(), cfg.qwen, prefix="llm.model.model").items():
+        d[k] = v
+    init_embedding(kg(), d, "llm_embedding", 2, cfg.llm_input_size)
+    init_linear(kg(), d, "llm_decoder", cfg.llm_output_size, cfg.speech_token_size + 3)
+    init_embedding(kg(), d, "speech_embedding", cfg.speech_token_size + 3, cfg.llm_input_size)
+    return d

@@ -1,0 +1,206 @@
+"""Golden fixtures, part 2: CosyVoice2 components.
+
+- tiny HF Qwen2 forward (transformers is the ground truth the reference wraps)
+- UpsampleConformerEncoder (streaming + non-streaming)
+- CausalConditionalDecoder (streaming + non-streaming)
+- Qwen2LM unistream training loss (bistream is stochastic; covered separately)
+
+Usage: python tools/make_goldens2.py
+"""
+
+import importlib.machinery
+import os
+import sys
+import types
+
+import numpy as np
+import torch
+
+
+def _stub(name, **attrs):
+    if name in sys.modules:
+        return
+    m = types.ModuleType(name)
+    m.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+    for k, v in attrs.items():
+        setattr(m, k, v)
+    sys.modules[name] = m
+
+
+_stub("torchaudio")
+_stub("torchaudio.compliance")
+_stub("torchaudio.compliance.kaldi")
+_stub("onnxruntime")
+_stub("librosa")
+_stub("librosa.filters", mel=lambda **kw: np.zeros((80, 513)))
+_stub("whisper")
+_stub("whisper.tokenizer", Tokenizer=object)
+_stub("inflect")
+_stub("omegaconf", DictConfig=dict)
+_stub("conformer", ConformerBlock=object)
+_stub("gdown")
+_stub("wget")
+_stub("diffusers")
+_stub("diffusers.models")
+sys.path.insert(0, "/root/reference/cosyvoice_flow_finetune")
+
+# the vendored matcha transformer/decoder import diffusers building blocks;
+# the reference's own self-contained modules.py re-implements them with
+# identical semantics and weight naming — reuse those as the stub bodies.
+import torch.nn as _nn  # noqa: E402
+import modules as _l4  # noqa: E402
+
+
+class _ApproximateGELU(_nn.Module):
+    def __init__(self, dim_in, dim_out):
+        super().__init__()
+        self.proj = _nn.Linear(dim_in, dim_out)
+
+    def forward(self, x):
+        x = self.proj(x)
+        return x * torch.sigmoid(1.702 * x)
+
+
+_stub("diffusers.models.activations",
+      get_activation=lambda name: {"silu": _nn.SiLU(), "mish": _nn.Mish(),
+                                   "gelu": _nn.GELU(), "relu": _nn.ReLU()}[name])
+class _AdaLayerNorm(_nn.Module):
+    def __init__(self, *a, **k):
+        super().__init__()
+        raise NotImplementedError("AdaLayerNorm not used by CosyVoice decoders")
+
+
+_stub("diffusers.models.attention", GELU=_l4.GELU, GEGLU=_l4.GEGLU,
+      ApproximateGELU=_ApproximateGELU, AdaLayerNorm=_AdaLayerNorm,
+      AdaLayerNormZero=_AdaLayerNorm)
+_stub("diffusers.models.attention_processor", Attention=_l4.Attention)
+_stub("diffusers.models.lora", LoRACompatibleLinear=_nn.Linear)
+_stub("diffusers.utils")
+_stub("diffusers.utils.torch_utils", maybe_allow_in_graph=lambda f: f)
+
+torch.manual_seed(0)
+OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "goldens")
+os.makedirs(OUT, exist_ok=True)
+
+
+def save(name, module, inputs, outputs):
+    blob = {}
+    if module is not None:
+        for k, v in module.state_dict().items():
+            blob["param:" + k] = v.detach().numpy()
+    for k, v in inputs.items():
+        blob["in:" + k] = v.detach().numpy() if torch.is_tensor(v) else np.asarray(v)
+    for k, v in outputs.items():
+        blob["out:" + k] = v.detach().numpy() if torch.is_tensor(v) else np.asarray(v)
+    np.savez(os.path.join(OUT, name + ".npz"), **blob)
+    print(f"wrote {name}: {len(blob)} arrays")
+
+
+# ---------------------------------------------------------------------------
+# 1. tiny HF Qwen2 forward (hidden states + one cached step)
+# ---------------------------------------------------------------------------
+from transformers import Qwen2Config as HFQwen2Config  # noqa: E402
+from transformers import Qwen2ForCausalLM  # noqa: E402
+
+hf_cfg = HFQwen2Config(
+    hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+    num_attention_heads=4, num_key_value_heads=2, head_dim=8,
+    vocab_size=50, max_position_embeddings=128, rope_theta=1_000_000.0,
+    rms_norm_eps=1e-6, tie_word_embeddings=False,
+)
+qwen = Qwen2ForCausalLM(hf_cfg).eval()
+xs = torch.randn(2, 7, 32)
+lens = torch.tensor([7, 5])
+mask = torch.arange(7)[None, :] < lens[:, None]
+with torch.no_grad():
+    out = qwen.model(inputs_embeds=xs, attention_mask=mask, return_dict=True)
+    hidden = out.last_hidden_state
+    # incremental: prefix 4 then 1 step
+    o1 = qwen.model(inputs_embeds=xs[:1, :4], use_cache=True, return_dict=True)
+    o2 = qwen.model(inputs_embeds=xs[:1, 4:5], past_key_values=o1.past_key_values,
+                    use_cache=True, return_dict=True)
+save("qwen2", qwen.model, {"xs": xs, "lens": lens},
+     {"hidden": hidden, "step_prefix": o1.last_hidden_state, "step_next": o2.last_hidden_state})
+
+# ---------------------------------------------------------------------------
+# 2. UpsampleConformerEncoder
+# ---------------------------------------------------------------------------
+from cosyvoice.transformer.upsample_encoder import UpsampleConformerEncoder  # noqa: E402
+
+# tiny: the module hard-codes 512 channels in pre_lookahead/up_layer, so
+# patch dims via monkey-level construction with output_size=512? Too big for a
+# golden.  Instead keep output_size=512 but 1 block and small ffn.
+up = UpsampleConformerEncoder(
+    input_size=512, output_size=512, attention_heads=8, linear_units=64,
+    num_blocks=1, dropout_rate=0.0, positional_dropout_rate=0.0,
+    attention_dropout_rate=0.0, input_layer="linear",
+    pos_enc_layer_type="rel_pos_espnet", macaron_style=False,
+    use_cnn_module=False, static_chunk_size=25,
+).eval()
+xu = torch.randn(1, 9, 512)
+lu = torch.tensor([9])
+with torch.no_grad():
+    yu, mu_ = up(xu, lu, streaming=False)
+    yu_s, _ = up(xu, lu, streaming=True)
+    ctxt = torch.randn(1, 3, 512)
+    yu_c, _ = up(xu, lu, context=ctxt, streaming=False)
+save("upsample_encoder", up, {"x": xu, "lens": lu, "context": ctxt},
+     {"y": yu, "y_stream": yu_s, "y_ctx": yu_c})
+
+# ---------------------------------------------------------------------------
+# 3. CausalConditionalDecoder
+# ---------------------------------------------------------------------------
+from cosyvoice.flow.decoder import CausalConditionalDecoder  # noqa: E402
+
+cdec = CausalConditionalDecoder(
+    in_channels=24, out_channels=6, channels=(16, 16), dropout=0.0,
+    attention_head_dim=4, n_blocks=1, num_mid_blocks=1, num_heads=2,
+    act_fn="gelu", static_chunk_size=4, num_decoding_left_chunks=2,
+).eval()
+B, C, T = 2, 6, 12
+xc = torch.randn(B, C, T)
+maskc = torch.ones(B, 1, T)
+maskc[1, :, 9:] = 0
+muc = torch.randn(B, C, T)
+tc = torch.tensor([0.3, 0.6])
+spkc = torch.randn(B, C)
+condc = torch.randn(B, C, T)
+with torch.no_grad():
+    yc = cdec(xc, maskc, muc, tc, spkc, condc, streaming=False)
+    yc_s = cdec(xc, maskc, muc, tc, spkc, condc, streaming=True)
+save("causal_decoder", cdec,
+     {"x": xc, "mask": maskc, "mu": muc, "t": tc, "spks": spkc, "cond": condc},
+     {"y": yc, "y_stream": yc_s})
+
+# ---------------------------------------------------------------------------
+# 4. Qwen2LM unistream training loss
+# ---------------------------------------------------------------------------
+import random  # noqa: E402
+
+from cosyvoice.llm.llm import Qwen2LM, Qwen2Encoder  # noqa: E402
+
+
+class TinyQwen2Encoder(Qwen2Encoder):
+    def __init__(self, model):
+        torch.nn.Module.__init__(self)
+        self.model = model
+
+
+enc = TinyQwen2Encoder(qwen)
+lm = Qwen2LM(
+    llm_input_size=32, llm_output_size=32, speech_token_size=30,
+    llm=enc, sampling=None, length_normalized_loss=True, lsm_weight=0.0,
+    mix_ratio=[5, 15],
+).eval()
+batch = {
+    "text_token": torch.randint(0, 50, (2, 6)),
+    "text_token_len": torch.tensor([6, 4]),
+    "speech_token": torch.randint(0, 30, (2, 9)),
+    "speech_token_len": torch.tensor([9, 7]),
+}
+random.seed(123)  # sl/tl < 3 -> always unistream regardless of coin flips
+with torch.no_grad():
+    res = lm(batch, torch.device("cpu"))
+save("qwen2lm_unistream", lm, dict(batch), {"loss": res["loss"], "acc": res["acc"]})
+
+print("goldens part 2 written")
