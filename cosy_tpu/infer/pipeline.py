@@ -53,6 +53,7 @@ class StreamState:
     hift_mel: Optional[np.ndarray] = None
     hift_source: Optional[np.ndarray] = None
     hift_speech: Optional[np.ndarray] = None
+    flow_cache: Optional[np.ndarray] = None  # (1, 80, C, 2) z/mu carry
 
 
 class TTSPipeline:
@@ -166,12 +167,15 @@ class TTSPipeline:
         prompt_token = prompt_token if prompt_token is not None else np.zeros((1, 0), np.int32)
         prompt_feat = prompt_feat if prompt_feat is not None else np.zeros((1, 0, 80), np.float32)
 
-        mel = F.flow_inference(
+        carry = stream_state.flow_cache if stream_state is not None else None
+        mel, new_flow_cache = F.flow_inference(
             P(self.flow_params), self.cfg.flow, k_flow,
             jnp.asarray(token, jnp.int32), jnp.asarray(prompt_token, jnp.int32),
             jnp.asarray(prompt_feat), jnp.asarray(spk_embedding),
             finetuned_norm=self.finetuned_norm,
             mel_norm=(self.cfg.mel_mean, self.cfg.mel_std),
+            flow_cache=jnp.asarray(carry) if carry is not None else None,
+            return_cache=True,
         )
         mel = np.asarray(mel)  # (1, 80, Tmel)
 
@@ -182,6 +186,7 @@ class TTSPipeline:
 
         if stream_state is None:
             stream_state = StreamState(mel_overlap=np.zeros((1, 80, 0), np.float32))
+        stream_state.flow_cache = np.asarray(new_flow_cache)
 
         if stream_state.mel_overlap.shape[2] != 0:
             mel = fade_in_out(mel, stream_state.mel_overlap, self.mel_window)

@@ -253,7 +253,8 @@ def flow_forward_train(
     ctx: Ctx,
     leak: AntiLeakageConfig = AntiLeakageConfig(),
     no_prompt: bool = False,
-    mel_norm: Tuple[float, float] = (-6.0, 2.0),
+    mel_norm: Optional[Tuple[float, float]] = (-6.0, 2.0),
+    vendored_style: bool = False,
 ) -> jax.Array:
     """Training forward with anti-leakage strategies (flow_model.py:248-400).
 
@@ -261,8 +262,15 @@ def flow_forward_train(
     speech_feat (B, T, 80), speech_feat_len (B,), embedding (B, 192),
     optional cross_sample_mel (B, T, 80) + cross_sample_mel_len (B,).
     Returns scalar flow loss.
+
+    vendored_style=True reproduces the stock CosyVoice training instead
+    (cosyvoice/flow/flow.py:84-91): no mel normalization, simple conds
+    (50%% prompt dropout, prompt length ~ U{0..0.3*feat_len}), no prompt-loss
+    masking / boundary weighting / isolation.
     """
-    mean, std = mel_norm
+    if vendored_style:
+        mel_norm = None
+    mean, std = mel_norm if mel_norm is not None else (0.0, 1.0)
     token = batch["speech_token"]
     token_len = batch["speech_token_len"]
     feat = (batch["speech_feat"] - mean) / std  # online mel normalization
@@ -286,6 +294,19 @@ def flow_forward_train(
         return cfm_compute_loss(
             p.sub("decoder.estimator"), cfg, k_loss, feat_bc, mask, h.transpose(0, 2, 1),
             spk, conds, ctx, prompt_lens=prompt_lens, leak=leak,
+        )
+
+    if vendored_style:
+        # stock conds: 50% none, else U{0..0.3*len} prompt frames (flow.py:84-91)
+        ks = jax.random.split(k_strat, 2)
+        drop = jax.random.bernoulli(ks[0], 0.5, (B,))
+        plen = (jax.random.uniform(ks[1], (B,)) * (0.3 * feat_len + 1)).astype(jnp.int32)
+        plen = jnp.where(drop, 0, plen)
+        idx = jnp.arange(T)[None, :]
+        conds = jnp.where((idx < plen[:, None])[:, :, None], feat, 0.0).transpose(0, 2, 1)
+        return cfm_compute_loss(
+            p.sub("decoder.estimator"), cfg, k_loss, feat_bc, mask, h.transpose(0, 2, 1),
+            spk, conds, ctx, prompt_lens=None, leak=leak,
         )
 
     # ---- anti-leakage strategy draws (vectorized; flow_model.py:309-385) ----
@@ -359,12 +380,18 @@ def flow_inference(
     n_timesteps: Optional[int] = None,
     finetuned_norm: bool = False,
     mel_norm: Tuple[float, float] = (-6.0, 2.0),
-) -> jax.Array:
+    flow_cache: Optional[jax.Array] = None,  # (1, 80, C, 2) z/mu carry
+    return_cache: bool = False,
+):
     """Prompted inference (flow_model.py:475-551).  Python-int lengths -> one
     compiled program per (T_tok, T_ptok, T_pmel) bucket.
 
     finetuned_norm=True applies the merged-finetune normalize/denormalize patch
     (reference: inference_joint.py:129-151).
+
+    ``flow_cache`` carries the prompt-region + last-34-frame z/mu across
+    streamed chunks so consecutive windows share noise (flow_model.py:74-92).
+    With return_cache=True returns (mel, new_cache).
     """
     ctx = EVAL
     mean, std = mel_norm
@@ -404,10 +431,25 @@ def flow_inference(
     conds = jnp.pad(conds, ((0, 0), (0, 0), (0, T_pad - T)))
     z = jax.random.normal(rng, (1, cfg.output_size, T_pad), h.dtype)
 
+    # streamed-chunk consistency: overwrite the head with the cached z/mu
+    # (flow_model.py:79-86)
+    if flow_cache is not None and flow_cache.shape[2] != 0:
+        cs = min(flow_cache.shape[2], T_pad)
+        z = z.at[:, :, :cs].set(flow_cache[:, :, :cs, 0].astype(z.dtype))
+        mu = mu.at[:, :, :cs].set(flow_cache[:, :, :cs, 1].astype(mu.dtype))
+    if return_cache:
+        z_cache = jnp.concatenate([z[:, :, :mel_len1], z[:, :, T - 34 : T]], axis=2) \
+            if mel_len1 > 0 else z[:, :, T - 34 : T]
+        mu_cache = jnp.concatenate([mu[:, :, :mel_len1], mu[:, :, T - 34 : T]], axis=2) \
+            if mel_len1 > 0 else mu[:, :, T - 34 : T]
+        new_cache = jnp.stack([z_cache, mu_cache], axis=-1)
+
     feat = cfm_solve_euler(p.sub("decoder.estimator"), cfg, z, mask, mu, spk, conds, n_timesteps, ctx)
     feat = feat[:, :, mel_len1:T]
     if finetuned_norm:
         feat = feat * std + mean
+    if return_cache:
+        return feat, new_cache
     return feat
 
 

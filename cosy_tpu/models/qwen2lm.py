@@ -348,6 +348,200 @@ def qwen2lm_decode(
     return DecodeResult(tokens=tokens, length=n)
 
 
+class Qwen2StreamDecoder:
+    """Host-driven incremental decoder for bistream (streaming text) inference.
+
+    Wraps fixed-capacity GQA caches with a jitted, length-bucketed ``advance``:
+    feed a (padded) segment of input embeddings, get the last valid position's
+    logits.  The bistream control flow (reference: llm.py:513-611) runs on the
+    host in ``qwen2lm_inference_bistream``.
+    """
+
+    def __init__(self, p: P, cfg: Qwen2LMConfig, capacity: int = 2048,
+                 dtype=jnp.float32):
+        self.p = p
+        self.cfg = cfg
+        self.capacity = capacity
+        q = cfg.qwen
+        self.k_buf = jnp.zeros((q.num_hidden_layers, 1, q.num_key_value_heads,
+                                capacity, q.head_dim), dtype)
+        self.v_buf = jnp.zeros_like(self.k_buf)
+        self.L = 0
+        self._advance_cache = {}
+
+    def _advance_fn(self, seg_len: int):
+        if seg_len in self._advance_cache:
+            return self._advance_cache[seg_len]
+        p, cfg, S = self.p, self.cfg, self.capacity
+        q = cfg.qwen
+        qp = p.sub("llm.model.model")
+
+        def advance(k_buf, v_buf, emb, start, valid):
+            # emb: (1, seg_len, D) padded; positions start..start+valid-1 valid
+            positions = start + jnp.arange(seg_len)
+            kpos = jnp.arange(S)[None, :]
+            qpos = positions[:, None]
+            bias = jnp.where((kpos <= qpos) & (kpos < start + valid), 0.0, M.NEG_BIAS)[None]
+            h = emb
+            for i in range(q.num_hidden_layers):
+                h, (kb, vb) = qwen2_layer(
+                    qp.sub(f"layers.{i}"), q, h, positions, bias, EVAL,
+                    kv_cache=(k_buf[i], v_buf[i]), cache_index=start)
+                k_buf = k_buf.at[i].set(kb)
+                v_buf = v_buf.at[i].set(vb)
+            h = rms_norm(qp, "norm", h, q.rms_norm_eps)
+            logits = dense(p, "llm_decoder", h[0])  # (seg_len, V)
+            return k_buf, v_buf, logits[jnp.maximum(valid - 1, 0)]
+
+        fn = jax.jit(advance, donate_argnums=(0, 1))
+        self._advance_cache[seg_len] = fn
+        return fn
+
+    def advance(self, emb: jax.Array) -> jax.Array:
+        """Feed (1, n, D) embeddings; returns last-position logits (V,)."""
+        n = emb.shape[1]
+        bucket = 1 if n == 1 else 1 << (n - 1).bit_length()  # pow2 buckets
+        pad = bucket - n
+        if pad:
+            emb = jnp.pad(emb, ((0, 0), (0, pad), (0, 0)))
+        fn = self._advance_fn(bucket)
+        self.k_buf, self.v_buf, logits = fn(self.k_buf, self.v_buf, emb,
+                                            jnp.asarray(self.L), jnp.asarray(n))
+        self.L += n
+        return logits
+
+
+def qwen2lm_inference_bistream(
+    p: P,
+    cfg: Qwen2LMConfig,
+    rng: jax.Array,
+    text_chunks,  # iterable of (1, n) int arrays — streaming text tokens
+    prompt_text: Optional[jax.Array] = None,  # (1, Tp)
+    prompt_speech_token: Optional[jax.Array] = None,  # (1, Ts)
+    top_p: float = 0.8,
+    top_k: int = 25,
+    win_size: int = 10,
+    tau_r: float = 0.1,
+    capacity: int = 2048,
+    max_history: int = 4096,
+    max_tokens: int = 100000,
+):
+    """Streaming-text generator yielding speech tokens as text arrives
+    (reference: llm.py:513-611 inference_bistream)."""
+    import numpy as np
+
+    q = cfg.qwen
+    qp = p.sub("llm.model.model")
+    m0, m1 = cfg.mix_ratio
+    eos = cfg.speech_token_size
+    fill = cfg.speech_token_size + 2
+
+    def embed_text(ids):
+        return embedding(qp, "embed_tokens", jnp.asarray(ids, jnp.int32))
+
+    def embed_speech(ids):
+        return embedding(p, "speech_embedding", jnp.asarray(ids, jnp.int32))
+
+    dec = Qwen2StreamDecoder(p, cfg, capacity)
+    sos = p["llm_embedding.weight"][cfg.sos_eos][None, None]
+    task = p["llm_embedding.weight"][cfg.task_id][None, None]
+
+    pending = [sos]  # embeddings not yet fed
+    text_cache = embed_text(prompt_text) if prompt_text is not None and prompt_text.size \
+        else jnp.zeros((1, 0, cfg.llm_input_size))
+    speech_cache = embed_speech(prompt_speech_token) \
+        if prompt_speech_token is not None and prompt_speech_token.size \
+        else jnp.zeros((1, 0, cfg.llm_input_size))
+
+    out_tokens: list[int] = []
+    history = jnp.full((max_history,), -1, jnp.int32)
+    next_fill_index = -1
+    n_rng = 0
+
+    def sample(logits, ignore_eos=True):
+        # The reference raises on sampling speech_token_size+1 (llm.py:585-589)
+        # and on fill in the final loop; masking those ids at the sampler is
+        # the robust equivalent — a trained model never emits them there.
+        nonlocal n_rng
+        n_rng += 1
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32))
+        logp = logp.at[eos + 1].set(-jnp.inf)
+        if ignore_eos:
+            logp = logp.at[eos].set(-jnp.inf)
+        else:
+            logp = logp.at[fill].set(-jnp.inf)
+        tok = ras_sample(jax.random.fold_in(rng, n_rng), logp, history,
+                         jnp.asarray(len(out_tokens)), top_p, top_k, win_size, tau_r)
+        return int(tok)
+
+    def flush_pending():
+        nonlocal pending
+        if pending:
+            seg = jnp.concatenate(pending, axis=1)
+            pending = []
+            return dec.advance(seg)
+        return None
+
+    for chunk in text_chunks:
+        text_cache = jnp.concatenate([text_cache, embed_text(chunk)], axis=1)
+        # interleave [m0 text | m1 speech] while prompt speech remains
+        while speech_cache.shape[1] != 0 and text_cache.shape[1] >= m0:
+            pending.append(text_cache[:, :m0])
+            pending.append(speech_cache[:, :m1])
+            text_cache = text_cache[:, m0:]
+            speech_cache = speech_cache[:, m1:]
+        if speech_cache.shape[1] != 0:
+            continue  # need more text to pair with remaining prompt speech
+        # need a text block before decoding after a fill (or at the start)
+        need_text = (out_tokens and out_tokens[-1] == fill) or \
+                    (not out_tokens and len(pending) == 1 and dec.L == 0)
+        if need_text:
+            if text_cache.shape[1] < m0:
+                continue
+            if out_tokens and out_tokens[-1] == fill:
+                pending = [text_cache[:, :m0]]
+            else:
+                pending.append(text_cache[:, :m0])
+            text_cache = text_cache[:, m0:]
+        while True:
+            logits = flush_pending()
+            if logits is None:
+                logits = dec.advance(embed_speech(jnp.asarray([[out_tokens[-1]]])))
+            if next_fill_index != -1 and len(out_tokens) == next_fill_index:
+                tok = fill
+                next_fill_index += m1 + 1
+            else:
+                tok = sample(logits, ignore_eos=True)
+            if tok == fill:
+                next_fill_index = len(out_tokens) + m1 + 1
+            out_tokens.append(tok)
+            history = history.at[len(out_tokens) - 1].set(tok)
+            if tok >= eos:
+                if tok == fill:
+                    break
+                raise ValueError(f"should not get token {tok}")
+            yield tok
+            pending = [embed_speech(jnp.asarray([[tok]]))]
+
+    # final decode: remaining text + task, until EOS
+    if text_cache.shape[1]:
+        pending.append(text_cache)
+    pending.append(task)
+    while len(out_tokens) < max_tokens and dec.L < capacity - 2:
+        logits = flush_pending()
+        if logits is None:
+            logits = dec.advance(embed_speech(jnp.asarray([[out_tokens[-1]]])))
+        tok = sample(logits, ignore_eos=False)
+        out_tokens.append(tok)
+        history = history.at[len(out_tokens) - 1].set(tok)
+        if tok >= eos:
+            if tok == eos:
+                break
+            raise ValueError(f"should not get token {tok}")
+        yield tok
+        pending = [embed_speech(jnp.asarray([[tok]]))]
+
+
 def init_qwen2lm_params(key: jax.Array, cfg: Qwen2LMConfig) -> Params:
     d: Params = {}
     kg = KeyGen(key)

