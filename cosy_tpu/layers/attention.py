@@ -155,12 +155,24 @@ def diffusers_attention(
     ctx: Ctx = EVAL,
 ) -> jax.Array:
     """diffusers-style attention with to_q/to_k/to_v/to_out.0 naming and
-    explicit 1/sqrt(dim_head) scale (reference: modules.py:227-293)."""
+    explicit 1/sqrt(dim_head) scale (reference: modules.py:227-293).
+
+    On TPU, long-sequence calls dispatch to the fused Pallas flash-attention
+    kernel (ops/flash_attention.py); the head-shared (B, T, T) bias is
+    consumed without per-head materialization."""
     sp = p.sub(name)
     q = _split_heads(dense(sp, "to_q", x, ctx), heads)
     k = _split_heads(dense(sp, "to_k", x, ctx), heads)
     v = _split_heads(dense(sp, "to_v", x, ctx), heads)
     scale = q.shape[-1] ** -0.5
+
+    from ..ops.flash_attention import flash_attention, use_flash
+
+    T = x.shape[1]
+    if use_flash(T, q.shape[-1]) and (bias is None or bias.ndim == 3):
+        out = flash_attention(q, k, v, bias, scale)
+        return dense(sp, "to_out.0", _merge_heads(out), ctx)
+
     scores = jnp.einsum("bhtd,bhsd->bhts", q, k) * scale
     if bias is not None and bias.ndim == 3:
         bias = bias[:, None, :, :]

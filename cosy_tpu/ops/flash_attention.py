@@ -1,0 +1,146 @@
+"""Pallas TPU flash attention.
+
+Fused softmax(QK^T * scale [+ bias]) V for the attention shapes this
+framework runs hot — chiefly the CFM U-Net estimator (called 2*NFE times per
+Euler solve at (B, heads<=8, T<=1k, d=64)).
+
+Design (see the Pallas guide): grid over (batch, head, q-blocks); K/V stream
+through VMEM in k-blocks with an online-softmax running max/denominator.
+The additive bias is shared across heads — (B, T, S), indexed per batch so it
+is never materialized per head.  When the mask is pure right-padding, pass
+``k_valid`` lengths instead of a bias and the kernel masks the tail with an
+iota compare (no (T, S) bias traffic at all).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG = -1e10
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _make_kernel(scale, block_k, n_kb, with_bias):
+    from jax.experimental import pallas as pl
+
+    def kernel(*refs):
+        if with_bias:
+            kv_ref, q_ref, k_ref, v_ref, bias_ref, o_ref = refs
+        else:
+            kv_ref, q_ref, k_ref, v_ref, o_ref = refs
+            bias_ref = None
+        Bq, d = q_ref.shape[-2:]
+        q = q_ref[0, 0].astype(jnp.float32) * scale
+        k_valid = kv_ref[0, 0]
+
+        def body(i, carry):
+            m_prev, l_prev, acc = carry
+            k = k_ref[0, 0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+            v = v_ref[0, 0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            if bias_ref is not None:
+                s = s + bias_ref[0, :, pl.ds(i * block_k, block_k)].astype(jnp.float32)
+            kpos = i * block_k + jax.lax.broadcasted_iota(jnp.int32, (Bq, block_k), 1)
+            s = jnp.where(kpos < k_valid, s, NEG)
+
+            m_cur = jnp.max(s, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new)
+            l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            acc = acc * alpha + jax.lax.dot_general(
+                p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            return m_new, l_new, acc
+
+        m0 = jnp.full((Bq, 1), NEG, jnp.float32)
+        l0 = jnp.zeros((Bq, 1), jnp.float32)
+        acc0 = jnp.zeros((Bq, q.shape[-1]), jnp.float32)
+        _, l, acc = jax.lax.fori_loop(0, n_kb, body, (m0, l0, acc0))
+        o_ref[0, 0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret"))
+def flash_attention(
+    q: jax.Array,  # (B, H, T, d)
+    k: jax.Array,  # (B, H, S, d)
+    v: jax.Array,  # (B, H, S, d)
+    bias: Optional[jax.Array],  # (B, T, S) additive, shared across heads; or None
+    scale: float,
+    k_valid: Optional[jax.Array] = None,  # (B,) int32 valid key lengths (None -> S)
+    block_q: int = 128,
+    block_k: int = 128,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused attention; pads T/S to block multiples internally."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, H, T, d = q.shape
+    S = k.shape[2]
+    Tp = _cdiv(T, block_q) * block_q
+    Sp = _cdiv(S, block_k) * block_k
+
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, Tp - T), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, Sp - S), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, Sp - S), (0, 0)))
+    if k_valid is None:
+        k_valid = jnp.full((B,), S, jnp.int32)
+    k_valid = k_valid.astype(jnp.int32).reshape(B, 1)  # SMEM scalars are 2D
+
+    with_bias = bias is not None
+    kernel = _make_kernel(scale, block_k, Sp // block_k, with_bias)
+
+    in_specs = [
+        pl.BlockSpec((1, 1), lambda b, h, i: (b, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, block_q, d), lambda b, h, i: (b, h, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, Sp, d), lambda b, h, i: (b, h, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, Sp, d), lambda b, h, i: (b, h, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [k_valid, qp, kp, vp]
+    if with_bias:
+        bp = jnp.pad(bias, ((0, 0), (0, Tp - T), (0, Sp - S)))
+        in_specs.append(pl.BlockSpec((1, block_q, Sp), lambda b, h, i: (b, i, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(bp)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, H, Tp // block_q),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, block_q, d), lambda b, h, i: (b, h, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, Tp, d), q.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * Tp * Sp * d,
+            bytes_accessed=(qp.size + kp.size + vp.size) * qp.dtype.itemsize,
+            transcendentals=B * H * Tp * Sp,
+        ),
+    )(*args)
+    return out[:, :, :T, :]
+
+
+def use_flash(T: int, d: int) -> bool:
+    """Gate: TPU backend, MXU-friendly head dim, long enough to amortize."""
+    import os
+
+    if os.environ.get("COSY_TPU_NO_FLASH"):
+        return False
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:  # noqa: BLE001
+        on_tpu = False
+    return on_tpu and d % 8 == 0 and d <= 256 and T >= 256

@@ -57,6 +57,14 @@ class JointTrainer:
     ):
         self.cfg = model_cfg
         self.tcfg = train_cfg
+        if train_cfg.bf16:
+            import jax.numpy as _jnp
+            from ..params import cast as _cast
+            # bf16 base params + activations; LoRA adapters and optimizer
+            # state stay fp32 masters (the TPU equivalent of '16-mixed',
+            # train_joint.py:353 — no loss scaler needed for bf16)
+            llm_params = _cast(llm_params, _jnp.bfloat16) if llm_params else llm_params
+            flow_params = _cast(flow_params, _jnp.bfloat16) if flow_params else flow_params
         self.llm_params = llm_params
         self.flow_params = flow_params
         self.out_dir = out_dir
@@ -107,6 +115,11 @@ class JointTrainer:
         # bake 300M weights into the graph as constants (slow compiles, no
         # donation, recompile on object identity changes)
         def loss_fn(loras, llm_params, flow_params, rng, micro_batch):
+            if tcfg.bf16:
+                micro_batch = {
+                    k: v.astype(jnp.bfloat16) if v.dtype == jnp.float32 else v
+                    for k, v in micro_batch.items()
+                }
             losses = joint_forward_train(
                 llm_params, flow_params, loras, cfg, tcfg, rng, micro_batch, train=True)
             return losses["loss"], losses
@@ -303,13 +316,15 @@ class JointTrainer:
     # ------------------------------------------------------------------
 
     def export_merged(self, state: TrainState, save: bool = True) -> Dict[str, Params]:
+        from ..params import cast as _cast
+
         out: Dict[str, Params] = {}
         if "llm" in state.loras:
-            out["llm"] = merge_lora(self.llm_params, state.loras["llm"],
-                                    self.tcfg.llm_lora.scaling)
+            out["llm"] = merge_lora(_cast(self.llm_params, jnp.float32),
+                                    state.loras["llm"], self.tcfg.llm_lora.scaling)
         if "flow" in state.loras:
-            out["flow"] = merge_lora(self.flow_params, state.loras["flow"],
-                                     self.tcfg.flow_lora.scaling)
+            out["flow"] = merge_lora(_cast(self.flow_params, jnp.float32),
+                                     state.loras["flow"], self.tcfg.flow_lora.scaling)
         if save:
             for name, params in out.items():
                 path = os.path.join(self.out_dir, f"{name}_merged_{self.tcfg.training_mode}.pt")

@@ -1,0 +1,58 @@
+"""Pallas flash-attention kernel vs the XLA einsum reference (interpret mode
+on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cosy_tpu.ops.flash_attention import flash_attention
+
+
+def reference_attention(q, k, v, bias, scale):
+    s = jnp.einsum("bhtd,bhsd->bhts", q, k) * scale
+    if bias is not None:
+        s = s + bias[:, None]
+    a = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("bhts,bhsd->bhtd", a, v)
+
+
+def test_flash_matches_reference_with_bias():
+    rng = np.random.default_rng(0)
+    B, H, T, S, d = 2, 3, 100, 150, 32
+    q = jnp.asarray(rng.standard_normal((B, H, T, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, H, S, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, H, S, d)).astype(np.float32))
+    bias = np.zeros((B, T, S), np.float32)
+    bias[1, :, -30:] = -1e10
+    bias = jnp.asarray(bias)
+    scale = d ** -0.5
+
+    want = reference_attention(q, k, v, bias, scale)
+    got = flash_attention(q, k, v, bias, scale, block_q=64, block_k=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
+
+
+def test_flash_k_valid_no_bias():
+    rng = np.random.default_rng(2)
+    B, H, T, d = 2, 2, 80, 32
+    q = jnp.asarray(rng.standard_normal((B, H, T, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, H, T, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, H, T, d)).astype(np.float32))
+    k_valid = jnp.asarray([80, 55], jnp.int32)
+    bias = np.zeros((B, T, T), np.float32)
+    bias[1, :, 55:] = -1e10
+    want = reference_attention(q, k, v, jnp.asarray(bias), d ** -0.5)
+    got = flash_attention(q, k, v, None, d ** -0.5, k_valid=k_valid,
+                          block_q=64, block_k=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
+
+
+def test_flash_fully_masked_rows_are_finite():
+    rng = np.random.default_rng(1)
+    B, H, T, d = 1, 2, 64, 16
+    q = jnp.asarray(rng.standard_normal((B, H, T, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, H, T, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, H, T, d)).astype(np.float32))
+    bias = jnp.full((B, T, T), -1e10)
+    out = flash_attention(q, k, v, bias, d ** -0.5, block_q=64, block_k=64, interpret=True)
+    assert np.isfinite(np.asarray(out)).all()
