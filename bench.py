@@ -31,13 +31,22 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _sync(out):
+    """Force real completion.  Through the axon TPU tunnel,
+    ``block_until_ready`` returns before the computation finishes; only a
+    device->host transfer of a value that depends on the result truly
+    synchronizes.  Fetch one element of every output leaf."""
+    for leaf in jax.tree.leaves(out):
+        np.asarray(jax.device_get(jnp.ravel(leaf)[0]))
+
+
 def timed(fn, *args, warmup=2, iters=5):
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        _sync(fn(*args))
     ts = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        _sync(fn(*args))
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts))
 
@@ -146,15 +155,22 @@ def main():
     train_cfg = TrainConfig()
     log(f"devices: {jax.devices()}")
 
-    fps = bench_cfm(model_cfg)
+    fps = 0.0
     try:
-        bench_joint_step(model_cfg, train_cfg)
+        fps = bench_cfm(model_cfg)
+    except Exception as e:  # noqa: BLE001
+        log(f"[cfm] bench failed: {e}")
+    secondary = {}
+    try:
+        secondary["joint_step_ms"] = round(
+            bench_joint_step(model_cfg, train_cfg) * 1e3, 1)
     except Exception as e:  # noqa: BLE001
         log(f"[joint] bench failed: {e}")
     try:
-        bench_ar_decode(model_cfg)
+        secondary["decode_tok_per_s"] = round(bench_ar_decode(model_cfg), 1)
     except Exception as e:  # noqa: BLE001
         log(f"[decode] bench failed: {e}")
+    log(f"secondary: {json.dumps(secondary)}")
 
     base = 1.0
     if os.path.exists("BENCH_baseline.json"):

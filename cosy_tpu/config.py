@@ -304,6 +304,13 @@ class TrainConfig:
     min_learning_rate: float = 1e-6
     weight_decay: float = 0.01
     warmup_steps: int = 50
+    # LR schedule: warmup_cosine (train_joint.py:210-218) | warmuplr |
+    # constantlr | cosine_annealing | square_annealing | squareroot_annealing
+    # | noam_annealing | noamhold_annealing (cosyvoice/utils/scheduler.py)
+    scheduler: str = "warmup_cosine"
+    scheduler_hold_steps: int = 0  # noamhold_annealing only
+    scheduler_decay_rate: float = 0.5  # noamhold_annealing only
+    scheduler_d_model: int = 1024  # noam_annealing only
     max_epochs: int = 100
     batch_size: int = 1
     accumulate_grad_batches: int = 16

@@ -68,7 +68,17 @@ class Frontend:
                 try:
                     import torch
 
-                    raw = torch.load(spk_path, map_location="cpu", weights_only=False)
+                    # a dict of tensors loads fine with weights_only=True;
+                    # arbitrary-pickle fallback only behind explicit opt-in
+                    # (the reference loads unsafely, frontend.py:71)
+                    try:
+                        raw = torch.load(spk_path, map_location="cpu",
+                                         weights_only=True)
+                    except Exception:  # noqa: BLE001
+                        if not os.environ.get("COSY_TPU_UNSAFE_PICKLE"):
+                            raise
+                        raw = torch.load(spk_path, map_location="cpu",
+                                         weights_only=False)
                     self.spk2info = {
                         k: {kk: np.asarray(vv) if hasattr(vv, "numpy") else vv
                             for kk, vv in v.items()}

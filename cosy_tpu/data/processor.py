@@ -62,6 +62,10 @@ def filter_stage(
         tt = s.get("text_token")
         if tt is not None and not (token_min_length <= len(tt) <= token_max_length):
             continue
+        # DPO samples must carry a non-empty rejected continuation
+        # (processor.py:101-102)
+        if "reject_speech_token" in s and len(s["reject_speech_token"]) == 0:
+            continue
         yield s
 
 
@@ -219,7 +223,10 @@ def padding(batches: Iterable[List[Dict]], use_spk_embedding: bool = False) -> I
             for i, s in enumerate(batch):
                 sp[i, : len(s["speech"])] = s["speech"]
             out["speech"] = sp
-        for key, dtype, pad in (("speech_token", np.int32, 0), ("text_token", np.int32, 0)):
+        # reject_speech_token rides along when the DPO dataset provides it
+        # (processor.py:422-429)
+        for key, dtype, pad in (("speech_token", np.int32, 0), ("text_token", np.int32, 0),
+                                ("reject_speech_token", np.int32, 0)):
             if batch[0].get(key) is not None:
                 lens = [len(s[key]) for s in batch]
                 arr = np.full((B, max(lens)), pad, dtype)

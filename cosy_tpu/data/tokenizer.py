@@ -78,3 +78,59 @@ class TextTokenizer:
 @lru_cache(maxsize=1)
 def default_tokenizer() -> TextTokenizer:
     return TextTokenizer()
+
+
+# ---------------------------------------------------------------------------
+# CosyVoice2 text tokenizer (Qwen2 BPE)
+# ---------------------------------------------------------------------------
+
+# Reference: cosyvoice/tokenizer/tokenizer.py:241-261 — the exact special
+# tokens CosyVoice2 appends to the stock Qwen2 tokenizer.  Order matters:
+# added ids are assigned sequentially after the base vocab.
+QWEN_SPECIAL_TOKENS = {
+    "eos_token": "<|endoftext|>",
+    "pad_token": "<|endoftext|>",
+    "additional_special_tokens": [
+        "<|im_start|>", "<|im_end|>", "<|endofprompt|>",
+        "[breath]", "<strong>", "</strong>", "[noise]",
+        "[laughter]", "[cough]", "[clucking]", "[accent]",
+        "[quick_breath]",
+        "<laughter>", "</laughter>",
+        "[hissing]", "[sigh]", "[vocalized-noise]",
+        "[lipsmack]", "[mn]",
+    ],
+}
+
+
+class QwenTokenizer:
+    """CosyVoice2 text tokenizer (reference tokenizer.py:241-279).
+
+    Wraps the HF tokenizer found at ``token_path`` (the CosyVoice2 model dir
+    ships the Qwen2 tokenizer files; this image has no copy, so construction
+    requires a real model dir) and registers the CosyVoice2 special-token
+    set.  ``encode`` returns plain python ids; ``decode`` drops special
+    tokens by default, matching the reference.
+    """
+
+    def __init__(self, token_path: str, skip_special_tokens: bool = True):
+        from transformers import AutoTokenizer
+
+        self.tokenizer = AutoTokenizer.from_pretrained(token_path)
+        self.tokenizer.add_special_tokens(QWEN_SPECIAL_TOKENS)
+        self.skip_special_tokens = skip_special_tokens
+
+    @property
+    def vocab_size(self) -> int:
+        return len(self.tokenizer)
+
+    def encode(self, text: str, **kwargs) -> List[int]:
+        return self.tokenizer([text])["input_ids"][0]
+
+    def decode(self, ids: List[int]) -> str:
+        return self.tokenizer.batch_decode(
+            [ids], skip_special_tokens=self.skip_special_tokens)[0]
+
+
+@lru_cache(maxsize=None)
+def get_qwen_tokenizer(token_path: str, skip_special_tokens: bool = True) -> QwenTokenizer:
+    return QwenTokenizer(token_path, skip_special_tokens)

@@ -27,7 +27,7 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
-def _make_kernel(scale, block_k, n_kb, with_bias):
+def _make_kernel(scale, block_k, n_kb, with_bias, precision):
     from jax.experimental import pallas as pl
 
     def kernel(*refs):
@@ -38,14 +38,17 @@ def _make_kernel(scale, block_k, n_kb, with_bias):
             bias_ref = None
         Bq, d = q_ref.shape[-2:]
         q = q_ref[0, 0].astype(jnp.float32) * scale
-        k_valid = kv_ref[0, 0]
+        # k_valid rides whole in SMEM (Mosaic rejects sub-array SMEM blocks);
+        # pick this batch's entry by grid position.
+        k_valid = kv_ref[pl.program_id(0)]
 
         def body(i, carry):
             m_prev, l_prev, acc = carry
             k = k_ref[0, 0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
             v = v_ref[0, 0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
             s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
+                                    preferred_element_type=jnp.float32,
+                                    precision=precision)
             if bias_ref is not None:
                 s = s + bias_ref[0, :, pl.ds(i * block_k, block_k)].astype(jnp.float32)
             kpos = i * block_k + jax.lax.broadcasted_iota(jnp.int32, (Bq, block_k), 1)
@@ -57,7 +60,8 @@ def _make_kernel(scale, block_k, n_kb, with_bias):
             p = jnp.exp(s - m_new)
             l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
             acc = acc * alpha + jax.lax.dot_general(
-                p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+                p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+                precision=precision)
             return m_new, l_new, acc
 
         m0 = jnp.full((Bq, 1), NEG, jnp.float32)
@@ -95,13 +99,19 @@ def flash_attention(
     vp = jnp.pad(v, ((0, 0), (0, 0), (0, Sp - S), (0, 0)))
     if k_valid is None:
         k_valid = jnp.full((B,), S, jnp.int32)
-    k_valid = k_valid.astype(jnp.int32).reshape(B, 1)  # SMEM scalars are 2D
+    k_valid = k_valid.astype(jnp.int32).reshape(B)
 
     with_bias = bias is not None
-    kernel = _make_kernel(scale, block_k, Sp // block_k, with_bias)
+    # fp32 inputs get full-precision MXU passes; bf16 (the production
+    # estimator dtype) uses the native single-pass path.
+    precision = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
+                 else jax.lax.Precision.DEFAULT)
+    kernel = _make_kernel(scale, block_k, Sp // block_k, with_bias, precision)
 
     in_specs = [
-        pl.BlockSpec((1, 1), lambda b, h, i: (b, 0), memory_space=pltpu.SMEM),
+        # full (B,) vector in SMEM, same block every grid step — indexed
+        # in-kernel by pl.program_id(0)
+        pl.BlockSpec((B,), lambda b, h, i: (0,), memory_space=pltpu.SMEM),
         pl.BlockSpec((1, 1, block_q, d), lambda b, h, i: (b, h, i, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, Sp, d), lambda b, h, i: (b, h, 0, 0),

@@ -88,15 +88,23 @@ class FullTrainer:
             rngs = jax.random.split(rng, accum)
 
             def body(carry, xs):
-                gsum, lsum = carry
+                gsum, lsum, asum = carry
                 micro, r = xs
-                (loss, _aux), grads = jax.value_and_grad(self.loss_fn, has_aux=True)(
+                (loss, aux), grads = jax.value_and_grad(self.loss_fn, has_aux=True)(
                     params, r, micro)
-                return (jax.tree.map(jnp.add, gsum, grads), lsum + loss), None
+                asum = jax.tree.map(
+                    lambda a, s: s + a.astype(jnp.float32), aux, asum)
+                return (jax.tree.map(jnp.add, gsum, grads), lsum + loss, asum), None
 
             zero = jax.tree.map(jnp.zeros_like, params)
-            (gsum, lsum), _ = jax.lax.scan(body, (zero, jnp.zeros(())), (super_batch, rngs))
+            # probe the aux structure (scalar metrics) without running compute
+            aux_shape = jax.eval_shape(self.loss_fn, params, rngs[0],
+                                       jax.tree.map(lambda x: x[0], super_batch))[1]
+            zero_aux = jax.tree.map(lambda s: jnp.zeros((), jnp.float32), aux_shape)
+            (gsum, lsum, asum), _ = jax.lax.scan(
+                body, (zero, jnp.zeros(()), zero_aux), (super_batch, rngs))
             grads = jax.tree.map(lambda g: g / accum, gsum)
+            aux_metrics = jax.tree.map(lambda a: a / accum, asum)
             # ZeRO-2: reduce-scatter the gradients into the optimizer layout
             grads = jax.lax.with_sharding_constraint(grads, grad_shardings)
 
@@ -111,7 +119,8 @@ class FullTrainer:
                 lambda new, old: jnp.where(finite, new, old) if hasattr(new, "dtype") else new,
                 new_opt, opt_state)
             return params, opt_state, {"loss": lsum / accum, "grad_norm": gnorm,
-                                       "skipped": (~finite).astype(jnp.float32)}
+                                       "skipped": (~finite).astype(jnp.float32),
+                                       **aux_metrics}
 
         self._step_fn = jax.jit(
             train_step, donate_argnums=(0, 1),

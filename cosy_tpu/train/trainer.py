@@ -34,7 +34,7 @@ from ..params import Params, save_torch_checkpoint
 from ..lora import init_lora, merge_lora
 from ..models.joint import joint_forward_train
 from ..parallel import mesh as pmesh
-from .schedules import warmup_cosine
+from .schedules import make_schedule
 
 
 @dataclass
@@ -71,10 +71,7 @@ class JointTrainer:
         os.makedirs(out_dir, exist_ok=True)
         self.mesh = mesh if mesh is not None else pmesh.make_mesh()
 
-        self.schedule = warmup_cosine(
-            train_cfg.learning_rate, train_cfg.min_learning_rate,
-            train_cfg.warmup_steps, total_steps,
-        )
+        self.schedule = make_schedule(train_cfg, total_steps)
         self.optimizer = optax.chain(
             optax.clip_by_global_norm(train_cfg.gradient_clip_val),
             optax.adamw(self.schedule, b1=0.9, b2=0.999,

@@ -32,7 +32,9 @@ def load_golden(name):
         kind, key = k.split(":", 1)
         arr = blob[k]
         if kind == "param":
-            params[key] = jnp.asarray(arr)
+            # large goldens store f16-representable params as float16 to
+            # keep the repo small; compute always runs f32
+            params[key] = jnp.asarray(arr, jnp.float32)
         elif kind == "in":
             ins[key] = arr
         else:

@@ -83,16 +83,33 @@ OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "goldens")
 os.makedirs(OUT, exist_ok=True)
 
 
+def quantize_f16(module):
+    """Round params to f16-representable values in place, so the golden can
+    store them losslessly as float16 (the recorded outputs are produced from
+    the quantized params, keeping parity tolerances tight)."""
+    with torch.no_grad():
+        for p in module.parameters():
+            p.data = p.data.half().float()
+        for b in module.buffers():
+            if b.is_floating_point():
+                b.data = b.data.half().float()
+    return module
+
+
 def save(name, module, inputs, outputs):
     blob = {}
     if module is not None:
         for k, v in module.state_dict().items():
-            blob["param:" + k] = v.detach().numpy()
+            a = v.detach().numpy()
+            if a.dtype == np.float32 and np.allclose(
+                    a, a.astype(np.float16).astype(np.float32), rtol=0, atol=0):
+                a = a.astype(np.float16)
+            blob["param:" + k] = a
     for k, v in inputs.items():
         blob["in:" + k] = v.detach().numpy() if torch.is_tensor(v) else np.asarray(v)
     for k, v in outputs.items():
         blob["out:" + k] = v.detach().numpy() if torch.is_tensor(v) else np.asarray(v)
-    np.savez(os.path.join(OUT, name + ".npz"), **blob)
+    np.savez_compressed(os.path.join(OUT, name + ".npz"), **blob)
     print(f"wrote {name}: {len(blob)} arrays")
 
 
@@ -137,6 +154,7 @@ up = UpsampleConformerEncoder(
     pos_enc_layer_type="rel_pos_espnet", macaron_style=False,
     use_cnn_module=False, static_chunk_size=25,
 ).eval()
+quantize_f16(up)
 xu = torch.randn(1, 9, 512)
 lu = torch.tensor([9])
 with torch.no_grad():
