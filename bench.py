@@ -35,9 +35,12 @@ def _sync(out):
     """Force real completion.  Through the axon TPU tunnel,
     ``block_until_ready`` returns before the computation finishes; only a
     device->host transfer of a value that depends on the result truly
-    synchronizes.  Fetch one element of every output leaf."""
-    for leaf in jax.tree.leaves(out):
-        np.asarray(jax.device_get(jnp.ravel(leaf)[0]))
+    synchronizes.  One element of one leaf suffices — a TPU program's output
+    buffers all materialize when the program finishes, and fetching per-leaf
+    costs a tunnel round-trip each (hundreds of leaves = tens of seconds of
+    pure RTT, which poisoned earlier measurements)."""
+    leaf = jax.tree.leaves(out)[0]
+    np.asarray(jax.device_get(jnp.ravel(leaf)[0]))
 
 
 def timed(fn, *args, warmup=2, iters=5):

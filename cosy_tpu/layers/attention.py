@@ -69,6 +69,7 @@ def rel_pos_mha(
     kv_cache: Optional[Tuple[jax.Array, jax.Array]] = None,
     cache_index: Optional[jax.Array] = None,
     pos_k: Optional[jax.Array] = None,
+    return_kv: bool = False,
 ) -> jax.Array | Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
     """Relative-position multi-head self-attention.
 
@@ -115,7 +116,7 @@ def rel_pos_mha(
     attn = ctx.dropout(attn, dropout_rate)
     out = jnp.einsum("bhts,bhsd->bhtd", attn, v)
     out = dense(sp, "linear_out", _merge_heads(out), ctx)
-    if kv_cache is not None:
+    if kv_cache is not None or return_kv:
         return out, (k, v)
     return out
 

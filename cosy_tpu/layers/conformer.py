@@ -150,9 +150,14 @@ def transformer_layer(
     kv_cache=None,
     cache_index=None,
     pos_k=None,
+    return_kv: bool = False,
 ):
     """Pre-norm transformer block with rel-pos self-attention
-    (reference: encoder_layer.py:24-109)."""
+    (reference: encoder_layer.py:24-109).
+
+    ``return_kv=True`` (without a cache) also returns this layer's split-head
+    K/V so a prefill pass can seed a decode cache without recomputing the
+    norm1 + K/V projections (the reference recomputes them: llm.py:276-283)."""
     sp = p.sub(name)
     eps = cfg.layer_norm_eps
     act = ACT[cfg.activation_type]
@@ -163,19 +168,20 @@ def transformer_layer(
             sp, "self_attn", h, pos_emb, attn_bias, cfg.attention_heads, ctx,
             dropout_rate=cfg.attention_dropout_rate,
             kv_cache=kv_cache, cache_index=cache_index, pos_k=pos_k,
+            return_kv=return_kv,
         )
     else:
         out = mha(sp, "self_attn", h, h, h, attn_bias, cfg.attention_heads, ctx,
                   dropout_rate=cfg.attention_dropout_rate)
     new_cache = None
-    if kv_cache is not None:
+    if kv_cache is not None or return_kv:
         out, new_cache = out
     x = x + ctx.dropout(out, cfg.dropout_rate)
 
     h = layer_norm(sp, "norm2", x, eps=eps)
     x = x + ctx.dropout(positionwise_ff(sp, "feed_forward", h, act, cfg.dropout_rate, ctx),
                         cfg.dropout_rate)
-    if kv_cache is not None:
+    if kv_cache is not None or return_kv:
         return x, new_cache
     return x
 

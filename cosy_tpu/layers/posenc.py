@@ -53,6 +53,51 @@ def rel_pos_table(T: int, d_model: int) -> jax.Array:
     return pe[None]
 
 
+# ---------------------------------------------------------------------------
+# Off-path PE variants (registry parity; none is on a TTS hot path)
+# ---------------------------------------------------------------------------
+
+
+def abs_pos_encoding(x: jax.Array, offset: int = 0, apply_xscale: bool = True):
+    """PositionalEncoding (embedding.py:26-118): x*sqrt(d) + pe[offset:+T].
+
+    Returns (x_out, pos_emb) like the torch module."""
+    T, d = x.shape[1], x.shape[-1]
+    pe = sinusoid_table(offset + T, d)[None, offset:offset + T].astype(x.dtype)
+    if apply_xscale:
+        x = x * jnp.asarray(d, x.dtype) ** 0.5
+    return x + pe, pe
+
+
+def whisper_pos_table(max_len: int, d_model: int) -> jax.Array:
+    """WhisperPositionalEncoding (embedding.py:150-165): concat([sin, cos])
+    layout (not interleaved), xscale 1."""
+    inc = math.log(10000.0) / (d_model // 2 - 1)
+    inv = jnp.exp(-inc * jnp.arange(d_model // 2, dtype=jnp.float32))
+    ang = jnp.arange(max_len, dtype=jnp.float32)[:, None] * inv[None, :]
+    return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=1)
+
+
+def whisper_pos_encoding(x: jax.Array, offset: int = 0):
+    """x + whisper table slice; xscale=1 (embedding.py:156)."""
+    T, d = x.shape[1], x.shape[-1]
+    pe = whisper_pos_table(offset + T, d)[None, offset:offset + T].astype(x.dtype)
+    return x + pe, pe
+
+
+def learnable_pos_encoding(pe_param: jax.Array, x: jax.Array, offset: int = 0):
+    """LearnablePositionalEncoding (embedding.py:168-176): x + learned table,
+    xscale 1.  ``pe_param`` is the (1, max_len, d) parameter."""
+    T = x.shape[1]
+    pe = pe_param[:, offset:offset + T].astype(x.dtype)
+    return x + pe, pe
+
+
+def no_pos_encoding(x: jax.Array, offset: int = 0):
+    """NoPositionalEncoding (embedding.py:179-199)."""
+    return x, jnp.zeros((1, x.shape[1], x.shape[-1]), x.dtype)
+
+
 def timestep_embedding(t: jax.Array, dim: int, scale: float = 1000.0) -> jax.Array:
     """(B,) -> (B, dim) sinusoidal timestep embedding.
 

@@ -162,23 +162,31 @@ def cfm_compute_loss(
     ctx: Ctx,
     prompt_lens: Optional[jax.Array] = None,  # (B,) int
     leak: Optional[AntiLeakageConfig] = None,
+    noise: Optional[tuple] = None,  # (t_uniform (B,1,1), z (B,80,T), cfg_uniform (B,))
 ) -> jax.Array:
-    """OT-CFM loss with prompt masking + boundary weighting (flow_model.py:127-204)."""
+    """OT-CFM loss with prompt masking + boundary weighting (flow_model.py:127-204).
+
+    ``noise`` overrides the three random draws (pre-scheduler t uniform, z,
+    CFG-dropout uniform) for deterministic parity tests against torch."""
     B, _, T = x1.shape
     leak = leak or AntiLeakageConfig()
     k_t, k_z, k_cfg = jax.random.split(rng, 3)
 
-    t = jax.random.uniform(k_t, (B, 1, 1), x1.dtype)
+    if noise is not None:
+        t, z, cfg_u = (jnp.asarray(a, x1.dtype) for a in noise)
+    else:
+        t = jax.random.uniform(k_t, (B, 1, 1), x1.dtype)
+        z = jax.random.normal(k_z, x1.shape, x1.dtype)
+        cfg_u = jax.random.uniform(k_cfg, (B,))
     if cfg.cfm.t_scheduler == "cosine":
         t = 1.0 - jnp.cos(t * 0.5 * PI)
-    z = jax.random.normal(k_z, x1.shape, x1.dtype)
 
     sigma = cfg.cfm.sigma_min
     y = (1.0 - (1.0 - sigma) * t) * z + t * x1
     u = x1 - (1.0 - sigma) * z
 
     if cfg.cfm.training_cfg_rate > 0:
-        keep = (jax.random.uniform(k_cfg, (B,)) > cfg.cfm.training_cfg_rate).astype(x1.dtype)
+        keep = (cfg_u > cfg.cfm.training_cfg_rate).astype(x1.dtype)
         mu = mu * keep[:, None, None]
         spks = spks * keep[:, None]
         cond = cond * keep[:, None, None]
@@ -255,6 +263,7 @@ def flow_forward_train(
     no_prompt: bool = False,
     mel_norm: Optional[Tuple[float, float]] = (-6.0, 2.0),
     vendored_style: bool = False,
+    noise: Optional[tuple] = None,  # deterministic override for cfm_compute_loss
 ) -> jax.Array:
     """Training forward with anti-leakage strategies (flow_model.py:248-400).
 
@@ -293,7 +302,7 @@ def flow_forward_train(
         prompt_lens = jnp.zeros((B,), jnp.int32)
         return cfm_compute_loss(
             p.sub("decoder.estimator"), cfg, k_loss, feat_bc, mask, h.transpose(0, 2, 1),
-            spk, conds, ctx, prompt_lens=prompt_lens, leak=leak,
+            spk, conds, ctx, prompt_lens=prompt_lens, leak=leak, noise=noise,
         )
 
     if vendored_style:

@@ -273,14 +273,12 @@ def llm_decode(
 
     h = x0
     for i in range(nl):
-        sp_l = sp_llm.sub(f"encoders.{i}")
-        # capture K/V of this layer's input (post-norm1) for the cache
-        hn = layer_norm(sp_l, "norm1", h, eps=ecfg.layer_norm_eps)
-        ki = _split_heads(dense(sp_l.sub("self_attn"), "linear_k", hn), H)
-        vi = _split_heads(dense(sp_l.sub("self_attn"), "linear_v", hn), H)
+        # return_kv exposes the layer's own K/V so the cache seed shares the
+        # norm1 + projection work with the forward pass (no 2x prefill)
+        h, (ki, vi) = transformer_layer(
+            sp_llm, f"encoders.{i}", ecfg, h, causal0, pe0, EVAL, return_kv=True)
         k_buf = k_buf.at[i, :, :, :L0].set(ki.astype(dt))
         v_buf = v_buf.at[i, :, :, :L0].set(vi.astype(dt))
-        h = transformer_layer(sp_llm, f"encoders.{i}", ecfg, h, causal0, pe0, EVAL)
     h = layer_norm(sp_llm, "after_norm", h, eps=1e-5)
     logits0 = dense(p, "llm_decoder", h[:, -1])[0]  # (V,)
 

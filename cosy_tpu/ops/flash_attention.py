@@ -144,10 +144,17 @@ def flash_attention(
 
 
 def use_flash(T: int, d: int) -> bool:
-    """Gate: TPU backend, MXU-friendly head dim, long enough to amortize."""
+    """Gate for routing production attention through the Pallas kernel.
+
+    OFF by default: measured on the real chip (see PERF.md), XLA's fused
+    attention beats this kernel at every estimator/LLM shape (7.4 vs 17.1
+    ms/estimator call at B8 T512 — pallas_call is a fusion barrier, and
+    this chip's time is dominated by fusion-boundary overhead rather than
+    flops).  Set COSY_TPU_FLASH=1 to opt in (e.g. shapes where the (B,T,S)
+    bias materialization dominates, or future chips)."""
     import os
 
-    if os.environ.get("COSY_TPU_NO_FLASH"):
+    if not os.environ.get("COSY_TPU_FLASH"):
         return False
     try:
         on_tpu = jax.default_backend() == "tpu"

@@ -223,6 +223,27 @@ class JointTrainer:
         stop_reason = None
         metrics_path = os.path.join(self.out_dir, "metrics.jsonl")
 
+        # preemption-aware checkpointing: on SIGTERM/SIGINT (TPU-VM
+        # maintenance events arrive as SIGTERM) finish the in-flight step,
+        # save a resumable snapshot, and exit the loop cleanly.  The
+        # reference's elastic story is torch-elastic @record + monitored
+        # barriers (bin/train.py:28,96; train_utils.py:217-235) with no
+        # state preservation on preemption.
+        import signal as _signal
+
+        self._preempted = False
+
+        def _on_signal(signum, frame):  # noqa: ARG001
+            self._preempted = True
+            print(f"signal {signum}: checkpointing at next step boundary")
+
+        old_handlers = {}
+        for sig in (_signal.SIGTERM, _signal.SIGINT):
+            try:
+                old_handlers[sig] = _signal.signal(sig, _on_signal)
+            except ValueError:  # non-main thread
+                pass
+
         for epoch in range(max_epochs):
             epoch_metrics: List[Dict[str, float]] = []
             t0 = time.time()
@@ -234,6 +255,14 @@ class JointTrainer:
                 if state.step % log_every == 0:
                     line = " ".join(f"{k}={v:.4f}" for k, v in sorted(m_host.items()))
                     print(f"epoch {epoch} step {state.step}: {line}")
+                if self._preempted:
+                    break
+            if self._preempted:
+                path = self.save_checkpoint(os.path.join(
+                    self.out_dir, f"joint_{self.tcfg.training_mode}_preempt.ckpt"), state)
+                stop_reason = f"preempted — resumable snapshot at {path} (step {state.step})"
+                print(f"Stopping: {stop_reason}")
+                break
             if not epoch_metrics:
                 print("empty epoch — no data")
                 break
@@ -271,6 +300,8 @@ class JointTrainer:
                 print(f"Stopping: {stop_reason}")
                 break
 
+        for sig, h in old_handlers.items():
+            _signal.signal(sig, h)
         return state
 
     # ------------------------------------------------------------------

@@ -221,4 +221,59 @@ with torch.no_grad():
     res = lm(batch, torch.device("cpu"))
 save("qwen2lm_unistream", lm, dict(batch), {"loss": res["loss"], "acc": res["acc"]})
 
+# ---------------------------------------------------------------------------
+# 5. Off-path registry variants: PE family + conv subsampling
+# ---------------------------------------------------------------------------
+from cosyvoice.transformer.embedding import (  # noqa: E402
+    PositionalEncoding, WhisperPositionalEncoding, LearnablePositionalEncoding,
+    NoPositionalEncoding,
+)
+from cosyvoice.transformer.subsampling import (  # noqa: E402
+    Conv1dSubsampling2, Conv2dSubsampling4, Conv2dSubsampling6, Conv2dSubsampling8,
+)
+
+torch.manual_seed(7)
+D = 16
+xp = torch.randn(2, 11, D)
+pes = {
+    "abs": PositionalEncoding(D, 0.0, max_len=64),
+    "whisper": WhisperPositionalEncoding(D, 0.0, max_len=64),
+    "learnable": LearnablePositionalEncoding(D, 0.0, max_len=64),
+    "nope": NoPositionalEncoding(D, 0.0),
+}
+with torch.no_grad():
+    pes["learnable"].pe.normal_()  # reference leaves it torch.empty
+    blob_out, blob_param = {}, {}
+    for name, mod in pes.items():
+        mod.eval()
+        y, pos = mod(xp, offset=0)
+        y3, pos3 = mod(xp[:, :5], offset=3)
+        blob_out[f"{name}_y"] = y
+        blob_out[f"{name}_pos"] = pos
+        blob_out[f"{name}_y_off3"] = y3
+    lp = pes["learnable"].pe.detach()
+save("pos_encodings", None, {"x": xp, "learnable_pe": lp}, blob_out)
+
+subs = {
+    "conv1d2": Conv1dSubsampling2(D, 12, 0.0, NoPositionalEncoding(12, 0.0)),
+    "conv2d": Conv2dSubsampling4(D, 12, 0.0, NoPositionalEncoding(12, 0.0)),
+    "conv2d6": Conv2dSubsampling6(D, 12, 0.0, NoPositionalEncoding(12, 0.0)),
+    "conv2d8": Conv2dSubsampling8(D, 12, 0.0, NoPositionalEncoding(12, 0.0)),
+}
+xs = torch.randn(2, 19, D)
+ms = torch.ones(2, 1, 19, dtype=torch.bool)
+ms[1, :, 15:] = False
+blob_p, blob_o = {}, {}
+with torch.no_grad():
+    for name, mod in subs.items():
+        mod.eval()
+        y, _, m2 = mod(xs, ms)
+        for k, v in mod.state_dict().items():
+            blob_p[f"{name}.{k}"] = v
+        blob_o[f"{name}_y"] = y
+        blob_o[f"{name}_mask"] = m2
+fake = torch.nn.Module()
+fake.state_dict = lambda: blob_p
+save("subsampling", fake, {"x": xs, "mask": ms}, blob_o)
+
 print("goldens part 2 written")
