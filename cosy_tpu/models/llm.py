@@ -251,19 +251,28 @@ def llm_decode(
     k_buf = jnp.zeros((nl, 1, H, S, dk), dt)
     v_buf = jnp.zeros((nl, 1, H, S, dk), dt)
 
-    def run_layers(x, kbuf, vbuf, cache_index, attn_bias, pos_window):
-        """x: (1, T, D). pos_window: fn(layer) -> (1, H, P, dk)."""
-        new_k, new_v = [], []
-        for i in range(nl):
-            x, (ki, vi) = transformer_layer(
-                sp_llm, f"encoders.{i}", ecfg, x, attn_bias, None, EVAL,
-                kv_cache=(kbuf[i], vbuf[i]), cache_index=cache_index,
-                pos_k=pos_window(i),
+    # stacked per-layer params: the decode body runs the 14-block stack as
+    # ONE lax.scan over a (nl, ...) pytree instead of 14 inlined layer
+    # graphs — on this chip per-op/fusion-boundary overhead dominates the
+    # tiny per-token matmuls (PERF.md), so op count is the lever
+    _lp = sp_llm.prefix + "encoders.0."
+    layer_names = sorted({k[len(_lp):] for k in sp_llm.d if k.startswith(_lp)})
+    stacked = {"L." + n: jnp.stack(
+        [sp_llm[f"encoders.{i}.{n}"] for i in range(nl)]) for n in layer_names}
+
+    def run_layers(x, kbuf, vbuf, cache_index, attn_bias, pos_win):
+        """x: (1, T, D). pos_win: (nl, 1, H, P, dk) positional keys."""
+        def body(h, xs):
+            d, kb_i, vb_i, pk_i = xs
+            h, (ki, vi) = transformer_layer(
+                P(d), "L", ecfg, h, attn_bias, None, EVAL,
+                kv_cache=(kb_i, vb_i), cache_index=cache_index, pos_k=pk_i,
             )
-            new_k.append(ki)
-            new_v.append(vi)
+            return h, (ki, vi)
+
+        x, (new_k, new_v) = jax.lax.scan(body, x, (stacked, kbuf, vbuf, pos_win))
         x = layer_norm(sp_llm, "after_norm", x, eps=1e-5)
-        return x, jnp.stack(new_k), jnp.stack(new_v)
+        return x, new_k, new_v
 
     # ---- prefill: run the plain causal encoder over the L0 prefix and write
     # each layer's K/V into the fixed-capacity buffers ----
@@ -284,9 +293,8 @@ def llm_decode(
 
     # ---- decode loop ----
     def pos_window_at(L):
-        def get(i):
-            return jax.lax.dynamic_slice(pos_ks[i], (0, 0, S - 1 - L, 0), (1, H, S, dk))
-        return get
+        return jax.lax.dynamic_slice(
+            pos_ks, (0, 0, 0, S - 1 - L, 0), (nl, 1, H, S, dk))
 
     def sample(rng_i, logits, step_i, tokens, ntok):
         logp = jax.nn.log_softmax(logits.astype(jnp.float32))

@@ -276,4 +276,40 @@ fake = torch.nn.Module()
 fake.state_dict = lambda: blob_p
 save("subsampling", fake, {"x": xs, "mask": ms}, blob_o)
 
+# ---------------------------------------------------------------------------
+# 6. ASR TransformerDecoder / BiTransformerDecoder
+# ---------------------------------------------------------------------------
+from cosyvoice.transformer.decoder import (  # noqa: E402
+    TransformerDecoder, BiTransformerDecoder,
+)
+
+torch.manual_seed(11)
+dec = TransformerDecoder(
+    vocab_size=30, encoder_output_size=16, attention_heads=2, linear_units=24,
+    num_blocks=2, dropout_rate=0.0, positional_dropout_rate=0.0,
+    self_attention_dropout_rate=0.0, src_attention_dropout_rate=0.0,
+    input_layer="embed").eval()
+mem = torch.randn(2, 7, 16)
+mem_len = torch.tensor([7, 5])
+mem_mask = (torch.arange(7)[None, :] < mem_len[:, None]).unsqueeze(1)
+ys = torch.randint(0, 30, (2, 6))
+ys_len = torch.tensor([6, 4])
+with torch.no_grad():
+    logits, _, olens = dec(mem, mem_mask, ys, ys_len)
+save("asr_decoder", dec, {"memory": mem, "memory_len": mem_len,
+                          "ys_in": ys, "ys_len": ys_len},
+     {"logits": logits, "olens": olens})
+
+bidec = BiTransformerDecoder(
+    vocab_size=30, encoder_output_size=16, attention_heads=2, linear_units=24,
+    num_blocks=2, r_num_blocks=1, dropout_rate=0.0, positional_dropout_rate=0.0,
+    self_attention_dropout_rate=0.0, src_attention_dropout_rate=0.0,
+    input_layer="embed").eval()
+r_ys = torch.randint(0, 30, (2, 6))
+with torch.no_grad():
+    l_x, r_x, olens2 = bidec(mem, mem_mask, ys, ys_len, r_ys, reverse_weight=0.3)
+save("asr_bidecoder", bidec, {"memory": mem, "memory_len": mem_len,
+                              "ys_in": ys, "ys_len": ys_len, "r_ys_in": r_ys},
+     {"l_x": l_x, "r_x": r_x})
+
 print("goldens part 2 written")
