@@ -317,6 +317,7 @@ class DataLoader:
         num_shards: int = 1,
         shard_index: int = 0,
         drop_last: bool = True,
+        prefetch_depth: int = 2,
     ):
         self.ds = dataset
         self.tcfg = tcfg
@@ -327,8 +328,20 @@ class DataLoader:
         self.num_shards = num_shards
         self.shard_index = shard_index
         self.drop_last = drop_last
+        # background prefetch replaces the reference's DataLoader worker
+        # processes (train_joint.py:290-298): batch N+1 collates while the
+        # device runs step N.  0 disables.
+        self.prefetch_depth = prefetch_depth
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        it = self._iter_batches()
+        if self.prefetch_depth > 0:
+            from .prefetch import prefetch as _prefetch
+
+            return iter(_prefetch(it, self.prefetch_depth))
+        return it
+
+    def _iter_batches(self) -> Iterator[Dict[str, np.ndarray]]:
         idx = np.arange(len(self.ds))
         self.rng.shuffle(idx)
         idx = idx[self.shard_index :: self.num_shards]
