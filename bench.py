@@ -153,6 +153,39 @@ def bench_ar_decode(model_cfg: ModelConfig, dtype=jnp.bfloat16, prefix_len=64, m
     return tps
 
 
+def bench_token2wav(model_cfg: ModelConfig, n_tokens=250):
+    """token2wav RTF: speech tokens -> mel (CFM) -> wav (HiFT), the
+    non-LLM half of the TTS latency (reference logs RTF per chunk,
+    cosyvoice/cli/cosyvoice.py:86-89).  ~n_tokens/50 s of audio."""
+    from cosy_tpu.config import InferenceConfig
+    from cosy_tpu.infer.pipeline import TTSPipeline
+    from cosy_tpu.models.hift import init_hift_params
+
+    key = jax.random.PRNGKey(0)
+    llm_params = {}  # LLM unused on this path
+    flow_params = jax.jit(lambda k: F.init_flow_params(k, model_cfg.flow))(key)
+    hift_params = init_hift_params(jax.random.fold_in(key, 3), model_cfg.hift)
+    pipe = TTSPipeline(model_cfg, llm_params, flow_params, hift_params,
+                       InferenceConfig(), finetuned_norm=True)
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(0, model_cfg.flow.vocab_size, (1, n_tokens)).astype(np.int32)
+
+    def run():
+        wav, _ = pipe.token2wav(jax.random.PRNGKey(1), jnp.asarray(tokens),
+                                None, None,
+                                np.zeros((1, model_cfg.flow.spk_embed_dim), np.float32),
+                                finalize=True)
+        return wav
+
+    t = timed(run, warmup=1, iters=3)
+    wav = np.asarray(run())
+    audio_s = wav.shape[1] / 22050.0
+    rtf = t / audio_s
+    log(f"[token2wav] {n_tokens} tokens -> {audio_s:.2f}s audio in {t*1e3:.0f} ms "
+        f"-> RTF {rtf:.4f} ({1/rtf:.0f}x realtime)")
+    return rtf
+
+
 def main():
     model_cfg = ModelConfig()
     train_cfg = TrainConfig()
@@ -173,6 +206,10 @@ def main():
         secondary["decode_tok_per_s"] = round(bench_ar_decode(model_cfg), 1)
     except Exception as e:  # noqa: BLE001
         log(f"[decode] bench failed: {e}")
+    try:
+        secondary["token2wav_rtf"] = round(bench_token2wav(model_cfg), 4)
+    except Exception as e:  # noqa: BLE001
+        log(f"[token2wav] bench failed: {e}")
     log(f"secondary: {json.dumps(secondary)}")
 
     base = 1.0

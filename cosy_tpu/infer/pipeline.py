@@ -85,6 +85,33 @@ class TTSPipeline:
         self.source_cache_len = self.mel_cache_len * 256
         self.speech_window = np.hamming(2 * self.source_cache_len)
 
+        # jitted stages — eager execution through a remote-TPU runtime is
+        # per-op RPC (seconds per stage); jit makes each stage one program
+        # per shape bucket.  static config rides via closure.
+        def _flow_fn(params, rng, token, prompt_token, prompt_feat, spk, cache):
+            return F.flow_inference(
+                P(params), self.cfg.flow, rng, token, prompt_token, prompt_feat,
+                spk, finetuned_norm=self.finetuned_norm,
+                mel_norm=(self.cfg.mel_mean, self.cfg.mel_std),
+                flow_cache=cache, return_cache=True)
+
+        self._flow_jit = jax.jit(_flow_fn)
+
+        def _hift_fn(params, rng, mel, cache_source):
+            return H.hift_inference(P(params), self.cfg.hift, rng, mel, cache_source)
+
+        self._hift_jit = jax.jit(_hift_fn)
+
+        def _decode_fn(params, rng, prefix, min_len, *, prefix_len, max_len,
+                       top_p, top_k, win_size, tau_r):
+            return L.llm_decode(P(params), self.cfg.llm, rng, prefix, prefix_len,
+                                min_len, max_len, top_p=top_p, top_k=top_k,
+                                win_size=win_size, tau_r=tau_r)
+
+        self._decode_jit = jax.jit(
+            _decode_fn, static_argnames=("prefix_len", "max_len", "top_p",
+                                         "top_k", "win_size", "tau_r"))
+
     # ------------------------------------------------------------------
     # stage 1: AR speech-token generation
     # ------------------------------------------------------------------
@@ -138,8 +165,9 @@ class TTSPipeline:
         bucket = 128
         max_len = max(bucket, ((max_len + bucket - 1) // bucket) * bucket)
 
-        res = L.llm_decode(
-            p, cfg, rng, prefix, prefix.shape[1], jnp.asarray(min_len), max_len,
+        res = self._decode_jit(
+            self.llm_params, rng, prefix, jnp.asarray(min_len),
+            prefix_len=prefix.shape[1], max_len=max_len,
             top_p=self.icfg.sampling_top_p, top_k=self.icfg.sampling_top_k,
             win_size=self.icfg.ras_win_size, tau_r=self.icfg.ras_tau_r,
         )
@@ -168,14 +196,11 @@ class TTSPipeline:
         prompt_feat = prompt_feat if prompt_feat is not None else np.zeros((1, 0, 80), np.float32)
 
         carry = stream_state.flow_cache if stream_state is not None else None
-        mel, new_flow_cache = F.flow_inference(
-            P(self.flow_params), self.cfg.flow, k_flow,
+        mel, new_flow_cache = self._flow_jit(
+            self.flow_params, k_flow,
             jnp.asarray(token, jnp.int32), jnp.asarray(prompt_token, jnp.int32),
             jnp.asarray(prompt_feat), jnp.asarray(spk_embedding),
-            finetuned_norm=self.finetuned_norm,
-            mel_norm=(self.cfg.mel_mean, self.cfg.mel_std),
-            flow_cache=jnp.asarray(carry) if carry is not None else None,
-            return_cache=True,
+            jnp.asarray(carry) if carry is not None else None,
         )
         mel = np.asarray(mel)  # (1, 80, Tmel)
 
@@ -217,8 +242,8 @@ class TTSPipeline:
         return wav, None
 
     def _hift(self, rng, mel: np.ndarray, cache_source: np.ndarray):
-        wav, source = H.hift_inference(
-            P(self.hift_params), self.cfg.hift, rng, jnp.asarray(mel),
+        wav, source = self._hift_jit(
+            self.hift_params, rng, jnp.asarray(mel),
             jnp.asarray(cache_source) if cache_source.shape[2] else None)
         return np.asarray(wav), np.asarray(source)
 

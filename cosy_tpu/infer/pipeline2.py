@@ -60,6 +60,32 @@ class TTS2Pipeline:
         self.source_cache_len = self.mel_cache_len * hop_samples
         self.speech_window = np.hamming(2 * self.source_cache_len)
 
+        # jitted stages (eager = per-op RPC on remote TPU runtimes; one
+        # program per shape bucket instead — see pipeline.py)
+        def _flow_fn(params, token, prompt_token, prompt_feat, spk, *,
+                     streaming, finalize, n_timesteps):
+            return flow2_inference(
+                P(params), self.fcfg, token, prompt_token, prompt_feat, spk,
+                streaming=streaming, finalize=finalize, n_timesteps=n_timesteps)
+
+        self._flow_jit = jax.jit(
+            _flow_fn, static_argnames=("streaming", "finalize", "n_timesteps"))
+
+        def _hift_fn(params, rng, mel, cache_source):
+            return H.hift_inference(P(params), self.hcfg, rng, mel, cache_source)
+
+        self._hift_jit = jax.jit(_hift_fn)
+
+        def _decode_fn(params, rng, prefix, min_len, *, max_len, top_p, top_k,
+                       win_size, tau_r):
+            return qwen2lm_decode(P(params), self.lcfg, rng, prefix, min_len,
+                                  max_len, top_p=top_p, top_k=top_k,
+                                  win_size=win_size, tau_r=tau_r)
+
+        self._decode_jit = jax.jit(
+            _decode_fn, static_argnames=("max_len", "top_p", "top_k",
+                                         "win_size", "tau_r"))
+
     # ------------------------------------------------------------------
 
     def generate_tokens(
@@ -97,8 +123,8 @@ class TTS2Pipeline:
         bucket = 128
         max_len = max(bucket, ((max_len + bucket - 1) // bucket) * bucket)
 
-        res = qwen2lm_decode(
-            p, self.lcfg, rng, prefix, jnp.asarray(min_len), max_len,
+        res = self._decode_jit(
+            self.llm_params, rng, prefix, jnp.asarray(min_len), max_len=max_len,
             top_p=self.icfg.sampling_top_p, top_k=self.icfg.sampling_top_k,
             win_size=self.icfg.ras_win_size, tau_r=self.icfg.ras_tau_r)
         n = int(res.length)
@@ -123,8 +149,8 @@ class TTS2Pipeline:
         prompt_token = prompt_token if prompt_token is not None else np.zeros((1, 0), np.int32)
         prompt_feat = prompt_feat if prompt_feat is not None else np.zeros((1, 0, 80), np.float32)
 
-        mel = flow2_inference(
-            P(self.flow_params), self.fcfg,
+        mel = self._flow_jit(
+            self.flow_params,
             jnp.asarray(token, jnp.int32), jnp.asarray(prompt_token, jnp.int32),
             jnp.asarray(prompt_feat), jnp.asarray(spk_embedding),
             streaming=stream, finalize=finalize,
@@ -141,8 +167,8 @@ class TTS2Pipeline:
             cache_source = np.zeros((1, 1, 0), np.float32)
 
         def run_hift(m, src):
-            wav, source = H.hift_inference(
-                P(self.hift_params), self.hcfg, rng, jnp.asarray(m),
+            wav, source = self._hift_jit(
+                self.hift_params, rng, jnp.asarray(m),
                 jnp.asarray(src) if src.shape[2] else None)
             return np.asarray(wav), np.asarray(source)
 

@@ -65,8 +65,8 @@ def _spectrogram_2ch(x: jax.Array, n_fft: int, hop: int) -> jax.Array:
     (discriminator.py:118-129): (B, T) -> (B, 2, frames, F)."""
     x = x - jnp.mean(x, axis=-1, keepdims=True)
     x = 0.8 * x / (jnp.max(jnp.abs(x), axis=-1, keepdims=True) + 1e-9)
-    spec = A.stft_center(x, n_fft, hop)  # (B, F, T)
-    return jnp.stack([spec.real, spec.imag], axis=1).transpose(0, 1, 3, 2)
+    s_re, s_im = A.stft_center(x, n_fft, hop)  # (B, F, T) each
+    return jnp.stack([s_re, s_im], axis=1).transpose(0, 1, 3, 2)
 
 
 def discriminator_r(p: P, x: jax.Array, window_length: int) -> Tuple[jax.Array, List[jax.Array]]:

@@ -115,8 +115,8 @@ def hift_decode(
 ) -> jax.Array:
     """Deterministic decode given an excitation source (generator.py:520-552)."""
     n_fft, hop = cfg.istft_n_fft, cfg.istft_hop_len
-    s_spec = stft_center(source[:, 0, :], n_fft, hop)  # (B, F, Ts) complex
-    s_stft = jnp.concatenate([s_spec.real, s_spec.imag], axis=1)  # (B, n_fft+2, Ts)
+    s_re, s_im = stft_center(source[:, 0, :], n_fft, hop)  # (B, F, Ts) each
+    s_stft = jnp.concatenate([s_re, s_im], axis=1)  # (B, n_fft+2, Ts)
 
     x = conv1d(p, "conv_pre", mel, padding=3, ctx=ctx)
     num_up = len(cfg.upsample_rates)
@@ -179,3 +179,49 @@ def hift_inference(
         s = s.at[:, :, :Lc].set(cache_source)
     wav = hift_decode(p, cfg, mel, s)
     return wav, s
+
+
+# ---------------------------------------------------------------------------
+# Initialization (torch module layout: generator.py:392-488)
+# ---------------------------------------------------------------------------
+
+
+def init_hift_params(key: jax.Array, cfg: HiFTConfig) -> Params:
+    """Random init with the exact HiFTGenerator parameter names/shapes
+    (weight-norm already folded, matching compat.fold_weight_norm output)."""
+    from ..params import KeyGen, init_conv1d, init_conv_transpose1d, init_linear
+
+    d: Params = {}
+    kg = KeyGen(key)
+    init_linear(kg(), d, "m_source.l_linear", cfg.nb_harmonics + 1, 1)
+    init_conv1d(kg(), d, "conv_pre", cfg.in_channels, cfg.base_channels, 7)
+    ch = cfg.base_channels
+    nk = len(cfg.resblock_kernel_sizes)
+    down_cum = list(np.cumprod([1] + list(cfg.upsample_rates)[::-1][:-1])[::-1])
+    c = ch
+    for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
+        init_conv_transpose1d(kg(), d, f"ups.{i}", ch // (2 ** i), ch // (2 ** (i + 1)), k)
+        c = ch // (2 ** (i + 1))
+        du = int(down_cum[i])
+        init_conv1d(kg(), d, f"source_downs.{i}", cfg.istft_n_fft + 2, c,
+                    1 if du == 1 else du * 2)
+        sk = cfg.source_resblock_kernel_sizes[i]
+        for j, _dl in enumerate(cfg.source_resblock_dilation_sizes[i]):
+            init_conv1d(kg(), d, f"source_resblocks.{i}.convs1.{j}", c, c, sk)
+            init_conv1d(kg(), d, f"source_resblocks.{i}.convs2.{j}", c, c, sk)
+            d[f"source_resblocks.{i}.activations1.{j}.alpha"] = jnp.ones((c,))
+            d[f"source_resblocks.{i}.activations2.{j}.alpha"] = jnp.ones((c,))
+        for j in range(nk):
+            kk = cfg.resblock_kernel_sizes[j]
+            for l, _dl in enumerate(cfg.resblock_dilation_sizes[j]):
+                init_conv1d(kg(), d, f"resblocks.{i * nk + j}.convs1.{l}", c, c, kk)
+                init_conv1d(kg(), d, f"resblocks.{i * nk + j}.convs2.{l}", c, c, kk)
+                d[f"resblocks.{i * nk + j}.activations1.{l}.alpha"] = jnp.ones((c,))
+                d[f"resblocks.{i * nk + j}.activations2.{l}.alpha"] = jnp.ones((c,))
+    init_conv1d(kg(), d, "conv_post", c, cfg.istft_n_fft + 2, 7)
+    for i in range(5):
+        init_conv1d(kg(), d, f"f0_predictor.condnet.{2 * i}",
+                    cfg.in_channels if i == 0 else cfg.f0_predictor_cond_channels,
+                    cfg.f0_predictor_cond_channels, 3)
+    init_linear(kg(), d, "f0_predictor.classifier", cfg.f0_predictor_cond_channels, 1)
+    return d

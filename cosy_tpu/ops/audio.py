@@ -92,8 +92,22 @@ def mel_filterbank(
 
 
 def frame_signal(y: jax.Array, frame_len: int, hop: int) -> jax.Array:
-    """(B, L) -> (B, n_frames, frame_len) via gather framing."""
-    n_frames = 1 + (y.shape[-1] - frame_len) // hop
+    """(B, L) -> (B, n_frames, frame_len).
+
+    When frame_len divides into hop-chunks the framing is pure
+    reshape+slices (gathers of L*frame_len/hop elements are slow on TPU);
+    otherwise falls back to gather."""
+    B, L = y.shape
+    n_frames = 1 + (L - frame_len) // hop
+    if frame_len % hop == 0:
+        R = frame_len // hop
+        need = (n_frames + R - 1) * hop
+        if need > L:
+            y = jnp.pad(y, ((0, 0), (0, need - L)))
+        nch = (n_frames + R - 1)
+        ch = y[:, : nch * hop].reshape(B, nch, hop)
+        return jnp.concatenate(
+            [ch[:, r : r + n_frames] for r in range(R)], axis=-1)
     starts = jnp.arange(n_frames) * hop
     idx = starts[:, None] + jnp.arange(frame_len)[None, :]
     return y[:, idx]
@@ -162,16 +176,47 @@ def istft(
     """
     B, F, T = real.shape
     window = jnp.asarray(np.hanning(n_fft + 1)[:-1], jnp.float32)
-    spec = (real + 1j * imag).transpose(0, 2, 1)  # (B, T, F)
-    frames = jnp.fft.irfft(spec, n=n_fft, axis=-1)  # (B, T, n_fft)
+    # irfft as a real matmul (n_fft is 16 — two tiny constant DFT matrices);
+    # complex dtypes are UNIMPLEMENTED on some TPU runtimes and the matmul
+    # form is MXU-native anyway:
+    # x[n] = (1/N) * sum_k w_k (Re X_k cos(2πkn/N) - Im X_k sin(2πkn/N)),
+    # w_0 = w_{N/2} = 1, else 2.
+    k = np.arange(F)
+    n = np.arange(n_fft)
+    ang = 2.0 * np.pi * np.outer(k, n) / n_fft  # (F, n_fft)
+    w = np.full((F, 1), 2.0)
+    w[0] = 1.0
+    if n_fft % 2 == 0:
+        w[-1] = 1.0
+    C = jnp.asarray(w * np.cos(ang) / n_fft, jnp.float32)
+    S = jnp.asarray(-w * np.sin(ang) / n_fft, jnp.float32)
+    frames = (jnp.einsum("bft,fn->btn", real.astype(jnp.float32), C)
+              + jnp.einsum("bft,fn->btn", imag.astype(jnp.float32), S))
     frames = frames * window[None, None, :]
 
     out_len = n_fft + hop * (T - 1)
-    idx = (jnp.arange(T) * hop)[:, None] + jnp.arange(n_fft)[None, :]  # (T, n_fft)
-    sig = jnp.zeros((B, out_len), jnp.float32)
-    sig = sig.at[:, idx.reshape(-1)].add(frames.reshape(B, -1))
-    wsum = jnp.zeros((out_len,), jnp.float32)
-    wsum = wsum.at[idx.reshape(-1)].add(jnp.tile(jnp.square(window), (T,)))
+    if n_fft % hop == 0:
+        # scatter-free overlap-add: window chunks of size ``hop`` from R
+        # consecutive frames land on each hop slot — R shifted pads + adds
+        # (scatter is pathologically slow on TPU; this is pure slices)
+        R = n_fft // hop
+        fr = frames.reshape(B, T, R, hop)
+        sig = jnp.zeros((B, T + R - 1, hop), jnp.float32)
+        for r in range(R):
+            sig = sig + jnp.pad(fr[:, :, r], ((0, 0), (r, R - 1 - r), (0, 0)))
+        sig = sig.reshape(B, (T + R - 1) * hop)
+        # window-square normalizer: constant for given (T, n_fft, hop)
+        w2 = np.square(np.hanning(n_fft + 1)[:-1]).reshape(R, hop)
+        ws = np.zeros((T + R - 1, hop), np.float64)
+        for r in range(R):
+            ws[r : r + T] += w2[r]
+        wsum = jnp.asarray(ws.reshape(-1), jnp.float32)
+    else:
+        idx = (jnp.arange(T) * hop)[:, None] + jnp.arange(n_fft)[None, :]
+        sig = jnp.zeros((B, out_len), jnp.float32)
+        sig = sig.at[:, idx.reshape(-1)].add(frames.reshape(B, -1))
+        wsum = jnp.zeros((out_len,), jnp.float32)
+        wsum = wsum.at[idx.reshape(-1)].add(jnp.tile(jnp.square(window), (T,)))
     sig = sig / jnp.maximum(wsum, 1e-11)[None, :]
     crop = n_fft // 2
     return sig[:, crop : out_len - crop]
@@ -181,13 +226,21 @@ def stft_center(
     y: jax.Array,  # (B, L)
     n_fft: int,
     hop: int,
-) -> jax.Array:
-    """Complex STFT with center=True reflect padding (torch.stft default),
-    used for the HiFT source signal (generator.py:504-510).  Returns (B, F, T)
-    complex."""
+) -> tuple:
+    """STFT with center=True reflect padding (torch.stft default), used for
+    the HiFT source signal (generator.py:504-510).  Returns (real, imag),
+    each (B, F, T) — the rFFT is two tiny constant matmuls (complex dtypes
+    are UNIMPLEMENTED on some TPU runtimes; matmul is MXU-native)."""
     pad = n_fft // 2
     y = jnp.pad(y.astype(jnp.float32), ((0, 0), (pad, pad)), mode="reflect")
     window = jnp.asarray(np.hanning(n_fft + 1)[:-1], jnp.float32)
-    frames = frame_signal(y, n_fft, hop) * window[None, None, :]
-    spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)
-    return spec.transpose(0, 2, 1)
+    frames = frame_signal(y, n_fft, hop) * window[None, None, :]  # (B, T, n)
+    F = n_fft // 2 + 1
+    k = np.arange(F)
+    n = np.arange(n_fft)
+    ang = 2.0 * np.pi * np.outer(k, n) / n_fft
+    C = jnp.asarray(np.cos(ang), jnp.float32)
+    S = jnp.asarray(-np.sin(ang), jnp.float32)
+    real = jnp.einsum("btn,fn->bft", frames, C)
+    imag = jnp.einsum("btn,fn->bft", frames, S)
+    return real, imag

@@ -47,8 +47,8 @@ def test_istft_round_trip():
     """stft_center -> istft must reconstruct the interior of the signal."""
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.standard_normal((1, 400)).astype(np.float32))
-    spec = A.stft_center(x, 16, 4)
-    y = A.istft(spec.real, spec.imag, 16, 4)
+    s_re, s_im = A.stft_center(x, 16, 4)
+    y = A.istft(s_re, s_im, 16, 4)
     n = min(x.shape[1], y.shape[1])
     np.testing.assert_allclose(np.asarray(y)[0, 8 : n - 8], np.asarray(x)[0, 8 : n - 8],
                                atol=1e-4, rtol=1e-4)

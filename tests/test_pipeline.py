@@ -10,6 +10,7 @@ from cosy_tpu.config import (
 from cosy_tpu.models import flow as F, llm as L
 from cosy_tpu.params import KeyGen, Params, init_linear, init_conv1d, init_conv_transpose1d
 from cosy_tpu.infer.pipeline import TTSPipeline
+from cosy_tpu.models.hift import init_hift_params
 
 TINY_ENC = EncoderConfig(input_size=16, output_size=16, attention_heads=2,
                          linear_units=24, num_blocks=1)
@@ -36,45 +37,6 @@ MODEL_CFG = ModelConfig(
         f0_predictor_cond_channels=8,
     ),
 )
-
-
-def init_hift_params(key, cfg: HiFTConfig) -> Params:
-    d: Params = {}
-    kg = KeyGen(key)
-    import jax.numpy as jnp
-
-    init_linear(kg(), d, "m_source.l_linear", cfg.nb_harmonics + 1, 1)
-    init_conv1d(kg(), d, "conv_pre", cfg.in_channels, cfg.base_channels, 7)
-    ch = cfg.base_channels
-    nk = len(cfg.resblock_kernel_sizes)
-    for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
-        init_conv_transpose1d(kg(), d, f"ups.{i}", ch // (2 ** i), ch // (2 ** (i + 1)), k)
-        c = ch // (2 ** (i + 1))
-        import numpy as np
-        down_cum = list(np.cumprod([1] + list(cfg.upsample_rates)[::-1][:-1])[::-1])
-        du = int(down_cum[i])
-        init_conv1d(kg(), d, f"source_downs.{i}", cfg.istft_n_fft + 2, c,
-                    1 if du == 1 else du * 2)
-        sk = cfg.source_resblock_kernel_sizes[i]
-        for j, dl in enumerate(cfg.source_resblock_dilation_sizes[i]):
-            init_conv1d(kg(), d, f"source_resblocks.{i}.convs1.{j}", c, c, sk)
-            init_conv1d(kg(), d, f"source_resblocks.{i}.convs2.{j}", c, c, sk)
-            d[f"source_resblocks.{i}.activations1.{j}.alpha"] = jnp.ones((c,))
-            d[f"source_resblocks.{i}.activations2.{j}.alpha"] = jnp.ones((c,))
-        for j in range(nk):
-            kk = cfg.resblock_kernel_sizes[j]
-            for l, dl in enumerate(cfg.resblock_dilation_sizes[j]):
-                init_conv1d(kg(), d, f"resblocks.{i * nk + j}.convs1.{l}", c, c, kk)
-                init_conv1d(kg(), d, f"resblocks.{i * nk + j}.convs2.{l}", c, c, kk)
-                d[f"resblocks.{i * nk + j}.activations1.{l}.alpha"] = jnp.ones((c,))
-                d[f"resblocks.{i * nk + j}.activations2.{l}.alpha"] = jnp.ones((c,))
-    init_conv1d(kg(), d, "conv_post", c, cfg.istft_n_fft + 2, 7)
-    for i in range(5):
-        init_conv1d(kg(), d, f"f0_predictor.condnet.{2 * i}",
-                    cfg.in_channels if i == 0 else cfg.f0_predictor_cond_channels,
-                    cfg.f0_predictor_cond_channels, 3)
-    init_linear(kg(), d, "f0_predictor.classifier", cfg.f0_predictor_cond_channels, 1)
-    return d
 
 
 def _build_pipeline():
