@@ -373,3 +373,34 @@ class InferenceConfig:
 def replace(cfg, **kw):
     """dataclasses.replace re-export for ergonomic config overrides."""
     return dataclasses.replace(cfg, **kw)
+
+
+def tiny_model_config(n_mels: int = 80) -> "ModelConfig":
+    """Smoke-test topology: same graph structure as CosyVoice-300M at toy
+    widths (seconds to compile on CPU).  Used by the CLIs' ``--tiny`` flag
+    and the driver dry-runs; NOT loadable from real checkpoints."""
+    enc = EncoderConfig(input_size=16, output_size=16, attention_heads=2,
+                        linear_units=24, num_blocks=1)
+    return ModelConfig(
+        llm=LLMConfig(
+            text_encoder_input_size=16, llm_input_size=16, llm_output_size=16,
+            text_token_size=60515, speech_token_size=128, spk_embed_dim=192,
+            text_encoder=replace(enc, static_chunk_size=1),
+            llm=replace(enc, static_chunk_size=1, input_layer="linear_legacy"),
+        ),
+        flow=FlowConfig(
+            input_size=16, output_size=n_mels, spk_embed_dim=192, vocab_size=128,
+            encoder=enc,
+            estimator=EstimatorConfig(
+                in_channels=4 * n_mels, out_channels=n_mels, channels=(16, 16),
+                attention_head_dim=4, n_blocks=1, num_mid_blocks=1, num_heads=2),
+        ),
+        hift=HiFTConfig(
+            in_channels=n_mels, base_channels=16, nb_harmonics=2,
+            upsample_rates=(8, 8), upsample_kernel_sizes=(16, 16),
+            resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3),),
+            source_resblock_kernel_sizes=(3, 3),
+            source_resblock_dilation_sizes=((1,), (1,)),
+            f0_predictor_cond_channels=8,
+        ),
+    )

@@ -244,10 +244,14 @@ class JointTrainer:
             except ValueError:  # non-main thread
                 pass
 
+        from ..utils.distributed import joined_loader
+
         for epoch in range(max_epochs):
             epoch_metrics: List[Dict[str, float]] = []
             t0 = time.time()
-            for super_batch in loader:
+            # uneven-workload escape: all hosts leave the epoch on the same
+            # step (reference model.join/cosyvoice_join semantics)
+            for super_batch in joined_loader(loader):
                 m = self.step(state, super_batch, jax.random.fold_in(rng, state.step + 1))
                 m_host = {k: float(v) for k, v in m.items()}
                 epoch_metrics.append(m_host)

@@ -42,12 +42,15 @@ def main():
     ap.add_argument("--flow", default=None, help="merged Flow weights (default output/flow_merged_joint.pt)")
     ap.add_argument("--pretrained", default="pretrained_models/CosyVoice-300M")
     ap.add_argument("--output", "-o", default="output/inference/joint_output.wav")
+    ap.add_argument("--tiny", action="store_true",
+                    help="smoke-test topology (toy widths; not checkpoint-compatible)")
     ap.add_argument("--speed", "-s", type=float, default=1.0)
     ap.add_argument("--stream", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
-    model_cfg = ModelConfig()
+    from cosy_tpu.config import tiny_model_config
+    model_cfg = tiny_model_config() if args.tiny else ModelConfig()
     rng = jax.random.PRNGKey(args.seed)
     params = load_or_init(args.pretrained, model_cfg, rng)
 
@@ -60,14 +63,25 @@ def main():
         else:
             print(f"[WARN] {path} not found — using base {name} weights")
     if not params.get("hift"):
-        raise SystemExit("hift.pt is required for waveform synthesis "
-                         f"(looked in {args.pretrained})")
+        if args.tiny:
+            # smoke mode: random vocoder (noise out, but the full path runs)
+            from cosy_tpu.models.hift import init_hift_params
+
+            params["hift"] = init_hift_params(jax.random.fold_in(rng, 9),
+                                              model_cfg.hift)
+        else:
+            raise SystemExit("hift.pt is required for waveform synthesis "
+                             f"(looked in {args.pretrained})")
 
     vocab = find_vocab_file(os.path.join(args.pretrained,
                                          "multilingual_zh_ja_yue_char_del.tiktoken"))
-    tok = TextTokenizer(vocab)
     normalized = text_normalize(args.text)
-    ids = np.asarray([tok.encode(normalized)], np.int32)
+    if vocab is None and args.tiny:
+        # smoke mode without the BPE asset: raw utf-8 byte ids
+        ids = np.asarray([list(normalized.encode("utf-8"))], np.int32)
+    else:
+        tok = TextTokenizer(vocab)
+        ids = np.asarray([tok.encode(normalized)], np.int32)
     print(f"text: {args.text!r} -> {ids.shape[1]} tokens "
           f"(lang={'zh' if contains_chinese(args.text) else 'en'})")
 

@@ -39,9 +39,12 @@ def main():
     ap.add_argument("--ckpt", default=None)
     ap.add_argument("--pretrained", default="pretrained_models/CosyVoice-300M")
     ap.add_argument("--output", default="output")
+    ap.add_argument("--tiny", action="store_true",
+                    help="smoke-test topology (toy widths; not checkpoint-compatible)")
     args = ap.parse_args()
 
-    model_cfg = ModelConfig()
+    from cosy_tpu.config import tiny_model_config
+    model_cfg = tiny_model_config() if args.tiny else ModelConfig()
     tcfg = TrainConfig(training_mode=args.mode)
     rng = jax.random.PRNGKey(0)
     pretrained = load_or_init(args.pretrained, model_cfg, rng)

@@ -36,9 +36,12 @@ def main():
     ap.add_argument("--max-feat-len", type=int, default=None)
     ap.add_argument("--accum", type=int, default=None, help="gradient accumulation steps")
     ap.add_argument("--no-augmentation", action="store_true")
+    ap.add_argument("--tiny", action="store_true",
+                    help="smoke-test topology (toy widths; not checkpoint-compatible)")
     args = ap.parse_args()
 
-    model_cfg = ModelConfig()
+    from cosy_tpu.config import tiny_model_config
+    model_cfg = tiny_model_config() if args.tiny else ModelConfig()
     tcfg = TrainConfig(training_mode=args.mode)
     if args.epochs:
         tcfg = replace(tcfg, max_epochs=args.epochs)
