@@ -315,7 +315,7 @@ def flow_forward_train(
         conds = jnp.where((idx < plen[:, None])[:, :, None], feat, 0.0).transpose(0, 2, 1)
         return cfm_compute_loss(
             p.sub("decoder.estimator"), cfg, k_loss, feat_bc, mask, h.transpose(0, 2, 1),
-            spk, conds, ctx, prompt_lens=None, leak=leak,
+            spk, conds, ctx, prompt_lens=None, leak=leak, noise=noise,
         )
 
     # ---- anti-leakage strategy draws (vectorized; flow_model.py:309-385) ----
@@ -374,7 +374,7 @@ def flow_forward_train(
     conds = conds.transpose(0, 2, 1)  # (B, 80, T)
     return cfm_compute_loss(
         p.sub("decoder.estimator"), cfg, k_loss, feat_bc, mask, h.transpose(0, 2, 1),
-        spk, conds, ctx, prompt_lens=prompt_lens, leak=leak,
+        spk, conds, ctx, prompt_lens=prompt_lens, leak=leak, noise=noise,
     )
 
 

@@ -245,34 +245,84 @@ def llm_decode(
     pos_ks = []
     for i in range(nl):
         pk = dense(sp_llm.sub(f"encoders.{i}.self_attn"), "linear_pos", table)
-        pos_ks.append(_split_heads(pk, H))
-    pos_ks = jnp.stack(pos_ks)  # (nl, 1, H, 2S-1, dk)
+        pos_ks.append(_split_heads(pk, H)[0])
+    pos_ks = jnp.stack(pos_ks)  # (nl, H, 2S-1, dk)
 
-    k_buf = jnp.zeros((nl, 1, H, S, dk), dt)
-    v_buf = jnp.zeros((nl, 1, H, S, dk), dt)
+    kv_buf = jnp.zeros((nl, 2, H, S, dk), dt)
 
-    # stacked per-layer params: the decode body runs the 14-block stack as
-    # ONE lax.scan over a (nl, ...) pytree instead of 14 inlined layer
-    # graphs — on this chip per-op/fusion-boundary overhead dominates the
-    # tiny per-token matmuls (PERF.md), so op count is the lever
+    # stacked per-layer params, fused for the per-token step.  The decode
+    # body is op-count-bound on this chip (PERF.md: ~6 us/fusion regardless
+    # of size), so the layer stack runs as ONE lax.scan over a (nl, ...)
+    # pytree with: QKV as a single concatenated matmul, K/V in one combined
+    # cache (one dynamic_update_slice), and the Transformer-XL content/
+    # position scores as one matmul over concatenated [k; pos_k] — all
+    # algebraically identical to transformer_layer.
+    import math as _math
+
+    from ..layers.basic import ACT
+
     _lp = sp_llm.prefix + "encoders.0."
     layer_names = sorted({k[len(_lp):] for k in sp_llm.d if k.startswith(_lp)})
-    stacked = {"L." + n: jnp.stack(
+    stacked = {n: jnp.stack(
         [sp_llm[f"encoders.{i}.{n}"] for i in range(nl)]) for n in layer_names}
+    stacked["wqkv"] = jnp.concatenate(
+        [stacked.pop("self_attn.linear_q.weight"),
+         stacked.pop("self_attn.linear_k.weight"),
+         stacked.pop("self_attn.linear_v.weight")], axis=1)  # (nl, 3D, D)
+    stacked["bqkv"] = jnp.concatenate(
+        [stacked.pop("self_attn.linear_q.bias"),
+         stacked.pop("self_attn.linear_k.bias"),
+         stacked.pop("self_attn.linear_v.bias")], axis=1)  # (nl, 3D)
+    stacked.pop("self_attn.linear_pos.weight", None)  # hoisted into pos_ks
+    act = ACT[ecfg.activation_type]
+    eps_l = ecfg.layer_norm_eps
+    inv_sqrt_dk = 1.0 / _math.sqrt(dk)
 
-    def run_layers(x, kbuf, vbuf, cache_index, attn_bias, pos_win):
-        """x: (1, T, D). pos_win: (nl, 1, H, P, dk) positional keys."""
+    def _ln(x, w, b, eps):
+        # identical to layers.basic.layer_norm (fp32 stats + affine)
+        xf = x.astype(jnp.float32)
+        m = jnp.mean(xf, axis=-1, keepdims=True)
+        v = jnp.mean(jnp.square(xf - m), axis=-1, keepdims=True)
+        y = (xf - m) * jax.lax.rsqrt(v + eps)
+        return (y * w.astype(jnp.float32) + b.astype(jnp.float32)).astype(x.dtype)
+
+    def run_layers(x, kvbuf, cache_index, attn_bias, pos_win):
+        """x: (1, 1, D).  kvbuf: (nl, 2, H, S, dk).  attn_bias: (1, 1, S).
+        pos_win: (nl, H, S, dk) positional keys for this step."""
+        bias_row = attn_bias[0, 0].astype(jnp.float32)  # (S,)
+
         def body(h, xs):
-            d, kb_i, vb_i, pk_i = xs
-            h, (ki, vi) = transformer_layer(
-                P(d), "L", ecfg, h, attn_bias, None, EVAL,
-                kv_cache=(kb_i, vb_i), cache_index=cache_index, pos_k=pk_i,
-            )
-            return h, (ki, vi)
+            ld, kv_i, pk_i = xs
+            w = {k_: v_.astype(h.dtype) for k_, v_ in ld.items()}
+            hn = _ln(h, ld["norm1.weight"], ld["norm1.bias"], eps_l)
+            qkv = hn[0, 0] @ w["wqkv"].T + w["bqkv"]  # (3D,)
+            q = qkv[:D].reshape(H, 1, dk)
+            k = qkv[D:2 * D].reshape(H, dk)
+            v = qkv[2 * D:].reshape(H, dk)
+            kv_i = jax.lax.dynamic_update_slice(
+                kv_i, jnp.stack([k, v])[:, :, None, :].astype(kv_i.dtype),
+                (0, 0, cache_index, 0))
+            kc, vc = kv_i[0], kv_i[1]  # (H, S, dk)
+            q_cat = jnp.concatenate(
+                [q + w["self_attn.pos_bias_u"][:, None, :],
+                 q + w["self_attn.pos_bias_v"][:, None, :]], axis=-1)  # (H,1,2dk)
+            k_cat = jnp.concatenate([kc.astype(h.dtype), pk_i.astype(h.dtype)],
+                                    axis=-1)  # (H, S, 2dk)
+            scores = jnp.einsum("htd,hsd->hts", q_cat, k_cat) * inv_sqrt_dk
+            attn = jax.nn.softmax(
+                scores.astype(jnp.float32) + bias_row, axis=-1).astype(h.dtype)
+            o = jnp.einsum("hts,hsd->htd", attn, vc.astype(h.dtype))  # (H, 1, dk)
+            o = o.transpose(1, 0, 2).reshape(D)
+            o = o @ w["self_attn.linear_out.weight"].T + w["self_attn.linear_out.bias"]
+            h = h + o[None, None]
+            hn2 = _ln(h, ld["norm2.weight"], ld["norm2.bias"], eps_l)
+            f = act(hn2 @ w["feed_forward.w_1.weight"].T + w["feed_forward.w_1.bias"])
+            f = f @ w["feed_forward.w_2.weight"].T + w["feed_forward.w_2.bias"]
+            return h + f, kv_i
 
-        x, (new_k, new_v) = jax.lax.scan(body, x, (stacked, kbuf, vbuf, pos_win))
+        x, new_kv = jax.lax.scan(body, x, (stacked, kvbuf, pos_win))
         x = layer_norm(sp_llm, "after_norm", x, eps=1e-5)
-        return x, new_k, new_v
+        return x, new_kv
 
     # ---- prefill: run the plain causal encoder over the L0 prefix and write
     # each layer's K/V into the fixed-capacity buffers ----
@@ -286,15 +336,15 @@ def llm_decode(
         # norm1 + projection work with the forward pass (no 2x prefill)
         h, (ki, vi) = transformer_layer(
             sp_llm, f"encoders.{i}", ecfg, h, causal0, pe0, EVAL, return_kv=True)
-        k_buf = k_buf.at[i, :, :, :L0].set(ki.astype(dt))
-        v_buf = v_buf.at[i, :, :, :L0].set(vi.astype(dt))
+        kv_buf = kv_buf.at[i, 0, :, :L0].set(ki[0].astype(dt))
+        kv_buf = kv_buf.at[i, 1, :, :L0].set(vi[0].astype(dt))
     h = layer_norm(sp_llm, "after_norm", h, eps=1e-5)
     logits0 = dense(p, "llm_decoder", h[:, -1])[0]  # (V,)
 
     # ---- decode loop ----
     def pos_window_at(L):
         return jax.lax.dynamic_slice(
-            pos_ks, (0, 0, 0, S - 1 - L, 0), (nl, 1, H, S, dk))
+            pos_ks, (0, 0, S - 1 - L, 0), (nl, H, S, dk))
 
     def sample(rng_i, logits, step_i, tokens, ntok):
         logp = jax.nn.log_softmax(logits.astype(jnp.float32))
@@ -311,29 +361,28 @@ def llm_decode(
     tokens = tokens.at[0].set(first)
 
     def cond(state):
-        i, tokens, last, kb, vb, rng, done = state
+        i, tokens, last, kvb, rng, done = state
         return (~done) & (i < max_len)
 
     def body(state):
-        i, tokens, last, kb, vb, rng, done = state
-        L = L0 + i - 1  # cache position for this step's K/V (token i-1's row... )
-        # token at step i attends over prefix + tokens[0..i-1]; its own K/V is
-        # written at index L0 + i - 1? No: the *input* is tokens[i-1]'s
-        # embedding, producing logits for token i.  Its K/V slot is L0 + i - 1.
+        i, tokens, last, kvb, rng, done = state
+        # the input is token i-1's embedding, producing logits for token i;
+        # its K/V slot is L = L0 + i - 1
+        L = L0 + i - 1
         x = embedding(p, "speech_embedding", last[None, None])  # (1, 1, D)
         x = embed_tokens(x)
         kpos = jnp.arange(S)[None, None, :]
         bias = jnp.where(kpos <= L, 0.0, M.NEG_BIAS).astype(dt)  # (1, 1, S)
-        h, kb, vb = run_layers(x, kb, vb, L, bias, pos_window_at(L))
+        h, kvb = run_layers(x, kvb, L, bias, pos_window_at(L))
         logits = dense(p, "llm_decoder", h[:, -1])[0]
         k_i, rng = jax.random.split(rng)
         tok = sample(k_i, logits, i, tokens, i).astype(jnp.int32)
         is_eos = tok == eos
         tokens = jnp.where(is_eos, tokens, tokens.at[i].set(tok))
-        return (i + 1, tokens, tok, kb, vb, rng, is_eos)
+        return (i + 1, tokens, tok, kvb, rng, is_eos)
 
-    state = (jnp.asarray(1), tokens, first, k_buf, v_buf, rng, first == eos)
-    i, tokens, last, _, _, _, done = jax.lax.while_loop(cond, body, state)
+    state = (jnp.asarray(1), tokens, first, kv_buf, rng, first == eos)
+    i, tokens, last, _, _, done = jax.lax.while_loop(cond, body, state)
     length = jnp.sum(tokens >= 0)
     return DecodeResult(tokens=tokens, length=length)
 
