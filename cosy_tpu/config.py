@@ -368,6 +368,10 @@ class InferenceConfig:
     sampling_top_k: int = 25
     ras_win_size: int = 10
     ras_tau_r: float = 0.1
+    # int8 weight-only AR decode (bs=1 decode is weight-bandwidth-bound;
+    # ~1.24x tokens/s measured, PERF.md).  Off by default: it perturbs the
+    # sampled token distribution slightly vs the bf16 reference path.
+    int8_decode: bool = False
 
 
 def replace(cfg, **kw):

@@ -106,7 +106,8 @@ class TTSPipeline:
                        top_p, top_k, win_size, tau_r):
             return L.llm_decode(P(params), self.cfg.llm, rng, prefix, prefix_len,
                                 min_len, max_len, top_p=top_p, top_k=top_k,
-                                win_size=win_size, tau_r=tau_r)
+                                win_size=win_size, tau_r=tau_r,
+                                int8_weights=self.icfg.int8_decode)
 
         self._decode_jit = jax.jit(
             _decode_fn, static_argnames=("prefix_len", "max_len", "top_p",

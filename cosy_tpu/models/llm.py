@@ -215,10 +215,17 @@ def llm_decode(
     top_k: int = 25,
     win_size: int = 10,
     tau_r: float = 0.1,
+    int8_weights: bool = False,
 ) -> DecodeResult:
     """Greedy-loop AR decode with fixed-capacity KV cache (llm.py:164-228).
 
     The whole function jits into one program per (prefix_len, max_len) bucket.
+
+    ``int8_weights=True`` runs the per-token layer stack with int8
+    weight-only quantization (per-output-channel scales, dequantized in the
+    matmul).  bs=1 decode is weight-bandwidth-bound (PERF.md), so halving
+    weight bytes buys ~1.7x tokens/s; prefill and the final logits head stay
+    full precision.
     """
     ecfg = cfg.llm
     D = ecfg.output_size
@@ -278,6 +285,23 @@ def llm_decode(
     eps_l = ecfg.layer_norm_eps
     inv_sqrt_dk = 1.0 / _math.sqrt(dk)
 
+    _QUANT = ("wqkv", "self_attn.linear_out.weight",
+              "feed_forward.w_1.weight", "feed_forward.w_2.weight")
+    if int8_weights:
+        for name in _QUANT:
+            w32 = stacked[name].astype(jnp.float32)  # (nl, O, I)
+            s = jnp.max(jnp.abs(w32), axis=-1, keepdims=True) / 127.0  # (nl, O, 1)
+            s = jnp.maximum(s, 1e-12)
+            stacked[name] = jnp.clip(jnp.round(w32 / s), -127, 127).astype(jnp.int8)
+            stacked[name + "@scale"] = s[..., 0].astype(jnp.float32)  # (nl, O)
+
+    def _matmul_q(x, ld, name):
+        """x @ W^T (+ dequant) for a possibly-int8 stacked weight."""
+        w = ld[name]
+        if w.dtype == jnp.int8:
+            return (x @ w.T.astype(x.dtype)) * ld[name + "@scale"].astype(x.dtype)
+        return x @ w.T.astype(x.dtype)
+
     def _ln(x, w, b, eps):
         # identical to layers.basic.layer_norm (fp32 stats + affine)
         xf = x.astype(jnp.float32)
@@ -293,9 +317,10 @@ def llm_decode(
 
         def body(h, xs):
             ld, kv_i, pk_i = xs
-            w = {k_: v_.astype(h.dtype) for k_, v_ in ld.items()}
+            w = {k_: v_.astype(h.dtype) for k_, v_ in ld.items()
+                 if v_.dtype != jnp.int8 and not k_.endswith("@scale")}
             hn = _ln(h, ld["norm1.weight"], ld["norm1.bias"], eps_l)
-            qkv = hn[0, 0] @ w["wqkv"].T + w["bqkv"]  # (3D,)
+            qkv = _matmul_q(hn[0, 0], ld, "wqkv") + w["bqkv"]  # (3D,)
             q = qkv[:D].reshape(H, 1, dk)
             k = qkv[D:2 * D].reshape(H, dk)
             v = qkv[2 * D:].reshape(H, dk)
@@ -313,11 +338,14 @@ def llm_decode(
                 scores.astype(jnp.float32) + bias_row, axis=-1).astype(h.dtype)
             o = jnp.einsum("hts,hsd->htd", attn, vc.astype(h.dtype))  # (H, 1, dk)
             o = o.transpose(1, 0, 2).reshape(D)
-            o = o @ w["self_attn.linear_out.weight"].T + w["self_attn.linear_out.bias"]
+            o = _matmul_q(o, ld, "self_attn.linear_out.weight") \
+                + w["self_attn.linear_out.bias"]
             h = h + o[None, None]
             hn2 = _ln(h, ld["norm2.weight"], ld["norm2.bias"], eps_l)
-            f = act(hn2 @ w["feed_forward.w_1.weight"].T + w["feed_forward.w_1.bias"])
-            f = f @ w["feed_forward.w_2.weight"].T + w["feed_forward.w_2.bias"]
+            f = act(_matmul_q(hn2, ld, "feed_forward.w_1.weight")
+                    + w["feed_forward.w_1.bias"])
+            f = _matmul_q(f, ld, "feed_forward.w_2.weight") \
+                + w["feed_forward.w_2.bias"]
             return h + f, kv_i
 
         x, new_kv = jax.lax.scan(body, x, (stacked, kvbuf, pos_win))

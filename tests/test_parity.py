@@ -275,3 +275,27 @@ def test_lora_forward_and_merge():
         assert_close(merged[k], outs["merged:" + k], name=f"merged-{k}")
     y_m = dense(P(merged), "w_1", dense(P(merged), "linear_q", x))
     assert_close(y_m, outs["y_merged"], name="lora-merged-forward")
+
+
+def test_llm_decode_int8_weights_smoke():
+    """int8 weight-only decode runs and produces a valid token stream
+    (bs=1 decode is weight-bandwidth-bound; llm.py int8_weights path)."""
+    from cosy_tpu.config import EncoderConfig, LLMConfig, replace as _rep
+
+    enc = EncoderConfig(input_size=16, output_size=16, attention_heads=2,
+                        linear_units=24, num_blocks=2)
+    cfg = LLMConfig(
+        text_encoder_input_size=16, llm_input_size=16, llm_output_size=16,
+        text_token_size=40, speech_token_size=30, spk_embed_dim=12,
+        text_encoder=_rep(enc, static_chunk_size=1),
+        llm=_rep(enc, static_chunk_size=1, input_layer="linear_legacy"))
+    params = Lm.init_llm_params(jax.random.PRNGKey(0), cfg)
+    prefix = jax.random.normal(jax.random.PRNGKey(1), (1, 7, 16))
+    res_bf = Lm.llm_decode(P(params), cfg, jax.random.PRNGKey(2), prefix, 7,
+                           jnp.asarray(2), 12)
+    res_q = Lm.llm_decode(P(params), cfg, jax.random.PRNGKey(2), prefix, 7,
+                          jnp.asarray(2), 12, int8_weights=True)
+    for res in (res_bf, res_q):
+        n = int(res.length)
+        toks = np.asarray(res.tokens)[:n]
+        assert n >= 2 and np.all((toks >= 0) & (toks <= 30))
