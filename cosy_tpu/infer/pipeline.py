@@ -113,21 +113,35 @@ class TTSPipeline:
             _decode_fn, static_argnames=("prefix_len", "max_len", "top_p",
                                          "top_k", "win_size", "tau_r"))
 
+        # segment-wise decode for streaming: same program semantics, paused
+        # at token boundaries (DecodeState round-trips; streams are
+        # bit-identical to an uninterrupted run)
+        def _decode_seg_fn(params, rng, prefix, min_len, stop_at, state, *,
+                           prefix_len, max_len, top_p, top_k, win_size, tau_r):
+            return L.llm_decode(P(params), self.cfg.llm, rng, prefix, prefix_len,
+                                min_len, max_len, top_p=top_p, top_k=top_k,
+                                win_size=win_size, tau_r=tau_r,
+                                int8_weights=self.icfg.int8_decode,
+                                stop_at=stop_at, state=state, return_state=True)
+
+        self._decode_seg_jit = jax.jit(
+            _decode_seg_fn, static_argnames=("prefix_len", "max_len", "top_p",
+                                             "top_k", "win_size", "tau_r"))
+
     # ------------------------------------------------------------------
     # stage 1: AR speech-token generation
     # ------------------------------------------------------------------
 
-    def generate_tokens(
+    def _build_prefix(
         self,
-        rng: jax.Array,
-        text_tokens: np.ndarray,  # (1, Tt)
-        prompt_text: Optional[np.ndarray] = None,  # (1, Tp)
-        prompt_speech_token: Optional[np.ndarray] = None,
-        spk_embedding: Optional[np.ndarray] = None,  # (1, 192); zeros = prompt-free
-        max_len_cap: int = 2048,
-    ) -> np.ndarray:
-        """Build the LM prefix and run the jitted while-loop decode
-        (reference: llm.py:164-228)."""
+        text_tokens: np.ndarray,
+        prompt_text: Optional[np.ndarray],
+        prompt_speech_token: Optional[np.ndarray],
+        spk_embedding: Optional[np.ndarray],
+        max_len_cap: int,
+    ):
+        """Pack [sos, spk?, text_enc, task, prompt_speech?]; returns
+        (prefix, min_len, max_len)."""
         cfg = self.cfg.llm
         p = P(self.llm_params)
 
@@ -165,7 +179,22 @@ class TTSPipeline:
         # bucket max_len to limit recompiles across requests
         bucket = 128
         max_len = max(bucket, ((max_len + bucket - 1) // bucket) * bucket)
+        return prefix, min_len, max_len
 
+    def generate_tokens(
+        self,
+        rng: jax.Array,
+        text_tokens: np.ndarray,  # (1, Tt)
+        prompt_text: Optional[np.ndarray] = None,  # (1, Tp)
+        prompt_speech_token: Optional[np.ndarray] = None,
+        spk_embedding: Optional[np.ndarray] = None,  # (1, 192); zeros = prompt-free
+        max_len_cap: int = 2048,
+    ) -> np.ndarray:
+        """Build the LM prefix and run the jitted while-loop decode
+        (reference: llm.py:164-228)."""
+        prefix, min_len, max_len = self._build_prefix(
+            text_tokens, prompt_text, prompt_speech_token, spk_embedding,
+            max_len_cap)
         res = self._decode_jit(
             self.llm_params, rng, prefix, jnp.asarray(min_len),
             prefix_len=prefix.shape[1], max_len=max_len,
@@ -174,6 +203,39 @@ class TTSPipeline:
         )
         n = int(res.length)
         return np.asarray(res.tokens)[None, :n]
+
+    def generate_tokens_stream(
+        self,
+        rng: jax.Array,
+        text_tokens: np.ndarray,
+        prompt_text: Optional[np.ndarray] = None,
+        prompt_speech_token: Optional[np.ndarray] = None,
+        spk_embedding: Optional[np.ndarray] = None,
+        max_len_cap: int = 2048,
+    ):
+        """Incremental token producer: yields (tokens_so_far (1, n), done)
+        after each decode segment — the TPU-native replacement for the
+        reference's llm_job producer thread (model.py:144-165).  Token
+        streams are identical to generate_tokens under the same rng."""
+        prefix, min_len, max_len = self._build_prefix(
+            text_tokens, prompt_text, prompt_speech_token, spk_embedding,
+            max_len_cap)
+        kw = dict(prefix_len=prefix.shape[1], max_len=max_len,
+                  top_p=self.icfg.sampling_top_p, top_k=self.icfg.sampling_top_k,
+                  win_size=self.icfg.ras_win_size, tau_r=self.icfg.ras_tau_r)
+        seg = self.token_min_hop_len + self.token_overlap_len
+        state = None
+        target = min(seg, max_len)
+        while True:
+            res, state = self._decode_seg_jit(
+                self.llm_params, rng, prefix, jnp.asarray(min_len),
+                jnp.asarray(target), state, **kw)
+            n = int(res.length)
+            done = bool(state.done) or n >= max_len
+            yield np.asarray(res.tokens)[None, :n], done
+            if done:
+                return
+            target = min(target + self.token_min_hop_len, max_len)
 
     # ------------------------------------------------------------------
     # stage 2+3: tokens -> mel -> wav
@@ -284,38 +346,54 @@ class TTSPipeline:
         if flow_emb is None:
             flow_emb = np.zeros((1, self.cfg.llm.spk_embed_dim), np.float32)
 
+        vc_tokens = None
         if source_speech_token is not None and source_speech_token.size:
-            tokens = np.asarray(source_speech_token, np.int32).reshape(1, -1)
-        else:
-            tokens = self.generate_tokens(
-                k_llm, text_tokens, prompt_text, llm_prompt, llm_emb)
+            vc_tokens = np.asarray(source_speech_token, np.int32).reshape(1, -1)
 
         prompt_speech_token = flow_prompt
         spk_embedding = flow_emb
         if not stream:
+            tokens = vc_tokens if vc_tokens is not None else self.generate_tokens(
+                k_llm, text_tokens, prompt_text, llm_prompt, llm_emb)
             wav, _ = self.token2wav(
                 k_wav, tokens, prompt_speech_token, prompt_feat, spk_embedding,
                 finalize=True, speed=speed)
             yield {"tts_speech": wav}
             return
 
-        # streaming: consume hop-sized windows with overlap
+        # streaming: interleave incremental decode segments with hop-sized
+        # synthesis windows — first audio leaves after hop+overlap tokens,
+        # not after the full utterance decodes (reference: llm_job producer
+        # thread + consumer loop, model.py:221-288)
+        if vc_tokens is not None:
+            producer = iter([(vc_tokens, True)])
+        else:
+            producer = self.generate_tokens_stream(
+                k_llm, text_tokens, prompt_text, llm_prompt, llm_emb)
+
         state = StreamState(mel_overlap=np.zeros((1, 80, 0), np.float32))
         hop = self.token_min_hop_len
         pos = 0
-        n = tokens.shape[1]
         ki = 0
-        while n - pos >= hop + self.token_overlap_len:
-            window = tokens[:, pos : pos + hop + self.token_overlap_len]
-            wav, state = self.token2wav(
-                jax.random.fold_in(k_wav, ki), window, prompt_speech_token,
-                prompt_feat, spk_embedding, stream_state=state, finalize=False)
-            yield {"tts_speech": wav}
-            pos += hop
-            hop = min(self.token_max_hop_len, hop)
-            ki += 1
-        window = tokens[:, pos:]
-        wav, _ = self.token2wav(
-            jax.random.fold_in(k_wav, ki), window, prompt_speech_token,
-            prompt_feat, spk_embedding, stream_state=state, finalize=True)
-        yield {"tts_speech": wav}
+        tokens = np.zeros((1, 0), np.int32)
+        llm_done = False
+        while True:
+            while not llm_done and tokens.shape[1] - pos < hop + self.token_overlap_len:
+                tokens, llm_done = next(producer)
+            if tokens.shape[1] - pos >= hop + self.token_overlap_len:
+                window = tokens[:, pos : pos + hop + self.token_overlap_len]
+                wav, state = self.token2wav(
+                    jax.random.fold_in(k_wav, ki), window, prompt_speech_token,
+                    prompt_feat, spk_embedding, stream_state=state, finalize=False)
+                yield {"tts_speech": wav}
+                pos += hop
+                hop = min(self.token_max_hop_len, hop)
+                ki += 1
+                continue
+            if llm_done:
+                window = tokens[:, pos:]
+                wav, _ = self.token2wav(
+                    jax.random.fold_in(k_wav, ki), window, prompt_speech_token,
+                    prompt_feat, spk_embedding, stream_state=state, finalize=True)
+                yield {"tts_speech": wav}
+                return

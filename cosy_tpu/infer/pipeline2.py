@@ -86,18 +86,22 @@ class TTS2Pipeline:
             _decode_fn, static_argnames=("max_len", "top_p", "top_k",
                                          "win_size", "tau_r"))
 
+        def _decode_seg_fn(params, rng, prefix, min_len, stop_at, state, *,
+                           max_len, top_p, top_k, win_size, tau_r):
+            return qwen2lm_decode(P(params), self.lcfg, rng, prefix, min_len,
+                                  max_len, top_p=top_p, top_k=top_k,
+                                  win_size=win_size, tau_r=tau_r,
+                                  stop_at=stop_at, state=state,
+                                  return_state=True)
+
+        self._decode_seg_jit = jax.jit(
+            _decode_seg_fn, static_argnames=("max_len", "top_p", "top_k",
+                                             "win_size", "tau_r"))
+
     # ------------------------------------------------------------------
 
-    def generate_tokens(
-        self,
-        rng: jax.Array,
-        text_tokens: np.ndarray,
-        prompt_text: Optional[np.ndarray] = None,
-        prompt_speech_token: Optional[np.ndarray] = None,
-        max_len_cap: int = 2048,
-    ) -> np.ndarray:
-        """[sos, text, task, prompt_speech] prefix -> while-loop decode
-        (llm.py:427-462; no speaker row in CosyVoice2)."""
+    def _build_prefix(self, text_tokens, prompt_text, prompt_speech_token,
+                      max_len_cap):
         p = P(self.llm_params)
         tt = np.asarray(text_tokens)
         if prompt_text is not None and prompt_text.size:
@@ -122,13 +126,59 @@ class TTS2Pipeline:
         max_len = min(int(target_text * self.icfg.max_token_text_ratio), max_len_cap)
         bucket = 128
         max_len = max(bucket, ((max_len + bucket - 1) // bucket) * bucket)
+        return prefix, min_len, max_len
 
+    def generate_tokens(
+        self,
+        rng: jax.Array,
+        text_tokens: np.ndarray,
+        prompt_text: Optional[np.ndarray] = None,
+        prompt_speech_token: Optional[np.ndarray] = None,
+        max_len_cap: int = 2048,
+    ) -> np.ndarray:
+        """[sos, text, task, prompt_speech] prefix -> while-loop decode
+        (llm.py:427-462; no speaker row in CosyVoice2)."""
+        prefix, min_len, max_len = self._build_prefix(
+            text_tokens, prompt_text, prompt_speech_token, max_len_cap)
         res = self._decode_jit(
             self.llm_params, rng, prefix, jnp.asarray(min_len), max_len=max_len,
             top_p=self.icfg.sampling_top_p, top_k=self.icfg.sampling_top_k,
             win_size=self.icfg.ras_win_size, tau_r=self.icfg.ras_tau_r)
         n = int(res.length)
         return np.asarray(res.tokens)[None, :n]
+
+    def generate_tokens_stream(
+        self,
+        rng: jax.Array,
+        text_tokens: np.ndarray,
+        prompt_text: Optional[np.ndarray] = None,
+        prompt_speech_token: Optional[np.ndarray] = None,
+        max_len_cap: int = 2048,
+        seg_tokens: Optional[int] = None,
+    ):
+        """Incremental producer yielding (tokens_so_far, done) per decode
+        segment; bit-identical to generate_tokens (llm_job equivalent,
+        model.py:307-335).  ``stop_at`` bounds decode *attempts* — fill
+        tokens are skipped without storing, so a segment may deliver fewer
+        than seg_tokens net tokens; the consumer just asks again."""
+        prefix, min_len, max_len = self._build_prefix(
+            text_tokens, prompt_text, prompt_speech_token, max_len_cap)
+        kw = dict(max_len=max_len,
+                  top_p=self.icfg.sampling_top_p, top_k=self.icfg.sampling_top_k,
+                  win_size=self.icfg.ras_win_size, tau_r=self.icfg.ras_tau_r)
+        seg = seg_tokens or (2 * self.token_hop_len)
+        state = None
+        target = min(seg, max_len)
+        while True:
+            res, state = self._decode_seg_jit(
+                self.llm_params, rng, prefix, jnp.asarray(min_len),
+                jnp.asarray(target), state, **kw)
+            n = int(res.length)
+            done = bool(np.asarray(state[-1])) or int(np.asarray(state[0])) >= max_len
+            yield np.asarray(res.tokens)[None, :n], done
+            if done:
+                return
+            target = min(target + seg, max_len)
 
     # ------------------------------------------------------------------
 
@@ -210,38 +260,50 @@ class TTS2Pipeline:
         if flow_embedding is None:
             flow_embedding = np.zeros((1, self.fcfg.spk_embed_dim), np.float32)
 
+        vc_tokens = None
         if source_speech_token is not None and source_speech_token.size:
-            tokens = np.asarray(source_speech_token, np.int32).reshape(1, -1)
-        else:
-            tokens = self.generate_tokens(k_llm, text_tokens, prompt_text,
-                                          llm_prompt_speech_token)
+            vc_tokens = np.asarray(source_speech_token, np.int32).reshape(1, -1)
         fp = flow_prompt_speech_token
 
         if not stream:
+            tokens = vc_tokens if vc_tokens is not None else self.generate_tokens(
+                k_llm, text_tokens, prompt_text, llm_prompt_speech_token)
             wav, _ = self.token2wav(k_wav, tokens, fp, prompt_feat, flow_embedding,
                                     token_offset=0, finalize=True, speed=speed)
             yield {"tts_speech": wav}
             return
 
         # streaming: hops of 25 tokens with pre-lookahead; prompt padded to a
-        # hop multiple on the first chunk (model.py:388-404)
+        # hop multiple on the first chunk (model.py:388-404).  Tokens arrive
+        # incrementally from the segmented decoder so the first audio leaves
+        # after ~one hop, not after the full utterance decodes.
+        if vc_tokens is not None:
+            producer = iter([(vc_tokens, True)])
+        else:
+            producer = self.generate_tokens_stream(
+                k_llm, text_tokens, prompt_text, llm_prompt_speech_token)
         n_prompt = fp.shape[1] if fp is not None else 0
         pad0 = int(np.ceil(n_prompt / self.token_hop_len) * self.token_hop_len - n_prompt)
         state = Stream2State()
         token_offset = 0
-        n = tokens.shape[1]
         ki = 0
+        tokens = np.zeros((1, 0), np.int32)
+        llm_done = False
         while True:
             hop = self.token_hop_len + pad0 if token_offset == 0 else self.token_hop_len
-            if n - token_offset < hop + self.fcfg.pre_lookahead_len:
-                break
-            window = tokens[:, : token_offset + hop + self.fcfg.pre_lookahead_len]
-            wav, state = self.token2wav(
-                jax.random.fold_in(k_wav, ki), window, fp, prompt_feat,
-                flow_embedding, token_offset, state, stream=True, finalize=False)
-            token_offset += hop
-            ki += 1
-            yield {"tts_speech": wav}
+            need = token_offset + hop + self.fcfg.pre_lookahead_len
+            while not llm_done and tokens.shape[1] < need:
+                tokens, llm_done = next(producer)
+            if tokens.shape[1] >= need:
+                window = tokens[:, :need]
+                wav, state = self.token2wav(
+                    jax.random.fold_in(k_wav, ki), window, fp, prompt_feat,
+                    flow_embedding, token_offset, state, stream=True, finalize=False)
+                token_offset += hop
+                ki += 1
+                yield {"tts_speech": wav}
+                continue
+            break
         wav, _ = self.token2wav(
             jax.random.fold_in(k_wav, ki), tokens, fp, prompt_feat, flow_embedding,
             token_offset, state, finalize=True)

@@ -203,6 +203,16 @@ class DecodeResult(NamedTuple):
     length: jax.Array  # scalar int32 — number of valid tokens
 
 
+class DecodeState(NamedTuple):
+    """Resumable while-loop state for segment-wise (streaming) decode."""
+    i: jax.Array  # next token index
+    tokens: jax.Array  # (max_len,) buffer
+    last: jax.Array  # previous token id
+    kv_buf: jax.Array  # (nl, 2, H, S, dk)
+    rng: jax.Array
+    done: jax.Array  # bool — EOS emitted
+
+
 def llm_decode(
     p: P,
     cfg: LLMConfig,
@@ -216,7 +226,10 @@ def llm_decode(
     win_size: int = 10,
     tau_r: float = 0.1,
     int8_weights: bool = False,
-) -> DecodeResult:
+    stop_at: Optional[jax.Array] = None,
+    state: Optional[DecodeState] = None,
+    return_state: bool = False,
+):
     """Greedy-loop AR decode with fixed-capacity KV cache (llm.py:164-228).
 
     The whole function jits into one program per (prefix_len, max_len) bucket.
@@ -226,6 +239,12 @@ def llm_decode(
     matmul).  bs=1 decode is weight-bandwidth-bound (PERF.md), so halving
     weight bytes buys ~1.7x tokens/s; prefill and the final logits head stay
     full precision.
+
+    Streaming (the reference's producer-thread token feed, model.py:144-165):
+    pass ``stop_at`` to pause the loop at a token boundary and
+    ``return_state=True`` to get a resumable :class:`DecodeState`; resume by
+    passing it back as ``state`` (prefill is skipped).  Token streams are
+    identical to a single uninterrupted run.
     """
     ecfg = cfg.llm
     D = ecfg.output_size
@@ -352,24 +371,7 @@ def llm_decode(
         x = layer_norm(sp_llm, "after_norm", x, eps=1e-5)
         return x, new_kv
 
-    # ---- prefill: run the plain causal encoder over the L0 prefix and write
-    # each layer's K/V into the fixed-capacity buffers ----
-    x0 = embed_tokens(prefix_emb)
-    pe0 = rel_pos_table(L0, D).astype(dt)
-    causal0 = jnp.where(jnp.arange(L0)[:, None] >= jnp.arange(L0)[None, :], 0.0, M.NEG_BIAS)[None].astype(dt)
-
-    h = x0
-    for i in range(nl):
-        # return_kv exposes the layer's own K/V so the cache seed shares the
-        # norm1 + projection work with the forward pass (no 2x prefill)
-        h, (ki, vi) = transformer_layer(
-            sp_llm, f"encoders.{i}", ecfg, h, causal0, pe0, EVAL, return_kv=True)
-        kv_buf = kv_buf.at[i, 0, :, :L0].set(ki[0].astype(dt))
-        kv_buf = kv_buf.at[i, 1, :, :L0].set(vi[0].astype(dt))
-    h = layer_norm(sp_llm, "after_norm", h, eps=1e-5)
-    logits0 = dense(p, "llm_decoder", h[:, -1])[0]  # (V,)
-
-    # ---- decode loop ----
+    # ---- decode loop helpers ----
     def pos_window_at(L):
         return jax.lax.dynamic_slice(
             pos_ks, (0, 0, S - 1 - L, 0), (nl, H, S, dk))
@@ -382,15 +384,38 @@ def llm_decode(
         logp = logp.at[eos].set(jnp.where(mask_eos, -jnp.inf, logp[eos]))
         return ras_sample(rng_i, logp, tokens, ntok, top_p, top_k, win_size, tau_r)
 
-    tokens = jnp.full((max_len,), -1, jnp.int32)
+    if state is None:
+        # ---- prefill: run the plain causal encoder over the L0 prefix and
+        # write each layer's K/V into the fixed-capacity buffers ----
+        x0 = embed_tokens(prefix_emb)
+        pe0 = rel_pos_table(L0, D).astype(dt)
+        causal0 = jnp.where(jnp.arange(L0)[:, None] >= jnp.arange(L0)[None, :],
+                            0.0, M.NEG_BIAS)[None].astype(dt)
+        h = x0
+        for i in range(nl):
+            # return_kv exposes the layer's own K/V so the cache seed shares
+            # the norm1 + projection work with the forward pass (no 2x prefill)
+            h, (ki, vi) = transformer_layer(
+                sp_llm, f"encoders.{i}", ecfg, h, causal0, pe0, EVAL, return_kv=True)
+            kv_buf = kv_buf.at[i, 0, :, :L0].set(ki[0].astype(dt))
+            kv_buf = kv_buf.at[i, 1, :, :L0].set(vi[0].astype(dt))
+        h = layer_norm(sp_llm, "after_norm", h, eps=1e-5)
+        logits0 = dense(p, "llm_decoder", h[:, -1])[0]  # (V,)
 
-    k_s, rng = jax.random.split(rng)
-    first = sample(k_s, logits0, jnp.asarray(0), tokens, jnp.asarray(0)).astype(jnp.int32)
-    tokens = tokens.at[0].set(first)
+        tokens = jnp.full((max_len,), -1, jnp.int32)
+        k_s, rng = jax.random.split(rng)
+        first = sample(k_s, logits0, jnp.asarray(0), tokens,
+                       jnp.asarray(0)).astype(jnp.int32)
+        tokens = tokens.at[0].set(first)
+        state = DecodeState(i=jnp.asarray(1), tokens=tokens, last=first,
+                            kv_buf=kv_buf, rng=rng, done=first == eos)
+
+    stop = jnp.asarray(max_len) if stop_at is None else jnp.minimum(
+        jnp.asarray(stop_at), max_len)
 
     def cond(state):
         i, tokens, last, kvb, rng, done = state
-        return (~done) & (i < max_len)
+        return (~done) & (i < stop)
 
     def body(state):
         i, tokens, last, kvb, rng, done = state
@@ -407,12 +432,13 @@ def llm_decode(
         tok = sample(k_i, logits, i, tokens, i).astype(jnp.int32)
         is_eos = tok == eos
         tokens = jnp.where(is_eos, tokens, tokens.at[i].set(tok))
-        return (i + 1, tokens, tok, kvb, rng, is_eos)
+        return DecodeState(i + 1, tokens, tok, kvb, rng, is_eos)
 
-    state = (jnp.asarray(1), tokens, first, kv_buf, rng, first == eos)
-    i, tokens, last, _, _, done = jax.lax.while_loop(cond, body, state)
-    length = jnp.sum(tokens >= 0)
-    return DecodeResult(tokens=tokens, length=length)
+    out = jax.lax.while_loop(cond, body, state)
+    result = DecodeResult(tokens=out.tokens, length=jnp.sum(out.tokens >= 0))
+    if return_state:
+        return result, out
+    return result
 
 
 # ---------------------------------------------------------------------------

@@ -273,8 +273,16 @@ def qwen2lm_decode(
     top_k: int = 25,
     win_size: int = 10,
     tau_r: float = 0.1,
-) -> DecodeResult:
-    """Fixed-capacity while-loop decode with GQA caches (llm.py:495-511)."""
+    stop_at=None,
+    state=None,
+    return_state: bool = False,
+):
+    """Fixed-capacity while-loop decode with GQA caches (llm.py:495-511).
+
+    ``stop_at``/``state``/``return_state`` give segment-wise (streaming)
+    decode with bit-identical token streams — see models.llm.llm_decode.
+    Note ``stop_at`` bounds the step counter ``i`` (attempts incl. skipped
+    fill tokens), matching the non-streaming loop's bound."""
     q = cfg.qwen
     L0 = prefix_emb.shape[1]
     S = L0 + max_len
@@ -312,9 +320,12 @@ def qwen2lm_decode(
     is_special0 = first >= eos
     tokens = jnp.where(is_special0, tokens, tokens.at[0].set(first))
 
+    stop = jnp.asarray(max_len) if stop_at is None else jnp.minimum(
+        jnp.asarray(stop_at), max_len)
+
     def cond_fn(state):
         i, n, tokens, last, kb, vb, rng, done = state
-        return (~done) & (i < max_len)
+        return (~done) & (i < stop)
 
     def body(state):
         i, n, tokens, last, kb, vb, rng, done = state
@@ -342,10 +353,16 @@ def qwen2lm_decode(
         last = jnp.where(is_skip, last, tok)
         return (i + 1, n, tokens, last, new_kb, new_vb, rng, is_eos)
 
-    n0 = jnp.where(is_special0, 0, 1)
-    state = (jnp.asarray(1), n0, tokens, first, k_buf, v_buf, rng, first == eos)
-    _, n, tokens, _, _, _, _, _ = jax.lax.while_loop(cond_fn, body, state)
-    return DecodeResult(tokens=tokens, length=n)
+    if state is None:
+        n0 = jnp.where(is_special0, 0, 1)
+        state = (jnp.asarray(1), n0, tokens, first, k_buf, v_buf, rng,
+                 first == eos)
+    out = jax.lax.while_loop(cond_fn, body, state)
+    _, n, tokens_o, _, _, _, _, done = out
+    result = DecodeResult(tokens=tokens_o, length=n)
+    if return_state:
+        return result, out
+    return result
 
 
 class Qwen2StreamDecoder:

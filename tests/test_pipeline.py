@@ -73,3 +73,33 @@ def test_prompted_synthesis_with_boundary_trim():
                                 prompt_feat=prompt_feat, spk_embedding=spk))
     wav = outs[0]["tts_speech"]
     assert np.isfinite(wav).all() and wav.shape[1] > 0
+
+
+def test_stream_token_producer_matches_full_decode():
+    """Segment-wise decode (the streaming producer) must yield exactly the
+    tokens of one uninterrupted decode under the same rng."""
+    pipe = _build_pipeline()
+    text = np.random.default_rng(3).integers(0, 40, (1, 8)).astype(np.int32)
+    rng = jax.random.PRNGKey(11)
+    full = pipe.generate_tokens(rng, text)
+    chunks = list(pipe.generate_tokens_stream(rng, text))
+    assert chunks[-1][1] is True
+    np.testing.assert_array_equal(chunks[-1][0], full)
+    # monotone prefix property
+    prev = 0
+    for toks, _done in chunks:
+        assert toks.shape[1] >= prev
+        np.testing.assert_array_equal(toks[:, :prev], chunks[-1][0][:, :prev])
+        prev = toks.shape[1]
+
+
+def test_streaming_synthesis_smoke():
+    pipe = _build_pipeline()
+    text = np.random.default_rng(4).integers(0, 40, (1, 8)).astype(np.int32)
+    outs = list(pipe.synthesize(jax.random.PRNGKey(12), text, stream=True))
+    assert len(outs) >= 1
+    for o in outs:
+        wav = o["tts_speech"]
+        assert wav.ndim == 2 and np.isfinite(wav).all()
+    total = sum(o["tts_speech"].shape[1] for o in outs)
+    assert total > 0

@@ -76,3 +76,23 @@ def test_cosyvoice2_vc_and_prompted():
     wav = outs[0]["tts_speech"]
     assert wav.shape[1] == 12 * 2 * 256  # 12 tokens * ratio 2 * 256 samples/frame
     assert np.isfinite(wav).all()
+
+
+def test_cosyvoice2_stream_producer_matches_full():
+    pipe = _pipe()
+    text = np.random.default_rng(2).integers(0, 50, (1, 6)).astype(np.int32)
+    rng = jax.random.PRNGKey(9)
+    full = pipe.generate_tokens(rng, text)
+    chunks = list(pipe.generate_tokens_stream(rng, text, seg_tokens=4))
+    assert chunks[-1][1] is True
+    np.testing.assert_array_equal(chunks[-1][0], full)
+
+
+def test_cosyvoice2_streaming_synthesis_smoke():
+    pipe = _pipe()
+    text = np.random.default_rng(3).integers(0, 50, (1, 6)).astype(np.int32)
+    outs = list(pipe.synthesize(jax.random.PRNGKey(10), text, stream=True))
+    assert len(outs) >= 1
+    for o in outs:
+        assert np.isfinite(o["tts_speech"]).all()
+    assert sum(o["tts_speech"].shape[1] for o in outs) > 0

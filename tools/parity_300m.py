@@ -163,6 +163,19 @@ sol_j = F.cfm_solve_euler(
     jnp.asarray(cond[:1]), nfe, EVAL)
 check("flow.euler_solve_nfe10", sol_j, sol_t.numpy(), 2e-3)
 
+# MCD between the two stacks' generated mels (the north-star quality gate,
+# BASELINE.md): denormalize both to natural-log mel and measure.  Identical
+# z/conditioning means this isolates implementation divergence only.
+from cosy_tpu.ops.mcd import mcd  # noqa: E402
+
+mel_j = np.asarray(sol_j)[0].T * 2.0 + (-6.0)  # (T, 80) log-mel
+mel_t = sol_t.numpy()[0].T * 2.0 + (-6.0)
+mcd_db = mcd(mel_j, mel_t, align=False)
+REPORT["flow.mcd_between_stacks_db"] = {"rel_err": mcd_db, "tol": 0.01,
+                                        "ok": bool(mcd_db < 0.01)}
+print(f"[{'OK ' if mcd_db < 0.01 else 'FAIL'}] flow.mcd_between_stacks_db: "
+      f"{mcd_db:.5f} dB (tol 0.01)", flush=True)
+
 # 5. LoRA gradient parity on the full no-prompt flow loss
 #    (the fine-tune training path: flow_model.py:402-473 + lora.py, with the
 #    three random draws in compute_loss injected identically on both sides)
