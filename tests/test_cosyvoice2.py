@@ -176,3 +176,30 @@ def test_flow2_train_and_inference():
     mel_p = flow2_inference(P(params), cfg, tok, ptok, pfeat, spk, n_timesteps=2,
                             finalize=False, streaming=True)
     assert mel_p.shape == (1, 8, (10 - cfg.pre_lookahead_len) * 2)
+
+
+def test_qwen2lm_inference_bistream_streaming_text():
+    """Streaming-text generator (llm.py:513-611): speech tokens arrive as
+    text chunks do, with [5 text | 15 speech] interleaving and fill-token
+    bookkeeping; terminates with a valid stream."""
+    from cosy_tpu.models.qwen2lm import (qwen2lm_inference_bistream,
+                                         init_qwen2lm_params)
+
+    cfg = Qwen2LMConfig(llm_input_size=32, llm_output_size=32, speech_token_size=30,
+                        qwen=TINY_QWEN)
+    params = init_qwen2lm_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(5)
+    chunks = [rng.integers(0, 50, (1, n)).astype(np.int32) for n in (5, 5, 3)]
+    toks = list(qwen2lm_inference_bistream(
+        P(params), cfg, jax.random.PRNGKey(1), iter(chunks), max_tokens=60,
+        capacity=256))
+    assert len(toks) > 0
+    assert all(0 <= t < 30 for t in toks)  # specials never yielded
+
+    # with a speech prompt, the prompt interleaves before generation starts
+    toks2 = list(qwen2lm_inference_bistream(
+        P(params), cfg, jax.random.PRNGKey(2), iter(chunks),
+        prompt_text=jnp.asarray(rng.integers(0, 50, (1, 4))),
+        prompt_speech_token=jnp.asarray(rng.integers(0, 30, (1, 12))),
+        max_tokens=60, capacity=256))
+    assert all(0 <= t < 30 for t in toks2)
