@@ -458,3 +458,207 @@ def init_llm_params(key: jax.Array, cfg: LLMConfig) -> Params:
     init_embedding(kg(), d, "speech_embedding", cfg.speech_token_size, cfg.llm_input_size)
     init_linear(kg(), d, "spk_embed_affine_layer", cfg.spk_embed_dim, cfg.llm_input_size)
     return d
+
+
+class BatchDecodeResult(NamedTuple):
+    tokens: jax.Array  # (B, max_len) int32, -1 padded
+    lengths: jax.Array  # (B,) valid counts
+
+
+def llm_decode_batch(
+    p: P,
+    cfg: LLMConfig,
+    rng: jax.Array,
+    prefix_emb: jax.Array,  # (B, L0, D) LEFT-padded prefixes
+    prefix_valid: jax.Array,  # (B,) valid prefix lengths (right-aligned)
+    min_len: jax.Array,  # (B,)
+    max_len: int,
+    top_p: float = 0.8,
+    top_k: int = 25,
+    win_size: int = 10,
+    tau_r: float = 0.1,
+    int8_weights: bool = False,
+) -> BatchDecodeResult:
+    """Batched AR decode for serving throughput.
+
+    bs=1 decode is weight-bandwidth-bound (PERF.md): every token reads the
+    whole LLM.  Batching B requests amortizes that read, so aggregate tok/s
+    scales nearly with B.  Prefixes are LEFT-padded so every sample shares
+    absolute positions and cache slots (padding keys are masked out, which
+    makes each sample's logits exactly those of an unpadded run); sample
+    ``b``'s rng stream is ``fold_in(rng, b)``, so its tokens equal a
+    ``llm_decode`` call with that key.
+    """
+    ecfg = cfg.llm
+    D, H, dk, nl = (ecfg.output_size, ecfg.attention_heads, ecfg.head_dim,
+                    ecfg.num_blocks)
+    B, L0 = prefix_emb.shape[0], prefix_emb.shape[1]
+    S = L0 + max_len
+    dt = prefix_emb.dtype
+    eos = cfg.speech_token_size
+    sp_llm = p.sub("llm")
+    start = (L0 - prefix_valid.astype(jnp.int32))  # (B,) first valid key slot
+
+    def embed_tokens(x):
+        sp = sp_llm.sub("embed")
+        x = dense(sp, "out.0", x)
+        x = layer_norm(sp, "out.1", x, eps=1e-5)
+        x = jax.nn.relu(x)
+        return x * jnp.asarray(D, dt) ** 0.5
+
+    table = rel_pos_table(S, D).astype(dt)
+    pos_ks = jnp.stack([
+        _split_heads(dense(sp_llm.sub(f"encoders.{i}.self_attn"), "linear_pos",
+                           table), H)[0] for i in range(nl)])  # (nl, H, 2S-1, dk)
+
+    import math as _math
+
+    from ..layers.basic import ACT
+
+    _lp = sp_llm.prefix + "encoders.0."
+    layer_names = sorted({k[len(_lp):] for k in sp_llm.d if k.startswith(_lp)})
+    stacked = {n: jnp.stack(
+        [sp_llm[f"encoders.{i}.{n}"] for i in range(nl)]) for n in layer_names}
+    stacked["wqkv"] = jnp.concatenate(
+        [stacked.pop("self_attn.linear_q.weight"),
+         stacked.pop("self_attn.linear_k.weight"),
+         stacked.pop("self_attn.linear_v.weight")], axis=1)
+    stacked["bqkv"] = jnp.concatenate(
+        [stacked.pop("self_attn.linear_q.bias"),
+         stacked.pop("self_attn.linear_k.bias"),
+         stacked.pop("self_attn.linear_v.bias")], axis=1)
+    stacked.pop("self_attn.linear_pos.weight", None)
+    if int8_weights:
+        for name in ("wqkv", "self_attn.linear_out.weight",
+                     "feed_forward.w_1.weight", "feed_forward.w_2.weight"):
+            w32 = stacked[name].astype(jnp.float32)
+            s = jnp.maximum(jnp.max(jnp.abs(w32), axis=-1, keepdims=True) / 127.0,
+                            1e-12)
+            stacked[name] = jnp.clip(jnp.round(w32 / s), -127, 127).astype(jnp.int8)
+            stacked[name + "@scale"] = s[..., 0].astype(jnp.float32)
+
+    def _mm(x, ld, name):
+        w = ld[name]
+        if w.dtype == jnp.int8:
+            return (x @ w.T.astype(x.dtype)) * ld[name + "@scale"].astype(x.dtype)
+        return x @ w.T.astype(x.dtype)
+
+    act = ACT[ecfg.activation_type]
+    eps_l = ecfg.layer_norm_eps
+    inv_sqrt_dk = 1.0 / _math.sqrt(dk)
+
+    def _ln(x, wgt, b, eps):
+        xf = x.astype(jnp.float32)
+        m = jnp.mean(xf, axis=-1, keepdims=True)
+        v = jnp.mean(jnp.square(xf - m), axis=-1, keepdims=True)
+        y = (xf - m) * jax.lax.rsqrt(v + eps)
+        return (y * wgt.astype(jnp.float32) + b.astype(jnp.float32)).astype(x.dtype)
+
+    # ---- prefill (padded queries compute garbage but their keys are never
+    # attended; outputs read only at the right-aligned last position) ----
+    x0 = embed_tokens(prefix_emb)
+    pe0 = rel_pos_table(L0, D).astype(dt)
+    kq = jnp.arange(L0)
+    vis = (kq[None, None, :] <= kq[None, :, None]) & \
+          (kq[None, None, :] >= start[:, None, None])  # (B, L0, L0)
+    bias0 = jnp.where(vis, 0.0, M.NEG_BIAS).astype(dt)
+    kv_buf = jnp.zeros((nl, 2, B, H, S, dk), dt)
+    h = x0
+    for i in range(nl):
+        h, (ki, vi) = transformer_layer(
+            sp_llm, f"encoders.{i}", ecfg, h, bias0, pe0, EVAL, return_kv=True)
+        kv_buf = kv_buf.at[i, 0, :, :, :L0].set(ki.astype(dt))
+        kv_buf = kv_buf.at[i, 1, :, :, :L0].set(vi.astype(dt))
+    h = layer_norm(sp_llm, "after_norm", h, eps=1e-5)
+    logits0 = dense(p, "llm_decoder", h[:, -1])  # (B, V)
+
+    def pos_window_at(L):
+        return jax.lax.dynamic_slice(
+            pos_ks, (0, 0, S - 1 - L, 0), (nl, H, S, dk))
+
+    def sample_one(rng_i, logits, step_i, tokens_b, ntok, min_b):
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32))
+        mask_eos = (step_i == 0) | (step_i < min_b)
+        logp = logp.at[eos].set(jnp.where(mask_eos, -jnp.inf, logp[eos]))
+        return ras_sample(rng_i, logp, tokens_b, ntok, top_p, top_k,
+                          win_size, tau_r)
+
+    sample_vec = jax.vmap(sample_one, in_axes=(0, 0, None, 0, None, 0))
+
+    def run_layers(x, kvbuf, L, attn_bias, pos_win):
+        """x: (B, 1, D). kvbuf: (nl, 2, B, H, S, dk). attn_bias: (B, 1, 1, S)."""
+        bias_f = attn_bias.astype(jnp.float32)
+
+        def body(hc, xs):
+            ld, kv_i, pk_i = xs
+            w = {k_: v_.astype(hc.dtype) for k_, v_ in ld.items()
+                 if v_.dtype != jnp.int8 and not k_.endswith("@scale")}
+            hn = _ln(hc, ld["norm1.weight"], ld["norm1.bias"], eps_l)
+            qkv = _mm(hn[:, 0], ld, "wqkv") + w["bqkv"]  # (B, 3D)
+            q = qkv[:, :D].reshape(B, H, 1, dk)
+            k = qkv[:, D:2 * D].reshape(B, H, dk)
+            v = qkv[:, 2 * D:].reshape(B, H, dk)
+            kv_i = jax.lax.dynamic_update_slice(
+                kv_i, jnp.stack([k, v])[:, :, :, None, :].astype(kv_i.dtype),
+                (0, 0, 0, L, 0))
+            kc, vc = kv_i[0], kv_i[1]  # (B, H, S, dk)
+            q_u = q + w["self_attn.pos_bias_u"][None, :, None, :]
+            q_v = q + w["self_attn.pos_bias_v"][None, :, None, :]
+            scores = (jnp.einsum("bhtd,bhsd->bhts", q_u, kc.astype(hc.dtype))
+                      + jnp.einsum("bhtd,hsd->bhts", q_v, pk_i.astype(hc.dtype)))
+            scores = scores * inv_sqrt_dk
+            attn = jax.nn.softmax(scores.astype(jnp.float32) + bias_f,
+                                  axis=-1).astype(hc.dtype)
+            o = jnp.einsum("bhts,bhsd->bhtd", attn, vc.astype(hc.dtype))
+            o = o.transpose(0, 2, 1, 3).reshape(B, D)
+            o = _mm(o, ld, "self_attn.linear_out.weight") \
+                + w["self_attn.linear_out.bias"]
+            hc = hc + o[:, None]
+            hn2 = _ln(hc, ld["norm2.weight"], ld["norm2.bias"], eps_l)
+            f = act(_mm(hn2, ld, "feed_forward.w_1.weight")
+                    + w["feed_forward.w_1.bias"])
+            f = _mm(f, ld, "feed_forward.w_2.weight") + w["feed_forward.w_2.bias"]
+            return hc + f, kv_i
+
+        x, new_kv = jax.lax.scan(body, x, (stacked, kvbuf, pos_win))
+        x = layer_norm(sp_llm, "after_norm", x, eps=1e-5)
+        return x, new_kv
+
+    tokens = jnp.full((B, max_len), -1, jnp.int32)
+    rngs = jax.vmap(lambda b: jax.random.fold_in(rng, b))(jnp.arange(B))
+    split2 = jax.vmap(jax.random.split)
+    ks = split2(rngs)
+    k_s, rngs = ks[:, 0], ks[:, 1]
+    first = sample_vec(k_s, logits0, jnp.asarray(0), tokens,
+                       jnp.asarray(0), min_len).astype(jnp.int32)
+    tokens = tokens.at[:, 0].set(first)
+    done0 = first == eos
+    tokens = tokens.at[:, 0].set(jnp.where(done0, -1, first))
+
+    def cond(st):
+        i, tokens, last, kvb, rngs, done = st
+        return jnp.any(~done) & (i < max_len)
+
+    def body(st):
+        i, tokens, last, kvb, rngs, done = st
+        L = L0 + i - 1
+        x = embedding(p, "speech_embedding", jnp.maximum(last, 0)[:, None])
+        x = embed_tokens(x)
+        kpos = jnp.arange(S)[None, :]
+        bias = jnp.where((kpos <= L) & (kpos >= start[:, None]), 0.0,
+                         M.NEG_BIAS).astype(dt)[:, None, None, :]  # (B,1,1,S)
+        h, kvb = run_layers(x, kvb, L, bias, pos_window_at(L))
+        logits = dense(p, "llm_decoder", h[:, -1])  # (B, V)
+        ks = split2(rngs)
+        k_i, rngs = ks[:, 0], ks[:, 1]
+        tok = sample_vec(k_i, logits, i, tokens, i, min_len).astype(jnp.int32)
+        is_eos = tok == eos
+        freeze = done | is_eos
+        col = jnp.where(freeze, tokens[:, i], tok)
+        tokens = tokens.at[:, i].set(col)
+        last = jnp.where(freeze, last, tok)
+        return (i + 1, tokens, last, kvb, rngs, done | is_eos)
+
+    st = (jnp.asarray(1), tokens, jnp.maximum(first, 0), kv_buf, rngs, done0)
+    _, tokens, _, _, _, _ = jax.lax.while_loop(cond, body, st)
+    return BatchDecodeResult(tokens=tokens, lengths=jnp.sum(tokens >= 0, axis=1))
