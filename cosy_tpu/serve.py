@@ -35,10 +35,20 @@ def wav_bytes(wav: np.ndarray, sr: int) -> bytes:
 
 
 class TTSServer:
-    def __init__(self, api, lock: Optional[threading.Lock] = None):
+    def __init__(self, api, lock: Optional[threading.Lock] = None,
+                 batch_window_ms: float = 20.0, max_batch: int = 8):
         self.api = api
         # single-chip: serialize device work; the jitted stages batch internally
         self.lock = lock or threading.Lock()
+        # dynamic batching for non-streaming prompt-free requests: requests
+        # arriving within the window share one llm_decode_batch call
+        # (PERF.md: 2.5x aggregate tok/s at B=8)
+        self.batch_window_ms = batch_window_ms
+        self.max_batch = max_batch
+        self._queue: list = []
+        self._queue_lock = threading.Lock()
+        self._worker_busy = threading.Lock()
+        self.batches_run = 0  # observability
 
     def synthesize(self, text: str, spk_id: str = "", speed: float = 1.0,
                    stream: bool = False):
@@ -49,12 +59,58 @@ class TTSServer:
                 # prompt-free path with zero speaker embedding
                 ids = self.api.frontend.extract_text_token(
                     self.api.frontend.normalize(text, split=False))
-                zero = np.zeros((1, 192), np.float32)
+                zero = np.zeros((1, self.api.model.cfg.llm.spk_embed_dim),
+                                np.float32)
                 gen = self.api.model.synthesize(
                     self.api._next_rng(), ids, spk_embedding=zero,
                     stream=stream, speed=speed)
             for out in gen:
                 yield out["tts_speech"][0]
+
+    def synthesize_batched(self, text: str, speed: float = 1.0) -> np.ndarray:
+        """Enqueue a prompt-free request; a leader thread drains the queue
+        into one micro-batched decode.  Blocks until this request's wav is
+        ready."""
+        import time
+
+        ids = self.api.frontend.extract_text_token(
+            self.api.frontend.normalize(text, split=False))
+        item = {"ids": ids, "speed": speed, "event": threading.Event(),
+                "wav": None, "err": None}
+        with self._queue_lock:
+            self._queue.append(item)
+        # one request thread becomes the leader and runs the batch
+        with self._worker_busy:
+            if item["event"].is_set():  # a previous leader served us
+                pass
+            else:
+                time.sleep(self.batch_window_ms / 1e3)  # collection window
+                with self._queue_lock:
+                    batch, self._queue = (self._queue[: self.max_batch],
+                                          self._queue[self.max_batch:])
+                if batch:
+                    try:
+                        spk_dim = self.api.model.cfg.llm.spk_embed_dim
+                        zero = np.zeros((1, spk_dim), np.float32)
+                        with self.lock:
+                            wavs = self.api.model.synthesize_batch(
+                                self.api._next_rng(),
+                                [b["ids"] for b in batch],
+                                [zero] * len(batch),
+                                speed=batch[0]["speed"])
+                        for b, w in zip(batch, wavs):
+                            b["wav"] = w[0]
+                    except Exception as e:  # noqa: BLE001
+                        for b in batch:
+                            b["err"] = e
+                    finally:
+                        self.batches_run += 1
+                        for b in batch:
+                            b["event"].set()
+        item["event"].wait()
+        if item["err"] is not None:
+            raise item["err"]
+        return item["wav"]
 
 
 def make_handler(server: TTSServer, sample_rate: int):
@@ -85,10 +141,15 @@ def make_handler(server: TTSServer, sample_rate: int):
                 self.end_headers()
                 self.wfile.write(f"bad request: {e}".encode())
                 return
-            chunks = list(server.synthesize(
-                text, req.get("spk_id", ""), float(req.get("speed", 1.0)),
-                bool(req.get("stream", False))))
-            wav = np.concatenate(chunks)
+            stream = bool(req.get("stream", False))
+            spk_id = req.get("spk_id", "")
+            if not stream and not spk_id and hasattr(server.api.model,
+                                                     "synthesize_batch"):
+                # concurrent prompt-free requests share a micro-batched decode
+                wav = server.synthesize_batched(text, float(req.get("speed", 1.0)))
+            else:
+                wav = np.concatenate(list(server.synthesize(
+                    text, spk_id, float(req.get("speed", 1.0)), stream)))
             body = wav_bytes(wav, sample_rate)
             self.send_response(200)
             self.send_header("Content-Type", "audio/wav")

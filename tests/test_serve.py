@@ -62,3 +62,33 @@ def test_http_tts_round_trip():
         assert ei.value.code == 400
     finally:
         httpd.shutdown()
+
+
+def test_concurrent_requests_share_a_batch():
+    """Concurrent prompt-free requests within the window run as ONE
+    micro-batched decode (llm_decode_batch), not N serial decodes."""
+    api = _make_api()
+    orig = api.frontend.extract_text_token
+    api.frontend.extract_text_token = lambda text: orig(text) % 40
+    server = TTSServer(api, batch_window_ms=300.0, max_batch=8)
+
+    results = {}
+    errs = []
+
+    def one(i):
+        try:
+            results[i] = server.synthesize_batched(f"hello number {i}.")
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=one, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert not errs, errs
+    assert len(results) == 3
+    for wav in results.values():
+        assert wav.ndim == 1 and wav.size > 0 and np.isfinite(wav).all()
+    # all three arrived within the window -> one (or at most two) batches
+    assert server.batches_run <= 2, server.batches_run
