@@ -338,8 +338,15 @@ class DataLoader:
         if self.prefetch_depth > 0:
             from .prefetch import prefetch as _prefetch
 
-            return iter(_prefetch(it, self.prefetch_depth))
-        return it
+            pf = _prefetch(it, self.prefetch_depth)
+            try:
+                yield from pf
+            finally:
+                # unblock the worker thread when the consumer stops early
+                # (preemption, early-stop, exceptions)
+                pf.close()
+            return
+        yield from it
 
     def _iter_batches(self) -> Iterator[Dict[str, np.ndarray]]:
         idx = np.arange(len(self.ds))

@@ -128,12 +128,13 @@ class TTSPipeline:
             _decode_seg_fn, static_argnames=("prefix_len", "max_len", "top_p",
                                              "top_k", "win_size", "tau_r"))
 
-        def _decode_batch_fn(params, rng, prefix, valid, min_lens, *, max_len):
+        def _decode_batch_fn(params, rng, prefix, valid, min_lens, max_lens, *,
+                             max_len):
             return L.llm_decode_batch(
                 P(params), self.cfg.llm, rng, prefix, valid, min_lens, max_len,
                 top_p=self.icfg.sampling_top_p, top_k=self.icfg.sampling_top_k,
                 win_size=self.icfg.ras_win_size, tau_r=self.icfg.ras_tau_r,
-                int8_weights=self.icfg.int8_decode)
+                int8_weights=self.icfg.int8_decode, max_lens=max_lens)
 
         self._decode_batch_jit = jax.jit(_decode_batch_fn,
                                          static_argnames=("max_len",))
@@ -252,7 +253,7 @@ class TTSPipeline:
         rng: jax.Array,
         text_tokens_list,  # list of (1, Tt) arrays
         spk_embeddings=None,  # list of (1, 192) or None entries
-        speed: float = 1.0,
+        speed=1.0,  # float or per-request list
         max_len_cap: int = 2048,
     ):
         """Micro-batched non-streaming synthesis for serving: one
@@ -262,6 +263,7 @@ class TTSPipeline:
         B = len(text_tokens_list)
         if spk_embeddings is None:
             spk_embeddings = [None] * B
+        speeds = list(speed) if isinstance(speed, (list, tuple)) else [speed] * B
         built = [self._build_prefix(t, None, None, s, max_len_cap)
                  for t, s in zip(text_tokens_list, spk_embeddings)]
         L0 = max(int(pr.shape[1]) for pr, _, _ in built)
@@ -272,10 +274,13 @@ class TTSPipeline:
             for pr, _, _ in built], axis=0)
         valid = jnp.asarray([pr.shape[1] for pr, _, _ in built], jnp.int32)
         min_lens = jnp.asarray([mn for _, mn, _ in built], jnp.int32)
+        # each request keeps ITS OWN decode cap (not the batch max)
+        max_lens = jnp.asarray([ml for _, _, ml in built], jnp.int32)
 
         k_llm, k_wav = jax.random.split(rng)
         res = self._decode_batch_jit(
-            self.llm_params, k_llm, prefix, valid, min_lens, max_len=max_len)
+            self.llm_params, k_llm, prefix, valid, min_lens, max_lens,
+            max_len=max_len)
         wavs = []
         for b in range(B):
             n = int(res.lengths[b])
@@ -284,7 +289,7 @@ class TTSPipeline:
                 jax.random.fold_in(k_wav, b), tokens, None, None,
                 np.zeros((1, self.cfg.llm.spk_embed_dim), np.float32)
                 if spk_embeddings[b] is None else np.asarray(spk_embeddings[b]),
-                finalize=True, speed=speed)
+                finalize=True, speed=speeds[b])
             wavs.append(wav)
         return wavs
 

@@ -112,7 +112,6 @@ def transformer_decoder_forward(
         x = decoder_layer(p, f"decoders.{i}", cfg, x, tgt_bias, memory, mem_bias, ctx)
     x = layer_norm(p, "after_norm", x, eps=cfg.layer_norm_eps)
     logits = dense(p, "output_layer", x, ctx)
-    olens = jnp.sum(tgt_mask, axis=1)[:, -1]  # valid length per sample
     return logits, jnp.sum(pad, axis=-1)
 
 

@@ -213,6 +213,56 @@ class DecodeState(NamedTuple):
     done: jax.Array  # bool — EOS emitted
 
 
+# ---------------------------------------------------------------------------
+# Fused decode-step helpers (shared by llm_decode / llm_decode_batch)
+# ---------------------------------------------------------------------------
+
+
+def _stack_decode_layers(sp_llm: P, nl: int, int8_weights: bool) -> Dict[str, jax.Array]:
+    """Stack per-layer params into (nl, ...) arrays with QKV concatenated
+    into one matmul; optionally int8 weight-only quantize the four big
+    matrices (per-output-channel scales)."""
+    _lp = sp_llm.prefix + "encoders.0."
+    layer_names = sorted({k[len(_lp):] for k in sp_llm.d if k.startswith(_lp)})
+    stacked = {n: jnp.stack(
+        [sp_llm[f"encoders.{i}.{n}"] for i in range(nl)]) for n in layer_names}
+    stacked["wqkv"] = jnp.concatenate(
+        [stacked.pop("self_attn.linear_q.weight"),
+         stacked.pop("self_attn.linear_k.weight"),
+         stacked.pop("self_attn.linear_v.weight")], axis=1)  # (nl, 3D, D)
+    stacked["bqkv"] = jnp.concatenate(
+        [stacked.pop("self_attn.linear_q.bias"),
+         stacked.pop("self_attn.linear_k.bias"),
+         stacked.pop("self_attn.linear_v.bias")], axis=1)  # (nl, 3D)
+    stacked.pop("self_attn.linear_pos.weight", None)  # hoisted into pos_ks
+    if int8_weights:
+        for name in ("wqkv", "self_attn.linear_out.weight",
+                     "feed_forward.w_1.weight", "feed_forward.w_2.weight"):
+            w32 = stacked[name].astype(jnp.float32)  # (nl, O, I)
+            sc = jnp.maximum(
+                jnp.max(jnp.abs(w32), axis=-1, keepdims=True) / 127.0, 1e-12)
+            stacked[name] = jnp.clip(jnp.round(w32 / sc), -127, 127).astype(jnp.int8)
+            stacked[name + "@scale"] = sc[..., 0].astype(jnp.float32)  # (nl, O)
+    return stacked
+
+
+def _matmul_q(x, ld, name):
+    """x @ W^T (+ dequant) for a possibly-int8 stacked weight slice."""
+    w = ld[name]
+    if w.dtype == jnp.int8:
+        return (x @ w.T.astype(x.dtype)) * ld[name + "@scale"].astype(x.dtype)
+    return x @ w.T.astype(x.dtype)
+
+
+def _ln_f32(x, w, b, eps):
+    """Identical to layers.basic.layer_norm (fp32 stats + affine)."""
+    xf = x.astype(jnp.float32)
+    m = jnp.mean(xf, axis=-1, keepdims=True)
+    v = jnp.mean(jnp.square(xf - m), axis=-1, keepdims=True)
+    y = (xf - m) * jax.lax.rsqrt(v + eps)
+    return (y * w.astype(jnp.float32) + b.astype(jnp.float32)).astype(x.dtype)
+
+
 def llm_decode(
     p: P,
     cfg: LLMConfig,
@@ -287,47 +337,11 @@ def llm_decode(
 
     from ..layers.basic import ACT
 
-    _lp = sp_llm.prefix + "encoders.0."
-    layer_names = sorted({k[len(_lp):] for k in sp_llm.d if k.startswith(_lp)})
-    stacked = {n: jnp.stack(
-        [sp_llm[f"encoders.{i}.{n}"] for i in range(nl)]) for n in layer_names}
-    stacked["wqkv"] = jnp.concatenate(
-        [stacked.pop("self_attn.linear_q.weight"),
-         stacked.pop("self_attn.linear_k.weight"),
-         stacked.pop("self_attn.linear_v.weight")], axis=1)  # (nl, 3D, D)
-    stacked["bqkv"] = jnp.concatenate(
-        [stacked.pop("self_attn.linear_q.bias"),
-         stacked.pop("self_attn.linear_k.bias"),
-         stacked.pop("self_attn.linear_v.bias")], axis=1)  # (nl, 3D)
-    stacked.pop("self_attn.linear_pos.weight", None)  # hoisted into pos_ks
+    stacked = _stack_decode_layers(sp_llm, nl, int8_weights)
     act = ACT[ecfg.activation_type]
     eps_l = ecfg.layer_norm_eps
     inv_sqrt_dk = 1.0 / _math.sqrt(dk)
-
-    _QUANT = ("wqkv", "self_attn.linear_out.weight",
-              "feed_forward.w_1.weight", "feed_forward.w_2.weight")
-    if int8_weights:
-        for name in _QUANT:
-            w32 = stacked[name].astype(jnp.float32)  # (nl, O, I)
-            s = jnp.max(jnp.abs(w32), axis=-1, keepdims=True) / 127.0  # (nl, O, 1)
-            s = jnp.maximum(s, 1e-12)
-            stacked[name] = jnp.clip(jnp.round(w32 / s), -127, 127).astype(jnp.int8)
-            stacked[name + "@scale"] = s[..., 0].astype(jnp.float32)  # (nl, O)
-
-    def _matmul_q(x, ld, name):
-        """x @ W^T (+ dequant) for a possibly-int8 stacked weight."""
-        w = ld[name]
-        if w.dtype == jnp.int8:
-            return (x @ w.T.astype(x.dtype)) * ld[name + "@scale"].astype(x.dtype)
-        return x @ w.T.astype(x.dtype)
-
-    def _ln(x, w, b, eps):
-        # identical to layers.basic.layer_norm (fp32 stats + affine)
-        xf = x.astype(jnp.float32)
-        m = jnp.mean(xf, axis=-1, keepdims=True)
-        v = jnp.mean(jnp.square(xf - m), axis=-1, keepdims=True)
-        y = (xf - m) * jax.lax.rsqrt(v + eps)
-        return (y * w.astype(jnp.float32) + b.astype(jnp.float32)).astype(x.dtype)
+    _ln = _ln_f32
 
     def run_layers(x, kvbuf, cache_index, attn_bias, pos_win):
         """x: (1, 1, D).  kvbuf: (nl, 2, H, S, dk).  attn_bias: (1, 1, S).
@@ -478,6 +492,7 @@ def llm_decode_batch(
     win_size: int = 10,
     tau_r: float = 0.1,
     int8_weights: bool = False,
+    max_lens: Optional[jax.Array] = None,  # (B,) per-sample caps <= max_len
 ) -> BatchDecodeResult:
     """Batched AR decode for serving throughput.
 
@@ -515,44 +530,12 @@ def llm_decode_batch(
 
     from ..layers.basic import ACT
 
-    _lp = sp_llm.prefix + "encoders.0."
-    layer_names = sorted({k[len(_lp):] for k in sp_llm.d if k.startswith(_lp)})
-    stacked = {n: jnp.stack(
-        [sp_llm[f"encoders.{i}.{n}"] for i in range(nl)]) for n in layer_names}
-    stacked["wqkv"] = jnp.concatenate(
-        [stacked.pop("self_attn.linear_q.weight"),
-         stacked.pop("self_attn.linear_k.weight"),
-         stacked.pop("self_attn.linear_v.weight")], axis=1)
-    stacked["bqkv"] = jnp.concatenate(
-        [stacked.pop("self_attn.linear_q.bias"),
-         stacked.pop("self_attn.linear_k.bias"),
-         stacked.pop("self_attn.linear_v.bias")], axis=1)
-    stacked.pop("self_attn.linear_pos.weight", None)
-    if int8_weights:
-        for name in ("wqkv", "self_attn.linear_out.weight",
-                     "feed_forward.w_1.weight", "feed_forward.w_2.weight"):
-            w32 = stacked[name].astype(jnp.float32)
-            s = jnp.maximum(jnp.max(jnp.abs(w32), axis=-1, keepdims=True) / 127.0,
-                            1e-12)
-            stacked[name] = jnp.clip(jnp.round(w32 / s), -127, 127).astype(jnp.int8)
-            stacked[name + "@scale"] = s[..., 0].astype(jnp.float32)
-
-    def _mm(x, ld, name):
-        w = ld[name]
-        if w.dtype == jnp.int8:
-            return (x @ w.T.astype(x.dtype)) * ld[name + "@scale"].astype(x.dtype)
-        return x @ w.T.astype(x.dtype)
-
+    stacked = _stack_decode_layers(sp_llm, nl, int8_weights)
     act = ACT[ecfg.activation_type]
     eps_l = ecfg.layer_norm_eps
     inv_sqrt_dk = 1.0 / _math.sqrt(dk)
-
-    def _ln(x, wgt, b, eps):
-        xf = x.astype(jnp.float32)
-        m = jnp.mean(xf, axis=-1, keepdims=True)
-        v = jnp.mean(jnp.square(xf - m), axis=-1, keepdims=True)
-        y = (xf - m) * jax.lax.rsqrt(v + eps)
-        return (y * wgt.astype(jnp.float32) + b.astype(jnp.float32)).astype(x.dtype)
+    _mm = _matmul_q
+    _ln = _ln_f32
 
     # ---- prefill (padded queries compute garbage but their keys are never
     # attended; outputs read only at the right-aligned last position) ----
@@ -631,9 +614,12 @@ def llm_decode_batch(
     k_s, rngs = ks[:, 0], ks[:, 1]
     first = sample_vec(k_s, logits0, jnp.asarray(0), tokens,
                        jnp.asarray(0), min_len).astype(jnp.int32)
+    # EOS is masked at step 0 (as in llm_decode), so the first token is
+    # always a real speech token
     tokens = tokens.at[:, 0].set(first)
-    done0 = first == eos
-    tokens = tokens.at[:, 0].set(jnp.where(done0, -1, first))
+    caps = (jnp.full((B,), max_len, jnp.int32) if max_lens is None
+            else jnp.minimum(jnp.asarray(max_lens, jnp.int32), max_len))
+    done0 = caps <= 1  # degenerate per-sample cap
 
     def cond(st):
         i, tokens, last, kvb, rngs, done = st
@@ -657,7 +643,10 @@ def llm_decode_batch(
         col = jnp.where(freeze, tokens[:, i], tok)
         tokens = tokens.at[:, i].set(col)
         last = jnp.where(freeze, last, tok)
-        return (i + 1, tokens, last, kvb, rngs, done | is_eos)
+        # per-sample cap: sample b stops after caps[b] tokens even while
+        # longer batchmates continue
+        done = done | is_eos | (i + 1 >= caps)
+        return (i + 1, tokens, last, kvb, rngs, done)
 
     st = (jnp.asarray(1), tokens, jnp.maximum(first, 0), kv_buf, rngs, done0)
     _, tokens, _, _, _, _ = jax.lax.while_loop(cond, body, st)

@@ -291,34 +291,38 @@ def qwen2lm_decode(
     nl = q.num_hidden_layers
     qp = p.sub("llm.model.model")
 
-    k_buf = jnp.zeros((nl, 1, q.num_key_value_heads, S, q.head_dim), dt)
-    v_buf = jnp.zeros((nl, 1, q.num_key_value_heads, S, q.head_dim), dt)
-
-    # ---- prefill (keys span the full S-capacity cache) ----
-    causal = jnp.arange(S)[None, :] <= jnp.arange(L0)[:, None]
-    bias0 = M.mask_to_bias(causal[None], dt)
-    positions0 = jnp.arange(L0)
-    h = prefix_emb
-    for i in range(nl):
-        h, (kb, vb) = qwen2_layer(
-            qp.sub(f"layers.{i}"), q, h, positions0, bias0, EVAL,
-            kv_cache=(k_buf[i], v_buf[i]), cache_index=0)
-        k_buf = k_buf.at[i].set(kb)
-        v_buf = v_buf.at[i].set(vb)
-    h = rms_norm(qp, "norm", h, q.rms_norm_eps)
-    logits0 = dense(p, "llm_decoder", h[:, -1])[0]
-
     def sample(rng_i, logits, step_i, tokens, ntok):
         logp = jax.nn.log_softmax(logits.astype(jnp.float32))
         mask_eos = step_i < min_len
         logp = logp.at[eos].set(jnp.where(mask_eos, -jnp.inf, logp[eos]))
         return ras_sample(rng_i, logp, tokens, ntok, top_p, top_k, win_size, tau_r)
 
-    tokens = jnp.full((max_len,), -1, jnp.int32)
-    k_s, rng = jax.random.split(rng)
-    first = sample(k_s, logits0, jnp.asarray(0), tokens, jnp.asarray(0)).astype(jnp.int32)
-    is_special0 = first >= eos
-    tokens = jnp.where(is_special0, tokens, tokens.at[0].set(first))
+    if state is None:
+        # ---- prefill (keys span the full S-capacity cache) ----
+        k_buf = jnp.zeros((nl, 1, q.num_key_value_heads, S, q.head_dim), dt)
+        v_buf = jnp.zeros((nl, 1, q.num_key_value_heads, S, q.head_dim), dt)
+        causal = jnp.arange(S)[None, :] <= jnp.arange(L0)[:, None]
+        bias0 = M.mask_to_bias(causal[None], dt)
+        positions0 = jnp.arange(L0)
+        h = prefix_emb
+        for i in range(nl):
+            h, (kb, vb) = qwen2_layer(
+                qp.sub(f"layers.{i}"), q, h, positions0, bias0, EVAL,
+                kv_cache=(k_buf[i], v_buf[i]), cache_index=0)
+            k_buf = k_buf.at[i].set(kb)
+            v_buf = v_buf.at[i].set(vb)
+        h = rms_norm(qp, "norm", h, q.rms_norm_eps)
+        logits0 = dense(p, "llm_decoder", h[:, -1])[0]
+
+        tokens = jnp.full((max_len,), -1, jnp.int32)
+        k_s, rng = jax.random.split(rng)
+        first = sample(k_s, logits0, jnp.asarray(0), tokens,
+                       jnp.asarray(0)).astype(jnp.int32)
+        is_special0 = first >= eos
+        tokens = jnp.where(is_special0, tokens, tokens.at[0].set(first))
+        n0 = jnp.where(is_special0, 0, 1)
+        state = (jnp.asarray(1), n0, tokens, first, k_buf, v_buf, rng,
+                 first == eos)
 
     stop = jnp.asarray(max_len) if stop_at is None else jnp.minimum(
         jnp.asarray(stop_at), max_len)
@@ -353,10 +357,6 @@ def qwen2lm_decode(
         last = jnp.where(is_skip, last, tok)
         return (i + 1, n, tokens, last, new_kb, new_vb, rng, is_eos)
 
-    if state is None:
-        n0 = jnp.where(is_special0, 0, 1)
-        state = (jnp.asarray(1), n0, tokens, first, k_buf, v_buf, rng,
-                 first == eos)
     out = jax.lax.while_loop(cond_fn, body, state)
     _, n, tokens_o, _, _, _, _, done = out
     result = DecodeResult(tokens=tokens_o, length=n)

@@ -97,7 +97,7 @@ class TTSServer:
                                 self.api._next_rng(),
                                 [b["ids"] for b in batch],
                                 [zero] * len(batch),
-                                speed=batch[0]["speed"])
+                                speed=[b["speed"] for b in batch])
                         for b, w in zip(batch, wavs):
                             b["wav"] = w[0]
                     except Exception as e:  # noqa: BLE001

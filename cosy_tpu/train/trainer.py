@@ -237,6 +237,16 @@ class JointTrainer:
             self._preempted = True
             print(f"signal {signum}: checkpointing at next step boundary")
 
+        def _any_host_preempted():
+            # multi-host: every process must take the same branch or the
+            # next step's collectives would hang on a subset of hosts
+            # (same rationale as utils.distributed.joined_loader)
+            from ..utils.distributed import all_hosts_agree
+
+            return not all_hosts_agree(not self._preempted)
+
+        self._any_host_preempted = _any_host_preempted
+
         old_handlers = {}
         for sig in (_signal.SIGTERM, _signal.SIGINT):
             try:
@@ -259,9 +269,9 @@ class JointTrainer:
                 if state.step % log_every == 0:
                     line = " ".join(f"{k}={v:.4f}" for k, v in sorted(m_host.items()))
                     print(f"epoch {epoch} step {state.step}: {line}")
-                if self._preempted:
+                if self._any_host_preempted():
                     break
-            if self._preempted:
+            if self._any_host_preempted():
                 path = self.save_checkpoint(os.path.join(
                     self.out_dir, f"joint_{self.tcfg.training_mode}_preempt.ckpt"), state)
                 stop_reason = f"preempted — resumable snapshot at {path} (step {state.step})"
