@@ -115,6 +115,8 @@ class TTSServer:
 
 def make_handler(server: TTSServer, sample_rate: int):
     class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"  # required for chunked streaming
+
         def log_message(self, fmt, *args):  # quiet
             pass
 
@@ -143,13 +145,36 @@ def make_handler(server: TTSServer, sample_rate: int):
                 return
             stream = bool(req.get("stream", False))
             spk_id = req.get("spk_id", "")
-            if not stream and not spk_id and hasattr(server.api.model,
-                                                     "synthesize_batch"):
+            speed = float(req.get("speed", 1.0))
+            if stream:
+                # true chunked streaming: WAV header with unknown-length
+                # markers, then PCM16 per synthesis chunk as it is produced
+                self.send_response(200)
+                self.send_header("Content-Type", "audio/wav")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+
+                def send_chunk(data: bytes):
+                    self.wfile.write(f"{len(data):X}\r\n".encode())
+                    self.wfile.write(data)
+                    self.wfile.write(b"\r\n")
+
+                hdr = b"RIFF" + struct.pack("<I", 0xFFFFFFFF) + b"WAVEfmt " + \
+                    struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
+                                sample_rate * 2, 2, 16) + \
+                    b"data" + struct.pack("<I", 0xFFFFFFFF)
+                send_chunk(hdr)
+                for piece in server.synthesize(text, spk_id, speed, stream=True):
+                    pcm = (np.clip(piece, -1, 1) * 32767).astype("<i2").tobytes()
+                    send_chunk(pcm)
+                self.wfile.write(b"0\r\n\r\n")
+                return
+            if not spk_id and hasattr(server.api.model, "synthesize_batch"):
                 # concurrent prompt-free requests share a micro-batched decode
-                wav = server.synthesize_batched(text, float(req.get("speed", 1.0)))
+                wav = server.synthesize_batched(text, speed)
             else:
                 wav = np.concatenate(list(server.synthesize(
-                    text, spk_id, float(req.get("speed", 1.0)), stream)))
+                    text, spk_id, speed, stream=False)))
             body = wav_bytes(wav, sample_rate)
             self.send_response(200)
             self.send_header("Content-Type", "audio/wav")

@@ -92,3 +92,37 @@ def test_concurrent_requests_share_a_batch():
         assert wav.ndim == 1 and wav.size > 0 and np.isfinite(wav).all()
     # all three arrived within the window -> one (or at most two) batches
     assert server.batches_run <= 2, server.batches_run
+
+
+def test_http_streaming_chunked_response():
+    """stream=true returns a chunked WAV whose PCM arrives incrementally."""
+    api = _make_api()
+    orig = api.frontend.extract_text_token
+    api.frontend.extract_text_token = lambda text: orig(text) % 40
+    server = TTSServer(api)
+
+    def synth(text, spk_id="", speed=1.0, stream=False):
+        ids = api.frontend.extract_text_token(text)
+        zero = np.zeros((1, 12), np.float32)
+        gen = api.model.synthesize(api._next_rng(), ids, spk_embedding=zero,
+                                   stream=stream, speed=speed)
+        for out in gen:
+            yield out["tts_speech"][0]
+
+    server.synthesize = synth
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(server, 22050))
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/tts",
+            data=json.dumps({"text": "hello.", "stream": True}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=600) as r:
+            assert r.headers.get("Transfer-Encoding") == "chunked"
+            body = r.read()
+        assert body[:4] == b"RIFF" and body[8:12] == b"WAVE"
+        assert len(body) > 44  # header + at least one PCM chunk
+        assert (len(body) - 44) % 2 == 0  # whole PCM16 samples
+    finally:
+        httpd.shutdown()
