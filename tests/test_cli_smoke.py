@@ -60,6 +60,15 @@ def test_cli_pipeline_end_to_end(workdir):
     ckpts = [f for f in os.listdir(os.path.join(d, "out")) if f.endswith(".npz")]
     assert ckpts, out
 
+    # the flagship joint mode trains through the same CLI
+    out = _run([os.path.join(REPO, "train_joint.py"), "--tiny",
+                "--mode", "joint", "--data-dir", "data",
+                "--epochs", "1", "--batch-size", "2", "--accum", "2",
+                "--max-feat-len", "16", "--output", "out_joint",
+                "--pretrained", "missing_dir"], cwd=d)
+    assert any(f.startswith("joint_joint") and f.endswith(".npz")
+               for f in os.listdir(os.path.join(d, "out_joint"))), out
+
     _run([os.path.join(REPO, "merge_joint_weights.py"), "--tiny",
           "--mode", "flow_only", "--output", "out",
           "--pretrained", "missing_dir"], cwd=d)
