@@ -110,3 +110,28 @@ def test_trainer_flow_only_mode(tmp_path):
     state = trainer.fit(loader, max_epochs=1, log_every=1)
     assert "flow" in state.loras and "llm" not in state.loras
     assert all("llm_loss" not in m for m in trainer._metrics_log)
+
+
+def test_dp_sharding_matches_single_device(tmp_path):
+    """The dp=8 mesh step (gradient psum over the mesh) must produce the same
+    updated adapters as the identical step on a dp=1 mesh — the DDP-allreduce
+    correctness property (train_utils.py:94-108 equivalent)."""
+    llm_p = L.init_llm_params(jax.random.PRNGKey(1), MODEL_CFG.llm)
+    flow_p = F.init_flow_params(jax.random.PRNGKey(2), MODEL_CFG.flow)
+    batch = synthetic_loader(1)[0]
+
+    results = []
+    for dp in (1, 8):
+        mesh = pmesh.make_mesh(dp=dp)
+        trainer = JointTrainer(MODEL_CFG, TRAIN_CFG, llm_p, flow_p,
+                               out_dir=str(tmp_path / f"dp{dp}"), mesh=mesh,
+                               total_steps=10)
+        state = trainer.init_state(jax.random.PRNGKey(3))
+        trainer.step(state, batch, jax.random.PRNGKey(4))
+        results.append(jax.tree.map(np.asarray, state.loras))
+
+    flat1, _ = jax.tree_util.tree_flatten_with_path(results[0])
+    flat8 = jax.tree_util.tree_leaves(results[1])
+    for (path, a), b in zip(flat1, flat8):
+        np.testing.assert_allclose(a, b, atol=2e-5, rtol=2e-5,
+                                   err_msg=str(path))
