@@ -23,7 +23,8 @@ from ..ctx import EVAL
 from ..params import P, Params
 from ..layers.basic import embedding
 from ..models.flow2 import Flow2Config, flow2_inference
-from ..models.qwen2lm import Qwen2LMConfig, qwen2lm_decode
+from ..models.qwen2lm import (Qwen2LMConfig, qwen2lm_decode,
+                              qwen2lm_decode_batch)
 from ..models import hift as H
 from ..config import HiFTConfig
 from .pipeline import fade_in_out
@@ -97,6 +98,17 @@ class TTS2Pipeline:
         self._decode_seg_jit = jax.jit(
             _decode_seg_fn, static_argnames=("max_len", "top_p", "top_k",
                                              "win_size", "tau_r"))
+
+        def _decode_batch_fn(params, rng, prefix, valid, min_lens, max_lens, *,
+                             max_len):
+            return qwen2lm_decode_batch(
+                P(params), self.lcfg, rng, prefix, valid, min_lens, max_len,
+                top_p=self.icfg.sampling_top_p, top_k=self.icfg.sampling_top_k,
+                win_size=self.icfg.ras_win_size, tau_r=self.icfg.ras_tau_r,
+                max_lens=max_lens)
+
+        self._decode_batch_jit = jax.jit(_decode_batch_fn,
+                                         static_argnames=("max_len",))
 
     # ------------------------------------------------------------------
 
@@ -181,6 +193,49 @@ class TTS2Pipeline:
             target = min(target + seg, max_len)
 
     # ------------------------------------------------------------------
+
+    def synthesize_batch(
+        self,
+        rng: jax.Array,
+        text_tokens_list,  # list of (1, Tt) arrays
+        spk_embeddings=None,  # list of (1, spk_dim) or None
+        speed=1.0,  # float or per-request list
+        max_len_cap: int = 2048,
+    ):
+        """Micro-batched non-streaming CosyVoice2 synthesis (serving): one
+        qwen2lm_decode_batch over left-padded prefixes, then causal flow +
+        vocoder per request.  Returns a list of (1, n) wavs."""
+        B = len(text_tokens_list)
+        if spk_embeddings is None:
+            spk_embeddings = [None] * B
+        speeds = list(speed) if isinstance(speed, (list, tuple)) else [speed] * B
+        built = [self._build_prefix(t, None, None, max_len_cap)
+                 for t in text_tokens_list]
+        L0 = max(int(pr.shape[1]) for pr, _, _ in built)
+        L0 = ((L0 + 15) // 16) * 16
+        max_len = max(ml for _, _, ml in built)
+        prefix = jnp.concatenate([
+            jnp.pad(pr, ((0, 0), (L0 - pr.shape[1], 0), (0, 0)))
+            for pr, _, _ in built], axis=0)
+        valid = jnp.asarray([pr.shape[1] for pr, _, _ in built], jnp.int32)
+        min_lens = jnp.asarray([mn for _, mn, _ in built], jnp.int32)
+        max_lens = jnp.asarray([ml for _, _, ml in built], jnp.int32)
+
+        k_llm, k_wav = jax.random.split(rng)
+        res = self._decode_batch_jit(
+            self.llm_params, k_llm, prefix, valid, min_lens, max_lens,
+            max_len=max_len)
+        wavs = []
+        for b in range(B):
+            n = int(res.lengths[b])
+            tokens = np.asarray(res.tokens[b])[None, :n]
+            spk = (np.zeros((1, self.fcfg.spk_embed_dim), np.float32)
+                   if spk_embeddings[b] is None else np.asarray(spk_embeddings[b]))
+            wav, _ = self.token2wav(
+                jax.random.fold_in(k_wav, b), tokens, None, None, spk,
+                token_offset=0, finalize=True, speed=speeds[b])
+            wavs.append(wav)
+        return wavs
 
     def token2wav(
         self,

@@ -568,3 +568,117 @@ def init_qwen2lm_params(key: jax.Array, cfg: Qwen2LMConfig) -> Params:
     init_linear(kg(), d, "llm_decoder", cfg.llm_output_size, cfg.speech_token_size + 3)
     init_embedding(kg(), d, "speech_embedding", cfg.speech_token_size + 3, cfg.llm_input_size)
     return d
+
+
+class BatchDecodeResult(NamedTuple):
+    tokens: jax.Array  # (B, max_len) int32, -1 padded
+    lengths: jax.Array  # (B,) valid counts
+
+
+def qwen2lm_decode_batch(
+    p: P,
+    cfg: Qwen2LMConfig,
+    rng: jax.Array,
+    prefix_emb: jax.Array,  # (B, L0, D) LEFT-padded prefixes
+    prefix_valid: jax.Array,  # (B,) valid prefix lengths (right-aligned)
+    min_len: jax.Array,  # (B,)
+    max_len: int,
+    top_p: float = 0.8,
+    top_k: int = 25,
+    win_size: int = 10,
+    tau_r: float = 0.1,
+    max_lens: Optional[jax.Array] = None,  # (B,) per-sample caps <= max_len
+) -> BatchDecodeResult:
+    """Batched CosyVoice2 decode (see models.llm.llm_decode_batch for the
+    left-padding/rng contract).  GQA caches; fill tokens (> eos) are skipped
+    per sample (not stored, not fed back — llm.py:506-507), so per-sample
+    output counts advance independently of the shared attempt counter."""
+    q = cfg.qwen
+    B, L0 = prefix_emb.shape[0], prefix_emb.shape[1]
+    S = L0 + max_len
+    dt = prefix_emb.dtype
+    eos = cfg.speech_token_size
+    nl = q.num_hidden_layers
+    qp = p.sub("llm.model.model")
+    start = (L0 - prefix_valid.astype(jnp.int32))  # (B,)
+
+    # ---- prefill (pad keys masked; outputs read at the right-aligned end) --
+    k_buf = jnp.zeros((nl, B, q.num_key_value_heads, S, q.head_dim), dt)
+    v_buf = jnp.zeros_like(k_buf)
+    kq = jnp.arange(S)[None, None, :]
+    vis0 = (kq <= jnp.arange(L0)[None, :, None]) & (kq >= start[:, None, None])
+    bias0 = M.mask_to_bias(vis0, dt)  # (B, L0, S)
+    positions0 = jnp.arange(L0)
+    h = prefix_emb
+    for i in range(nl):
+        h, (kb, vb) = qwen2_layer(
+            qp.sub(f"layers.{i}"), q, h, positions0, bias0, EVAL,
+            kv_cache=(k_buf[i], v_buf[i]), cache_index=0)
+        k_buf = k_buf.at[i].set(kb)
+        v_buf = v_buf.at[i].set(vb)
+    h = rms_norm(qp, "norm", h, q.rms_norm_eps)
+    logits0 = dense(p, "llm_decoder", h[:, -1])  # (B, V)
+
+    def sample_one(rng_i, logits, step_i, tokens_b, ntok, min_b):
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32))
+        mask_eos = step_i < min_b
+        logp = logp.at[eos].set(jnp.where(mask_eos, -jnp.inf, logp[eos]))
+        return ras_sample(rng_i, logp, tokens_b, ntok, top_p, top_k,
+                          win_size, tau_r)
+
+    sample_vec = jax.vmap(sample_one, in_axes=(0, 0, None, 0, 0, 0))
+
+    tokens = jnp.full((B, max_len), -1, jnp.int32)
+    rngs = jax.vmap(lambda b: jax.random.fold_in(rng, b))(jnp.arange(B))
+    split2 = jax.vmap(jax.random.split)
+    ks = split2(rngs)
+    k_s, rngs = ks[:, 0], ks[:, 1]
+    first = sample_vec(k_s, logits0, jnp.asarray(0), tokens,
+                       jnp.zeros((B,), jnp.int32), min_len).astype(jnp.int32)
+    is_special0 = first >= eos
+    tokens = tokens.at[:, 0].set(jnp.where(is_special0, -1, first))
+    n0 = jnp.where(is_special0, 0, 1)
+    caps = (jnp.full((B,), max_len, jnp.int32) if max_lens is None
+            else jnp.minimum(jnp.asarray(max_lens, jnp.int32), max_len))
+    done0 = (first == eos) | (caps <= 1)
+
+    def cond(st):
+        i, n, tokens, last, kb, vb, rngs, done = st
+        return jnp.any(~done) & (i < max_len)
+
+    def body(st):
+        i, n, tokens, last, kb, vb, rngs, done = st
+        L = L0 + i - 1
+        x = embedding(p, "speech_embedding",
+                      jnp.maximum(last, 0)[:, None]).astype(dt)  # (B, 1, D)
+        kpos = jnp.arange(S)[None, :]
+        bias = jnp.where((kpos <= L) & (kpos >= start[:, None]), 0.0,
+                         M.NEG_BIAS).astype(dt)[:, None, :]  # (B, 1, S)
+        positions = jnp.full((1,), L)
+        h = x
+        new_kb, new_vb = kb, vb
+        for li in range(nl):
+            h, (kli, vli) = qwen2_layer(
+                qp.sub(f"layers.{li}"), q, h, positions, bias, EVAL,
+                kv_cache=(new_kb[li], new_vb[li]), cache_index=L)
+            new_kb = new_kb.at[li].set(kli)
+            new_vb = new_vb.at[li].set(vli)
+        h = rms_norm(qp, "norm", h, q.rms_norm_eps)
+        logits = dense(p, "llm_decoder", h[:, -1])  # (B, V)
+        ks = split2(rngs)
+        k_i, rngs = ks[:, 0], ks[:, 1]
+        tok = sample_vec(k_i, logits, i, tokens, n, min_len).astype(jnp.int32)
+        is_eos = tok == eos
+        is_skip = tok > eos
+        write = ~(done | is_eos | is_skip)
+        cur = tokens[jnp.arange(B), n]
+        tokens = tokens.at[jnp.arange(B), n].set(jnp.where(write, tok, cur))
+        n = jnp.where(write, n + 1, n)
+        last = jnp.where(is_skip | done, last, tok)
+        done = done | is_eos | (n >= caps)
+        return (i + 1, n, tokens, last, new_kb, new_vb, rngs, done)
+
+    st = (jnp.asarray(1), n0, tokens, jnp.maximum(first, 0), k_buf, v_buf,
+          rngs, done0)
+    _, n, tokens, _, _, _, _, _ = jax.lax.while_loop(cond, body, st)
+    return BatchDecodeResult(tokens=tokens, lengths=n)

@@ -59,8 +59,10 @@ class TTSServer:
                 # prompt-free path with zero speaker embedding
                 ids = self.api.frontend.extract_text_token(
                     self.api.frontend.normalize(text, split=False))
-                zero = np.zeros((1, self.api.model.cfg.llm.spk_embed_dim),
-                                np.float32)
+                model = self.api.model
+                spk_dim = (model.cfg.llm.spk_embed_dim if hasattr(model, "cfg")
+                           else model.fcfg.spk_embed_dim)
+                zero = np.zeros((1, spk_dim), np.float32)
                 gen = self.api.model.synthesize(
                     self.api._next_rng(), ids, spk_embedding=zero,
                     stream=stream, speed=speed)
@@ -90,10 +92,13 @@ class TTSServer:
                                           self._queue[self.max_batch:])
                 if batch:
                     try:
-                        spk_dim = self.api.model.cfg.llm.spk_embed_dim
+                        model = self.api.model
+                        spk_dim = (model.cfg.llm.spk_embed_dim
+                                   if hasattr(model, "cfg")
+                                   else model.fcfg.spk_embed_dim)
                         zero = np.zeros((1, spk_dim), np.float32)
                         with self.lock:
-                            wavs = self.api.model.synthesize_batch(
+                            wavs = model.synthesize_batch(
                                 self.api._next_rng(),
                                 [b["ids"] for b in batch],
                                 [zero] * len(batch),

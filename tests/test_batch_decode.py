@@ -70,3 +70,33 @@ def test_batch_decode_int8_smoke():
                             jnp.asarray([5, 5]), jnp.asarray([2, 2]), 10,
                             int8_weights=True)
     assert np.all(np.asarray(rb.lengths) >= 2)
+
+
+def test_qwen2lm_batch_decode_matches_singles():
+    """CV2 batched decode (GQA + fill-token skip) vs per-sample runs, f64."""
+    from cosy_tpu.layers.qwen2 import Qwen2Config
+    from cosy_tpu.models.qwen2lm import (Qwen2LMConfig, init_qwen2lm_params,
+                                         qwen2lm_decode, qwen2lm_decode_batch)
+
+    with jax.enable_x64(True):
+        cfg = Qwen2LMConfig(
+            llm_input_size=32, llm_output_size=32, speech_token_size=30,
+            qwen=Qwen2Config(hidden_size=32, intermediate_size=64,
+                             num_hidden_layers=2, num_attention_heads=4,
+                             num_key_value_heads=2, head_dim=8, vocab_size=50))
+        p = init_qwen2lm_params(jax.random.PRNGKey(0), cfg)
+        p = {k: v.astype(jnp.float64) for k, v in p.items()}
+        rng = jax.random.PRNGKey(9)
+        pe1 = jax.random.normal(jax.random.PRNGKey(1), (1, 6, 32), jnp.float64)
+        pe2 = jax.random.normal(jax.random.PRNGKey(2), (1, 4, 32), jnp.float64)
+        r1 = qwen2lm_decode(P(p), cfg, jax.random.fold_in(rng, 0), pe1,
+                            jnp.asarray(2), 14)
+        r2 = qwen2lm_decode(P(p), cfg, jax.random.fold_in(rng, 1), pe2,
+                            jnp.asarray(3), 14)
+        pb = jnp.concatenate([pe1, jnp.pad(pe2, ((0, 0), (2, 0), (0, 0)))], axis=0)
+        rb = qwen2lm_decode_batch(P(p), cfg, rng, pb, jnp.asarray([6, 4]),
+                                  jnp.asarray([2, 3]), 14)
+        np.testing.assert_array_equal(np.asarray(rb.tokens[0]), np.asarray(r1.tokens))
+        np.testing.assert_array_equal(np.asarray(rb.tokens[1]), np.asarray(r2.tokens))
+        assert int(rb.lengths[0]) == int(r1.length)
+        assert int(rb.lengths[1]) == int(r2.length)

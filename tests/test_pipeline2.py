@@ -96,3 +96,14 @@ def test_cosyvoice2_streaming_synthesis_smoke():
     for o in outs:
         assert np.isfinite(o["tts_speech"]).all()
     assert sum(o["tts_speech"].shape[1] for o in outs) > 0
+
+
+def test_cosyvoice2_synthesize_batch():
+    pipe = _pipe()
+    rng = np.random.default_rng(6)
+    texts = [rng.integers(0, 50, (1, n)).astype(np.int32) for n in (4, 6)]
+    wavs = pipe.synthesize_batch(jax.random.PRNGKey(13), texts,
+                                 speed=[1.0, 1.0])
+    assert len(wavs) == 2
+    for w in wavs:
+        assert w.ndim == 2 and w.shape[1] > 0 and np.isfinite(w).all()
