@@ -102,6 +102,24 @@ class TTSPipeline:
 
         self._hift_jit = jax.jit(_hift_fn)
 
+        # fused non-streaming token2wav: flow solve + boundary trim + HiFT in
+        # ONE program — through the remote-TPU runtime each extra program
+        # costs a host round-trip (~30 ms), and the host-side work between the
+        # stages (trim/fades/caches) is a no-op on this path
+        def _t2w_fn(flow_p, hift_p, rng, token, prompt_token, prompt_feat, spk,
+                    *, trim):
+            k_flow, k_hift = jax.random.split(rng)  # matches token2wav's split
+            mel = F.flow_inference(
+                P(flow_p), self.cfg.flow, k_flow, token, prompt_token,
+                prompt_feat, spk, finetuned_norm=self.finetuned_norm,
+                mel_norm=(self.cfg.mel_mean, self.cfg.mel_std))
+            if trim > 0:
+                mel = mel[:, :, trim:]
+            wav, _ = H.hift_inference(P(hift_p), self.cfg.hift, k_hift, mel, None)
+            return wav
+
+        self._t2w_jit = jax.jit(_t2w_fn, static_argnames=("trim",))
+
         def _decode_fn(params, rng, prefix, min_len, *, prefix_len, max_len,
                        top_p, top_k, win_size, tau_r):
             return L.llm_decode(P(params), self.cfg.llm, rng, prefix, prefix_len,
@@ -281,16 +299,27 @@ class TTSPipeline:
         res = self._decode_batch_jit(
             self.llm_params, k_llm, prefix, valid, min_lens, max_lens,
             max_len=max_len)
-        wavs = []
+        # dispatch every request's fused token2wav before syncing any of them:
+        # the per-program host round-trips overlap with device execution
+        futs = []
         for b in range(B):
             n = int(res.lengths[b])
             tokens = np.asarray(res.tokens[b])[None, :n]
-            wav, _ = self.token2wav(
-                jax.random.fold_in(k_wav, b), tokens, None, None,
-                np.zeros((1, self.cfg.llm.spk_embed_dim), np.float32)
-                if spk_embeddings[b] is None else np.asarray(spk_embeddings[b]),
-                finalize=True, speed=speeds[b])
-            wavs.append(wav)
+            spk = (np.zeros((1, self.cfg.llm.spk_embed_dim), np.float32)
+                   if spk_embeddings[b] is None else np.asarray(spk_embeddings[b]))
+            rng_b = jax.random.fold_in(k_wav, b)
+            fut = self._token2wav_fused(
+                rng_b, tokens, np.zeros((1, 0), np.int32),
+                np.zeros((1, 0, 80), np.float32), spk, None, True, speeds[b])
+            futs.append((fut, rng_b, tokens, spk, speeds[b]))
+        wavs = []
+        for fut, rng_b, tokens, spk, sp in futs:
+            if fut is not None:
+                wavs.append(np.asarray(fut))
+            else:
+                wav, _ = self.token2wav(rng_b, tokens, None, None, spk,
+                                        finalize=True, speed=sp)
+                wavs.append(wav)
         return wavs
 
     # ------------------------------------------------------------------
@@ -313,6 +342,11 @@ class TTSPipeline:
         k_flow, k_hift = jax.random.split(rng)
         prompt_token = prompt_token if prompt_token is not None else np.zeros((1, 0), np.int32)
         prompt_feat = prompt_feat if prompt_feat is not None else np.zeros((1, 0, 80), np.float32)
+
+        fut = self._token2wav_fused(rng, token, prompt_token, prompt_feat,
+                                    spk_embedding, stream_state, finalize, speed)
+        if fut is not None:
+            return np.asarray(fut), None
 
         carry = stream_state.flow_cache if stream_state is not None else None
         mel, new_flow_cache = self._flow_jit(
@@ -359,6 +393,23 @@ class TTSPipeline:
         if stream_state.hift_speech is not None:
             wav = fade_in_out(wav, stream_state.hift_speech, self.speech_window)
         return wav, None
+
+    def _token2wav_fused(self, rng, token, prompt_token, prompt_feat,
+                         spk_embedding, stream_state, finalize, speed):
+        """Dispatch the single-program token2wav when the host-side stages
+        between flow and HiFT are no-ops (non-streaming finalize at natural
+        speed).  Returns the un-synced device array (async — callers may
+        pipeline several requests before touching the result), or None when
+        the staged path must run."""
+        if not (stream_state is None and finalize and speed == 1.0):
+            return None
+        mel_len2 = int(token.shape[1] / self.cfg.flow.input_frame_rate * 22050 / 256)
+        trim = int(prompt_feat.shape[1] * self.icfg.boundary_trim_ratio)
+        trim = trim if (trim > 0 and mel_len2 > trim) else 0
+        return self._t2w_jit(
+            self.flow_params, self.hift_params, rng,
+            jnp.asarray(token, jnp.int32), jnp.asarray(prompt_token, jnp.int32),
+            jnp.asarray(prompt_feat), jnp.asarray(spk_embedding), trim=trim)
 
     def _hift(self, rng, mel: np.ndarray, cache_source: np.ndarray):
         wav, source = self._hift_jit(

@@ -77,6 +77,20 @@ class TTS2Pipeline:
 
         self._hift_jit = jax.jit(_hift_fn)
 
+        # fused non-streaming token2wav (flow + trim + HiFT in one program —
+        # saves a host round-trip per request; see pipeline.py)
+        def _t2w_fn(flow_p, hift_p, rng, token, prompt_token, prompt_feat, spk,
+                    *, offset, n_timesteps):
+            mel = flow2_inference(
+                P(flow_p), self.fcfg, token, prompt_token, prompt_feat, spk,
+                streaming=False, finalize=True, n_timesteps=n_timesteps)
+            if offset > 0:
+                mel = mel[:, :, offset * self.fcfg.token_mel_ratio:]
+            wav, _ = H.hift_inference(P(hift_p), self.hcfg, rng, mel, None)
+            return wav
+
+        self._t2w_jit = jax.jit(_t2w_fn, static_argnames=("offset", "n_timesteps"))
+
         def _decode_fn(params, rng, prefix, min_len, *, max_len, top_p, top_k,
                        win_size, tau_r):
             return qwen2lm_decode(P(params), self.lcfg, rng, prefix, min_len,
@@ -225,17 +239,45 @@ class TTS2Pipeline:
         res = self._decode_batch_jit(
             self.llm_params, k_llm, prefix, valid, min_lens, max_lens,
             max_len=max_len)
-        wavs = []
+        # dispatch all fused token2wav programs before syncing any (the
+        # host round-trips overlap with device execution)
+        futs = []
         for b in range(B):
             n = int(res.lengths[b])
             tokens = np.asarray(res.tokens[b])[None, :n]
             spk = (np.zeros((1, self.fcfg.spk_embed_dim), np.float32)
                    if spk_embeddings[b] is None else np.asarray(spk_embeddings[b]))
-            wav, _ = self.token2wav(
-                jax.random.fold_in(k_wav, b), tokens, None, None, spk,
-                token_offset=0, finalize=True, speed=speeds[b])
-            wavs.append(wav)
+            rng_b = jax.random.fold_in(k_wav, b)
+            fut = self._token2wav_fused(
+                rng_b, tokens, np.zeros((1, 0), np.int32),
+                np.zeros((1, 0, 80), np.float32), spk, 0, None, False, True,
+                speeds[b])
+            futs.append((fut, rng_b, tokens, spk, speeds[b]))
+        wavs = []
+        for fut, rng_b, tokens, spk, sp in futs:
+            if fut is not None:
+                wavs.append(np.asarray(fut))
+            else:
+                wav, _ = self.token2wav(rng_b, tokens, None, None, spk,
+                                        token_offset=0, finalize=True, speed=sp)
+                wavs.append(wav)
         return wavs
+
+    def _token2wav_fused(self, rng, token, prompt_token, prompt_feat,
+                         spk_embedding, token_offset, state, stream, finalize,
+                         speed):
+        """Dispatch the one-program token2wav when the host stages between
+        flow and HiFT are no-ops (no stream carries, finalize, natural
+        speed).  Returns the un-synced device array or None."""
+        carries = state is not None and (
+            state.hift_mel is not None or state.hift_speech is not None)
+        if not (finalize and not stream and not carries and speed == 1.0):
+            return None
+        return self._t2w_jit(
+            self.flow_params, self.hift_params, rng,
+            jnp.asarray(token, jnp.int32), jnp.asarray(prompt_token, jnp.int32),
+            jnp.asarray(prompt_feat), jnp.asarray(spk_embedding),
+            offset=token_offset, n_timesteps=self.icfg.nfe_short)
 
     def token2wav(
         self,
@@ -253,6 +295,12 @@ class TTS2Pipeline:
         """model.py:336-370."""
         prompt_token = prompt_token if prompt_token is not None else np.zeros((1, 0), np.int32)
         prompt_feat = prompt_feat if prompt_feat is not None else np.zeros((1, 0, 80), np.float32)
+
+        fut = self._token2wav_fused(rng, token, prompt_token, prompt_feat,
+                                    spk_embedding, token_offset, state,
+                                    stream, finalize, speed)
+        if fut is not None:
+            return np.asarray(fut), None
 
         mel = self._flow_jit(
             self.flow_params,

@@ -111,6 +111,73 @@ def conv1d(
     return y
 
 
+def conv1d_nwc(
+    p: P,
+    name: str,
+    x: jax.Array,  # (B, T, C) — channels-last (TPU-native layout)
+    stride: int = 1,
+    padding: int = 0,
+    dilation: int = 1,
+    groups: int = 1,
+    ctx: Ctx = EVAL,
+) -> jax.Array:
+    """torch nn.Conv1d semantics on a channels-last activation.
+
+    Weights stay in the torch (out, in/groups, k) layout — the kernel
+    dimension-numbers string carries the layout, no transpose materializes.
+    Channels-last keeps the feature axis on lanes end-to-end, which is the
+    layout TPU convolutions and the surrounding matmuls natively want; the
+    NCW variant forces XLA to insert relayout copies around every conv."""
+    w = _weight(p, name, x.dtype)
+    y = lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(stride,),
+        padding=[(padding, padding)],
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NHC", "OIH", "NHC"),
+        feature_group_count=groups,
+    )
+    b = p.get(name + ".bias")
+    if b is not None:
+        y = y + b.astype(x.dtype)
+    if ctx.lora is not None and w.shape[-1] == 1 and groups == 1:
+        a = ctx.lora.get(p.full(name) + ".lora_A.weight")
+        if a is not None:
+            bb = ctx.lora[p.full(name) + ".lora_B.weight"]
+            xd = ctx.dropout(x, ctx.lora_dropout)
+            h = jnp.einsum("btc,rc->btr", xd, a[:, :, 0].astype(x.dtype))
+            y = y + jnp.einsum("btr,or->bto", h, bb[:, :, 0].astype(x.dtype)) * ctx.lora_scale
+    return y
+
+
+def conv_transpose1d_nwc(
+    p: P,
+    name: str,
+    x: jax.Array,  # (B, T, C)
+    stride: int,
+    padding: int = 0,
+) -> jax.Array:
+    """torch nn.ConvTranspose1d on a channels-last activation (see
+    conv_transpose1d for the fractionally-strided formulation)."""
+    w = _weight(p, name, x.dtype)  # (in, out, k)
+    k = w.shape[-1]
+    w_t = jnp.flip(w, axis=-1).transpose(1, 0, 2)  # (out, in, k)
+    pad = k - 1 - padding
+    y = lax.conv_general_dilated(
+        x,
+        w_t,
+        window_strides=(1,),
+        padding=[(pad, pad)],
+        lhs_dilation=(stride,),
+        dimension_numbers=("NHC", "OIH", "NHC"),
+    )
+    b = p.get(name + ".bias")
+    if b is not None:
+        y = y + b.astype(x.dtype)
+    return y
+
+
 def conv_transpose1d(
     p: P,
     name: str,
@@ -189,6 +256,21 @@ def group_norm(p: P, name: str, x: jax.Array, num_groups: int, eps: float = 1e-5
     y = ((xf - mean) * lax.rsqrt(var + eps)).reshape(B, C, T)
     y = y * p[name + ".weight"].astype(jnp.float32)[None, :, None]
     y = y + p[name + ".bias"].astype(jnp.float32)[None, :, None]
+    return y.astype(x.dtype)
+
+
+def group_norm_nwc(p: P, name: str, x: jax.Array, num_groups: int, eps: float = 1e-5) -> jax.Array:
+    """torch nn.GroupNorm semantics on a channels-last (B, T, C) activation.
+
+    torch groups channels contiguously: group g covers channels
+    [g*C/G, (g+1)*C/G); statistics reduce over (T, group channels)."""
+    B, T, C = x.shape
+    xf = x.astype(jnp.float32).reshape(B, T, num_groups, C // num_groups)
+    mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=(1, 3), keepdims=True)
+    y = ((xf - mean) * lax.rsqrt(var + eps)).reshape(B, T, C)
+    y = y * p[name + ".weight"].astype(jnp.float32)
+    y = y + p[name + ".bias"].astype(jnp.float32)
     return y.astype(x.dtype)
 
 

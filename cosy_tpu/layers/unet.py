@@ -27,7 +27,8 @@ from ..config import EstimatorConfig
 from ..ctx import Ctx, EVAL
 from ..params import P, Params, KeyGen, init_linear, init_norm, init_conv1d, init_conv_transpose1d
 from ..ops import masks as M
-from .basic import conv1d, conv_transpose1d, dense, gelu, layer_norm, group_norm, mish, silu
+from .basic import (conv1d_nwc, conv_transpose1d_nwc, dense, gelu, layer_norm,
+                    group_norm_nwc, mish, silu)
 from .attention import diffusers_attention
 from .posenc import timestep_embedding
 
@@ -37,36 +38,49 @@ from .posenc import timestep_embedding
 # ---------------------------------------------------------------------------
 
 
-def block1d(p: P, name: str, x: jax.Array, mask: jax.Array, ctx: Ctx,
+def _mul_mask(x: jax.Array, mask) -> jax.Array:
+    """x * mask, or x unchanged on the dense fast path (mask=None == all-valid).
+
+    Inference over full utterances has no padding (flow_inference pads to an
+    even T and strips afterwards; with even T the mask is statically all-ones),
+    so the ~40 masking multiplies per estimator call are pure HBM traffic —
+    callers pass mask=None to elide them."""
+    return x if mask is None else x * mask
+
+
+def block1d(p: P, name: str, x: jax.Array, mask, ctx: Ctx,
             causal: bool = False) -> jax.Array:
     """Conv3 + GroupNorm(8) + Mish, masked before and after (modules.py:60-73).
+
+    Channels-last throughout: x is (B, T, C), mask (B, T, 1) or None.
 
     Causal variant (CosyVoice2): left-padded conv + LayerNorm over channels
     (state-dict index block.2) + Mish (decoder.py:65-78)."""
     sp = p.sub(name)
     if causal:
-        h = jnp.pad(x * mask, ((0, 0), (0, 0), (2, 0)))
-        h = conv1d(sp, "block.0", h, ctx=ctx)
-        h = layer_norm(sp, "block.2", h.transpose(0, 2, 1)).transpose(0, 2, 1)
+        h = jnp.pad(_mul_mask(x, mask), ((0, 0), (2, 0), (0, 0)))
+        h = conv1d_nwc(sp, "block.0", h, ctx=ctx)
+        h = layer_norm(sp, "block.2", h)
     else:
-        h = conv1d(sp, "block.0", x * mask, padding=1, ctx=ctx)
-        h = group_norm(sp, "block.1", h, num_groups=8)
-    return mish(h) * mask
+        h = conv1d_nwc(sp, "block.0", _mul_mask(x, mask), padding=1, ctx=ctx)
+        h = group_norm_nwc(sp, "block.1", h, num_groups=8)
+    return _mul_mask(mish(h), mask)
 
 
-def resnet_block1d(p: P, name: str, x: jax.Array, mask: jax.Array, t: jax.Array,
+def resnet_block1d(p: P, name: str, x: jax.Array, mask, t: jax.Array,
                    ctx: Ctx, causal: bool = False) -> jax.Array:
-    """ResNet block with timestep conditioning (modules.py:76-94)."""
+    """ResNet block with timestep conditioning (modules.py:76-94).
+    Channels-last: x (B, T, C), t (B, time_embed_dim)."""
     sp = p.sub(name)
     h = block1d(sp, "block1", x, mask, ctx, causal)
-    h = h + dense(sp, "mlp.1", mish(t), ctx)[:, :, None]
+    h = h + dense(sp, "mlp.1", mish(t), ctx)[:, None, :]
     h = block1d(sp, "block2", h, mask, ctx, causal)
-    return h + conv1d(sp, "res_conv", x * mask, ctx=ctx)
+    return h + conv1d_nwc(sp, "res_conv", _mul_mask(x, mask), ctx=ctx)
 
 
 def causal_conv1d(p: P, name: str, x: jax.Array, kernel: int, ctx: Ctx) -> jax.Array:
-    """Left-padded conv (decoder.py:36-62)."""
-    return conv1d(p, name, jnp.pad(x, ((0, 0), (0, 0), (kernel - 1, 0))), ctx=ctx)
+    """Left-padded conv on (B, T, C) (decoder.py:36-62)."""
+    return conv1d_nwc(p, name, jnp.pad(x, ((0, 0), (kernel - 1, 0), (0, 0))), ctx=ctx)
 
 
 def feed_forward(p: P, name: str, x: jax.Array, act_fn: str, ctx: Ctx,
@@ -119,7 +133,7 @@ def basic_transformer_block(
 
 
 def _level_bias(
-    mask: jax.Array,  # (B, 1, T_l) bool/float valid mask at this level
+    mask: jax.Array,  # (B, T_l, 1) bool/float valid mask at this level
     T_full: int,
     prompt_lens: Optional[jax.Array],
     dtype,
@@ -129,8 +143,8 @@ def _level_bias(
     Prompt length is rescaled to the level's resolution like the reference
     (modules.py:1034-1042: scale = seq_len / full_len, scaled = max(1, int(...))).
     """
-    T_l = mask.shape[-1]
-    valid = mask.astype(bool)[:, 0, :]  # (B, T_l)
+    T_l = mask.shape[1]
+    valid = mask.astype(bool)[:, :, 0]  # (B, T_l)
     bias = M.mask_to_bias(valid[:, None, :], dtype)  # (B, 1, T_l) -> broadcast over queries
     bias = jnp.broadcast_to(bias, (mask.shape[0], T_l, T_l))
     if prompt_lens is not None:
@@ -145,7 +159,7 @@ def conditional_decoder(
     p: P,
     cfg: EstimatorConfig,
     x: jax.Array,  # (B, 80, T) noisy sample
-    mask: jax.Array,  # (B, 1, T) float valid mask
+    mask,  # (B, 1, T) float valid mask, or None == all-valid (dense fast path)
     mu: jax.Array,  # (B, 80, T) encoder output
     t: jax.Array,  # (B,) timestep in [0, 1]
     spks: jax.Array,  # (B, 80)
@@ -157,7 +171,17 @@ def conditional_decoder(
     static_chunk_size: int = 50,
 ) -> jax.Array:
     """Velocity field estimate (B, 80, T) (reference: modules.py:998-1106;
-    causal/streaming variant: cosyvoice/flow/decoder.py:294-494)."""
+    causal/streaming variant: cosyvoice/flow/decoder.py:294-494).
+
+    mask=None is the dense fast path for full-valid batches (inference over
+    exact-length utterances): masking multiplies and the (B, T, T) padding
+    bias are elided entirely — the result is identical to an all-ones mask.
+
+    Internals are channels-last (B, T, C): TPU convolutions and the
+    surrounding matmuls both want features on lanes, so the NCW blocks the
+    reference uses would force a relayout copy at every conv<->attention
+    boundary (~128 transposes per call).  Only the public (B, 80, T)
+    signature keeps the torch orientation."""
     B, _, T = x.shape
     assert T % 2 == 0, "estimator time axis must be a multiple of 2 (one stride-2 U-Net level)"
     dtype = x.dtype
@@ -166,36 +190,50 @@ def conditional_decoder(
     sp_t = p.sub("time_mlp")
     temb = dense(sp_t, "linear_2", silu(dense(sp_t, "linear_1", temb, ctx)), ctx)
 
-    spks_t = jnp.broadcast_to(spks[:, :, None], (B, spks.shape[1], T)).astype(dtype)
-    h = jnp.concatenate([x, mu, spks_t, cond], axis=1)  # (B, 320, T)
+    spks_t = jnp.broadcast_to(spks[:, None, :], (B, T, spks.shape[1])).astype(dtype)
+    h = jnp.concatenate([x.transpose(0, 2, 1), mu.transpose(0, 2, 1),
+                         spks_t, cond.transpose(0, 2, 1)], axis=-1)  # (B, T, 320)
+    if mask is not None:
+        mask = mask.transpose(0, 2, 1)  # (B, T, 1)
 
     n_levels = len(cfg.channels)
     # per-level masks and attention biases (level l has T // 2^l frames for
     # l < n_levels; the last down "downsample" is stride-1)
-    level_masks = [mask]
-    for _ in range(n_levels - 1):
-        level_masks.append(level_masks[-1][:, :, ::2])
+    if mask is None:
+        level_masks = [None] * n_levels
+    else:
+        level_masks = [mask]
+        for _ in range(n_levels - 1):
+            level_masks.append(level_masks[-1][:, ::2, :])
     if streaming:
         # static chunk attention at every level (decoder.py:439-443)
-        def _stream_bias(m):
-            T_l = m.shape[-1]
+        def _stream_bias(m, T_l):
             chunk = M.subsequent_chunk_mask(T_l, static_chunk_size, -1)
-            allowed = m.astype(bool) & chunk[None]
+            if m is None:
+                return M.mask_to_bias(chunk[None], dtype)
+            allowed = m.astype(bool)[:, :, 0][:, None, :] & chunk[None]
             dead = jnp.sum(allowed, axis=-1, keepdims=True) == 0
             return M.mask_to_bias(allowed | dead, dtype)
 
-        level_bias = [_stream_bias(m) for m in level_masks]
+        level_bias = [_stream_bias(m, T >> min(l, n_levels - 1))
+                      for l, m in enumerate(level_masks)]
+    elif mask is None and prompt_lens is None:
+        level_bias = [None] * n_levels
     else:
+        if mask is None:
+            mask = jnp.ones((B, T, 1), dtype)
+            level_masks = [mask]
+            for _ in range(n_levels - 1):
+                level_masks.append(level_masks[-1][:, ::2, :])
         level_bias = [_level_bias(m, T, prompt_lens, dtype) for m in level_masks]
 
-    def run_transformers(prefix, h_ct, lvl):
-        ht = h_ct.transpose(0, 2, 1)  # (B, T_l, C)
+    def run_transformers(prefix, ht, lvl):
         for j in range(cfg.n_blocks):
             ht = basic_transformer_block(
                 p, f"{prefix}.{j}", ht, level_bias[lvl], cfg.num_heads,
                 cfg.act_fn, ctx, cfg.gelu_approximate, cfg.dropout,
             )
-        return ht.transpose(0, 2, 1)
+        return ht
 
     hiddens = []
     for i in range(n_levels):
@@ -205,11 +243,11 @@ def conditional_decoder(
         h = run_transformers(f"down_blocks.{i}.1", h, lvl)
         hiddens.append(h)
         if i < n_levels - 1:
-            h = conv1d(p, f"down_blocks.{i}.2.conv", h * m, stride=2, padding=1, ctx=ctx)
+            h = conv1d_nwc(p, f"down_blocks.{i}.2.conv", _mul_mask(h, m), stride=2, padding=1, ctx=ctx)
         elif causal:
-            h = causal_conv1d(p, f"down_blocks.{i}.2", h * m, 3, ctx)
+            h = causal_conv1d(p, f"down_blocks.{i}.2", _mul_mask(h, m), 3, ctx)
         else:
-            h = conv1d(p, f"down_blocks.{i}.2", h * m, padding=1, ctx=ctx)
+            h = conv1d_nwc(p, f"down_blocks.{i}.2", _mul_mask(h, m), padding=1, ctx=ctx)
 
     mid_lvl = n_levels - 1
     m = level_masks[mid_lvl]
@@ -221,20 +259,20 @@ def conditional_decoder(
         lvl = n_levels - 1 - i
         m = level_masks[lvl]
         skip = hiddens.pop()
-        h = jnp.concatenate([h[:, :, : skip.shape[-1]], skip], axis=1)
+        h = jnp.concatenate([h[:, : skip.shape[1], :], skip], axis=-1)
         h = resnet_block1d(p, f"up_blocks.{i}.0", h, m, temb, ctx, causal)
         h = run_transformers(f"up_blocks.{i}.1", h, lvl)
         if i < n_levels - 1:
-            h = conv_transpose1d(p, f"up_blocks.{i}.2.conv", h * m, stride=2, padding=1)
+            h = conv_transpose1d_nwc(p, f"up_blocks.{i}.2.conv", _mul_mask(h, m), stride=2, padding=1)
         elif causal:
-            h = causal_conv1d(p, f"up_blocks.{i}.2", h * m, 3, ctx)
+            h = causal_conv1d(p, f"up_blocks.{i}.2", _mul_mask(h, m), 3, ctx)
         else:
-            h = conv1d(p, f"up_blocks.{i}.2", h * m, padding=1, ctx=ctx)
+            h = conv1d_nwc(p, f"up_blocks.{i}.2", _mul_mask(h, m), padding=1, ctx=ctx)
 
     m = level_masks[0]
     h = block1d(p, "final_block", h, m, ctx, causal)
-    out = conv1d(p, "final_proj", h * m, ctx=ctx)
-    return out * mask
+    out = conv1d_nwc(p, "final_proj", _mul_mask(h, m), ctx=ctx)
+    return _mul_mask(out, mask).transpose(0, 2, 1)  # back to (B, 80, T)
 
 
 # ---------------------------------------------------------------------------

@@ -118,7 +118,7 @@ def cfm_solve_euler(
     p: P,
     cfg: FlowConfig,
     z: jax.Array,  # (B, 80, T) initial noise
-    mask: jax.Array,  # (B, 1, T)
+    mask,  # (B, 1, T), or None == all-valid (dense fast path, see unet.py)
     mu: jax.Array,  # (B, 80, T)
     spks: jax.Array,  # (B, 80)
     cond: jax.Array,  # (B, 80, T)
@@ -132,7 +132,7 @@ def cfm_solve_euler(
     ts = t_span[:-1]
     dts = t_span[1:] - t_span[:-1]
 
-    mask2 = jnp.concatenate([mask, mask], axis=0)
+    mask2 = None if mask is None else jnp.concatenate([mask, mask], axis=0)
     mu2 = jnp.concatenate([mu, jnp.zeros_like(mu)], axis=0)
     spks2 = jnp.concatenate([spks, jnp.zeros_like(spks)], axis=0)
     cond2 = jnp.concatenate([cond, jnp.zeros_like(cond)], axis=0)
@@ -433,9 +433,11 @@ def flow_inference(
     if n_timesteps is None:
         n_timesteps = 20 if T > 500 else (15 if T > 300 else 10)
 
-    # pad to even length for the U-Net; masked region is dropped afterwards
+    # pad to even length for the U-Net; masked region is dropped afterwards.
+    # Even T needs no padding — take the mask-free dense fast path.
     T_pad = T + (T % 2)
-    mask = jnp.zeros((1, 1, T_pad), h.dtype).at[:, :, :T].set(1.0)
+    mask = None if T_pad == T else \
+        jnp.zeros((1, 1, T_pad), h.dtype).at[:, :, :T].set(1.0)
     mu = jnp.pad(h.transpose(0, 2, 1), ((0, 0), (0, 0), (0, T_pad - T)))
     conds = jnp.pad(conds, ((0, 0), (0, 0), (0, T_pad - T)))
     z = jax.random.normal(rng, (1, cfg.output_size, T_pad), h.dtype)

@@ -192,8 +192,11 @@ def flow2_inference(
         conds = conds.at[:, :mel_len1].set(prompt_feat)
     conds = conds.transpose(0, 2, 1)
 
+    # even T (token_mel_ratio=2 guarantees it when mel_len1 is even) takes the
+    # mask-free dense fast path (see unet.py _mul_mask)
     T_pad = T + (T % 2)
-    mask = jnp.zeros((1, 1, T_pad), h.dtype).at[:, :, :T].set(1.0)
+    mask = None if T_pad == T else \
+        jnp.zeros((1, 1, T_pad), h.dtype).at[:, :, :T].set(1.0)
     mu = jnp.pad(h.transpose(0, 2, 1), ((0, 0), (0, 0), (0, T_pad - T)))
     conds = jnp.pad(conds, ((0, 0), (0, 0), (0, T_pad - T)))
 
@@ -206,7 +209,7 @@ def flow2_inference(
         t_span = 1.0 - jnp.cos(t_span * 0.5 * PI)
     ts, dts = t_span[:-1], t_span[1:] - t_span[:-1]
 
-    mask2 = jnp.concatenate([mask, mask], axis=0)
+    mask2 = None if mask is None else jnp.concatenate([mask, mask], axis=0)
     mu2 = jnp.concatenate([mu, jnp.zeros_like(mu)], axis=0)
     spk2 = jnp.concatenate([spk, jnp.zeros_like(spk)], axis=0)
     cond2 = jnp.concatenate([conds, jnp.zeros_like(conds)], axis=0)

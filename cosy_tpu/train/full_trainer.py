@@ -59,30 +59,73 @@ class FullTrainer:
         zero2: bool = True,
         grad_clip: float = 5.0,
         accum: int = 1,
+        tensor_parallel: bool = False,
     ):
+        """tensor_parallel=True additionally splits the transformer matmuls
+        over the mesh's ``model`` axis (parallel/tp.py rules) — Megatron-style
+        row/column sharding with XLA-inserted collectives.  The reference has
+        no TP (SURVEY §2.5); this is scale-out beyond its DDP ceiling."""
         self.mesh = mesh if mesh is not None else pmesh.make_mesh()
         self.loss_fn = loss_fn
         self.optimizer = optax.chain(optax.clip_by_global_norm(grad_clip), optimizer)
         self.accum = accum
         self.zero2 = zero2
 
-        rep = pmesh.replicated(self.mesh)
-        self.params = jax.tree.map(lambda x: jax.device_put(x, rep), params)
+        if tensor_parallel:
+            from ..parallel import tp as tpmod
+
+            self._param_shardings = tpmod.tp_param_shardings(self.mesh, params)
+        else:
+            rep = pmesh.replicated(self.mesh)
+            self._param_shardings = {k: rep for k in params}
+        self.params = {k: jax.device_put(v, self._param_shardings[k])
+                       for k, v in params.items()}
+        self.tensor_parallel = tensor_parallel
         opt_state = self.optimizer.init(self.params)
-        if zero2:
-            shardings = zero2_sharding(self.mesh, opt_state)
+        if zero2 or tensor_parallel:
+            shardings = self._opt_sharding_tree(opt_state)
             self.opt_state = jax.tree.map(jax.device_put, opt_state, shardings)
             self._opt_shardings = shardings
         else:
+            rep = pmesh.replicated(self.mesh)
             self.opt_state = jax.tree.map(lambda x: jax.device_put(x, rep), opt_state)
             self._opt_shardings = jax.tree.map(lambda _: rep, opt_state)
         self.step_count = 0
         self._step_fn = None
 
+    def _opt_sharding_tree(self, opt_state):
+        """Optimizer-state shardings: moment trees mirror the param tree, so
+        reuse the per-param layout (TP split + optionally one more free axis
+        over dp = ZeRO-2); scalars and unrecognized leaves replicate."""
+        from ..parallel import tp as tpmod
+
+        base = self._param_shardings
+        layout = tpmod.compose_zero2(self.mesh, self.params, base) \
+            if self.zero2 else base
+        flat_names = set(self.params)
+
+        def spec_for(path, x):
+            # moment trees are dicts keyed like params; match by last dict key
+            for entry in reversed(path):
+                key = getattr(entry, "key", None)
+                if key in flat_names and getattr(x, "shape", None) == self.params[key].shape:
+                    return layout[key]
+            if self.zero2:
+                return zero2_sharding(self.mesh, x)
+            return pmesh.replicated(self.mesh)
+
+        return jax.tree_util.tree_map_with_path(spec_for, opt_state)
+
     def _build(self):
         optimizer, accum = self.optimizer, self.accum
-        param_shardings = jax.tree.map(lambda _: pmesh.replicated(self.mesh), self.params)
-        grad_shardings = zero2_sharding(self.mesh, self.params) if self.zero2 else param_shardings
+        param_shardings = self._param_shardings
+        if self.zero2:
+            from ..parallel import tp as tpmod
+
+            grad_shardings = tpmod.compose_zero2(self.mesh, self.params,
+                                                 self._param_shardings)
+        else:
+            grad_shardings = param_shardings
 
         def train_step(params, opt_state, super_batch, rng):
             rngs = jax.random.split(rng, accum)
@@ -133,4 +176,8 @@ class FullTrainer:
         self.params, self.opt_state, metrics = self._step_fn(
             self.params, self.opt_state, batch, rng)
         self.step_count += 1
-        return {k: float(v) for k, v in metrics.items()}
+        # one packed fetch — per-leaf float() costs a host round-trip each
+        # through the remote-TPU tunnel
+        keys = sorted(metrics)
+        vals = np.asarray(jnp.stack([metrics[k] for k in keys]))
+        return dict(zip(keys, vals.tolist()))

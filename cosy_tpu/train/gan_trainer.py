@@ -84,8 +84,13 @@ class HiFiGanTrainer:
             self.disc_params, self.disc_opt_state, self.gen_params, k1, batch)
         self.gen_params, self.gen_opt_state, g_metrics = self._gen_step(
             self.gen_params, self.gen_opt_state, self.disc_params, k2, batch)
-        out = {f"disc/{k}": float(v) for k, v in d_metrics.items()}
-        out.update({f"gen/{k}": float(v) for k, v in g_metrics.items()})
+        # one packed fetch for both turns' metrics (per-leaf float() costs a
+        # host round-trip each through the remote-TPU tunnel)
+        dk, gk = sorted(d_metrics), sorted(g_metrics)
+        vals = np.asarray(jnp.stack([d_metrics[k] for k in dk] +
+                                    [g_metrics[k] for k in gk]))
+        out = {f"disc/{k}": v for k, v in zip(dk, vals[: len(dk)].tolist())}
+        out.update({f"gen/{k}": v for k, v in zip(gk, vals[len(dk):].tolist())})
         return out
 
     def fit(self, loader: Iterable, epochs: int, rng: Optional[jax.Array] = None,

@@ -186,16 +186,21 @@ class JointTrainer:
 
             self._eval_fn = jax.jit(eval_step)
 
-        sums: Dict[str, float] = {}
-        n = 0
+        # accumulate on device, fetch once (per-leaf float() would cost one
+        # host round-trip per metric per batch through the tunnel)
+        mkeys: Optional[List[str]] = None
+        packed: List[jax.Array] = []
         for i, super_batch in enumerate(loader):
             batch = pmesh.shard_batch(self.mesh, super_batch, batch_axis=1)
             m = self._eval_fn(state.loras, self.llm_params, self.flow_params,
                               batch, jax.random.fold_in(rng, i))
-            for k, v in m.items():
-                sums[k] = sums.get(k, 0.0) + float(v)
-            n += 1
-        return {("cv_" + k): v / max(1, n) for k, v in sums.items()}
+            if mkeys is None:
+                mkeys = sorted(m)
+            packed.append(jnp.stack([m[k] for k in mkeys]))
+        if not packed:
+            return {}
+        avg = np.asarray(jnp.mean(jnp.stack(packed), axis=0))  # one fetch
+        return {("cv_" + k): float(v) for k, v in zip(mkeys, avg)}
 
     # ------------------------------------------------------------------
     # fit loop with callbacks (reference: train_joint.py:58-103, 325-360)
@@ -257,17 +262,26 @@ class JointTrainer:
         from ..utils.distributed import joined_loader
 
         for epoch in range(max_epochs):
-            epoch_metrics: List[Dict[str, float]] = []
             t0 = time.time()
+            # Metrics stay on device, packed into one vector per step; host
+            # fetches happen only at print points and once per epoch.  A
+            # per-step per-leaf float() would cost one host round-trip per
+            # metric per step — through the remote-TPU tunnel (~30 ms RTT)
+            # that overhead would rival the step itself.
+            mkeys: Optional[List[str]] = None
+            packed_steps: List[jax.Array] = []
+            step_ids: List[int] = []
             # uneven-workload escape: all hosts leave the epoch on the same
             # step (reference model.join/cosyvoice_join semantics)
             for super_batch in joined_loader(loader):
                 m = self.step(state, super_batch, jax.random.fold_in(rng, state.step + 1))
-                m_host = {k: float(v) for k, v in m.items()}
-                epoch_metrics.append(m_host)
-                self._metrics_log.append({"epoch": epoch, "step": state.step, **m_host})
+                if mkeys is None:
+                    mkeys = sorted(m)
+                packed_steps.append(jnp.stack([m[k] for k in mkeys]))
+                step_ids.append(state.step)
                 if state.step % log_every == 0:
-                    line = " ".join(f"{k}={v:.4f}" for k, v in sorted(m_host.items()))
+                    vals = np.asarray(packed_steps[-1])  # one fetch
+                    line = " ".join(f"{k}={v:.4f}" for k, v in zip(mkeys, vals))
                     print(f"epoch {epoch} step {state.step}: {line}")
                 if self._any_host_preempted():
                     break
@@ -277,9 +291,15 @@ class JointTrainer:
                 stop_reason = f"preempted — resumable snapshot at {path} (step {state.step})"
                 print(f"Stopping: {stop_reason}")
                 break
-            if not epoch_metrics:
+            if not packed_steps:
                 print("empty epoch — no data")
                 break
+
+            # one stacked fetch for the whole epoch's metrics
+            all_vals = np.asarray(jnp.stack(packed_steps))  # (n_steps, n_metrics)
+            epoch_metrics = [dict(zip(mkeys, row.tolist())) for row in all_vals]
+            for sid, m_host in zip(step_ids, epoch_metrics):
+                self._metrics_log.append({"epoch": epoch, "step": sid, **m_host})
 
             avg = {k: float(np.mean([m[k] for m in epoch_metrics])) for k in epoch_metrics[0]}
             dt = time.time() - t0
