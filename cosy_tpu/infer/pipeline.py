@@ -157,6 +157,20 @@ class TTSPipeline:
         self._decode_batch_jit = jax.jit(_decode_batch_fn,
                                          static_argnames=("max_len",))
 
+        # segment-wise batched decode for streaming cohorts (lock-step
+        # stop_at + resumable state; bit-identical to the uninterrupted run)
+        def _decode_batch_seg_fn(params, rng, prefix, valid, min_lens,
+                                 max_lens, stop_at, state, *, max_len):
+            return L.llm_decode_batch(
+                P(params), self.cfg.llm, rng, prefix, valid, min_lens, max_len,
+                top_p=self.icfg.sampling_top_p, top_k=self.icfg.sampling_top_k,
+                win_size=self.icfg.ras_win_size, tau_r=self.icfg.ras_tau_r,
+                int8_weights=self.icfg.int8_decode, max_lens=max_lens,
+                stop_at=stop_at, state=state, return_state=True)
+
+        self._decode_batch_seg_jit = jax.jit(_decode_batch_seg_fn,
+                                             static_argnames=("max_len",))
+
     # ------------------------------------------------------------------
     # stage 1: AR speech-token generation
     # ------------------------------------------------------------------
@@ -321,6 +335,84 @@ class TTSPipeline:
                                         finalize=True, speed=sp)
                 wavs.append(wav)
         return wavs
+
+    def synthesize_stream_batch(
+        self,
+        rng: jax.Array,
+        text_tokens_list,  # list of (1, Tt) arrays
+        spk_embeddings=None,  # list of (1, 192) or None entries
+        max_len_cap: int = 2048,
+    ):
+        """Batched streaming synthesis for serving: one lock-step segmented
+        decode (llm_decode_batch stop_at/state) amortizes the per-token
+        weight read across all concurrent streams — the dominant cost of
+        bs=1 decode (PERF.md) — while each stream still emits hop-sized
+        audio chunks with the reference's overlap/fade semantics.
+
+        Yields (request_index, wav (1, n), done).  Token streams are
+        bit-identical to per-request llm_decode runs (same fold_in(rng, b)
+        streams as synthesize_batch).
+        """
+        B = len(text_tokens_list)
+        if spk_embeddings is None:
+            spk_embeddings = [None] * B
+        built = [self._build_prefix(t, None, None, s, max_len_cap)
+                 for t, s in zip(text_tokens_list, spk_embeddings)]
+        L0 = max(int(pr.shape[1]) for pr, _, _ in built)
+        L0 = ((L0 + 15) // 16) * 16
+        max_len = max(ml for _, _, ml in built)
+        prefix = jnp.concatenate([
+            jnp.pad(pr, ((0, 0), (L0 - pr.shape[1], 0), (0, 0)))
+            for pr, _, _ in built], axis=0)
+        valid = jnp.asarray([pr.shape[1] for pr, _, _ in built], jnp.int32)
+        min_lens = jnp.asarray([mn for _, mn, _ in built], jnp.int32)
+        max_lens = jnp.asarray([ml for _, _, ml in built], jnp.int32)
+
+        k_llm, k_wav = jax.random.split(rng)
+        spks = [np.zeros((1, self.cfg.llm.spk_embed_dim), np.float32)
+                if s is None else np.asarray(s) for s in spk_embeddings]
+
+        hop = self.token_min_hop_len
+        seg = hop + self.token_overlap_len
+        states = [StreamState(mel_overlap=np.zeros((1, 80, 0), np.float32))
+                  for _ in range(B)]
+        pos = [0] * B
+        ki = [0] * B
+        finished = [False] * B
+        dstate = None
+        target = min(seg, max_len)
+        while not all(finished):
+            res, dstate = self._decode_batch_seg_jit(
+                self.llm_params, k_llm, prefix, valid, min_lens, max_lens,
+                jnp.asarray(target), dstate, max_len=max_len)
+            lengths = np.asarray(res.lengths)
+            done_dev = np.asarray(dstate.done)
+            all_tokens = np.asarray(res.tokens)
+            cohort_done = bool(done_dev.all()) or target >= max_len
+            for b in range(B):
+                if finished[b]:
+                    continue
+                n = int(lengths[b])
+                stream_done = bool(done_dev[b]) or cohort_done
+                # emit hop-sized windows while enough lookahead exists
+                while n - pos[b] >= hop + self.token_overlap_len:
+                    window = all_tokens[b][None, pos[b]: pos[b] + hop + self.token_overlap_len]
+                    wav, states[b] = self.token2wav(
+                        jax.random.fold_in(jax.random.fold_in(k_wav, b), ki[b]),
+                        window, None, None, spks[b],
+                        stream_state=states[b], finalize=False)
+                    yield b, wav, False
+                    pos[b] += hop
+                    ki[b] += 1
+                if stream_done:
+                    window = all_tokens[b][None, pos[b]: n]
+                    wav, _ = self.token2wav(
+                        jax.random.fold_in(jax.random.fold_in(k_wav, b), ki[b]),
+                        window, None, None, spks[b],
+                        stream_state=states[b], finalize=True)
+                    finished[b] = True
+                    yield b, wav, True
+            target = min(target + hop, max_len)
 
     # ------------------------------------------------------------------
     # stage 2+3: tokens -> mel -> wav

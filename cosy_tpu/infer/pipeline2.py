@@ -124,6 +124,19 @@ class TTS2Pipeline:
         self._decode_batch_jit = jax.jit(_decode_batch_fn,
                                          static_argnames=("max_len",))
 
+        # segment-wise batched decode for streaming cohorts
+        def _decode_batch_seg_fn(params, rng, prefix, valid, min_lens,
+                                 max_lens, stop_at, state, *, max_len):
+            return qwen2lm_decode_batch(
+                P(params), self.lcfg, rng, prefix, valid, min_lens, max_len,
+                top_p=self.icfg.sampling_top_p, top_k=self.icfg.sampling_top_k,
+                win_size=self.icfg.ras_win_size, tau_r=self.icfg.ras_tau_r,
+                max_lens=max_lens, stop_at=stop_at, state=state,
+                return_state=True)
+
+        self._decode_batch_seg_jit = jax.jit(_decode_batch_seg_fn,
+                                             static_argnames=("max_len",))
+
     # ------------------------------------------------------------------
 
     def _build_prefix(self, text_tokens, prompt_text, prompt_speech_token,
@@ -278,6 +291,76 @@ class TTS2Pipeline:
             jnp.asarray(token, jnp.int32), jnp.asarray(prompt_token, jnp.int32),
             jnp.asarray(prompt_feat), jnp.asarray(spk_embedding),
             offset=token_offset, n_timesteps=self.icfg.nfe_short)
+
+    def synthesize_stream_batch(
+        self,
+        rng: jax.Array,
+        text_tokens_list,  # list of (1, Tt) arrays
+        spk_embeddings=None,  # list of (1, spk_dim) or None
+        max_len_cap: int = 2048,
+    ):
+        """Batched streaming CosyVoice2 synthesis: one lock-step segmented
+        decode across concurrent streams (see pipeline.py
+        synthesize_stream_batch), 25-token hops with pre-lookahead per
+        stream.  Yields (request_index, wav (1, n), done)."""
+        B = len(text_tokens_list)
+        if spk_embeddings is None:
+            spk_embeddings = [None] * B
+        built = [self._build_prefix(t, None, None, max_len_cap)
+                 for t in text_tokens_list]
+        L0 = max(int(pr.shape[1]) for pr, _, _ in built)
+        L0 = ((L0 + 15) // 16) * 16
+        max_len = max(ml for _, _, ml in built)
+        prefix = jnp.concatenate([
+            jnp.pad(pr, ((0, 0), (L0 - pr.shape[1], 0), (0, 0)))
+            for pr, _, _ in built], axis=0)
+        valid = jnp.asarray([pr.shape[1] for pr, _, _ in built], jnp.int32)
+        min_lens = jnp.asarray([mn for _, mn, _ in built], jnp.int32)
+        max_lens = jnp.asarray([ml for _, _, ml in built], jnp.int32)
+
+        k_llm, k_wav = jax.random.split(rng)
+        spks = [np.zeros((1, self.fcfg.spk_embed_dim), np.float32)
+                if s is None else np.asarray(s) for s in spk_embeddings]
+
+        hop = self.token_hop_len
+        seg = 2 * hop
+        states = [Stream2State() for _ in range(B)]
+        offsets = [0] * B
+        ki = [0] * B
+        finished = [False] * B
+        dstate = None
+        target = min(seg, max_len)
+        while not all(finished):
+            res, dstate = self._decode_batch_seg_jit(
+                self.llm_params, k_llm, prefix, valid, min_lens, max_lens,
+                jnp.asarray(target), dstate, max_len=max_len)
+            lengths = np.asarray(res.lengths)
+            done_dev = np.asarray(dstate.done)
+            all_tokens = np.asarray(res.tokens)
+            cohort_done = bool(done_dev.all()) or int(np.asarray(dstate.i)) >= max_len
+            for b in range(B):
+                if finished[b]:
+                    continue
+                n = int(lengths[b])
+                stream_done = bool(done_dev[b]) or cohort_done
+                while n >= offsets[b] + hop + self.fcfg.pre_lookahead_len:
+                    window = all_tokens[b][None, : offsets[b] + hop + self.fcfg.pre_lookahead_len]
+                    wav, states[b] = self.token2wav(
+                        jax.random.fold_in(jax.random.fold_in(k_wav, b), ki[b]),
+                        window, None, None, spks[b], offsets[b], states[b],
+                        stream=True, finalize=False)
+                    yield b, wav, False
+                    offsets[b] += hop
+                    ki[b] += 1
+                if stream_done:
+                    window = all_tokens[b][None, :n]
+                    wav, _ = self.token2wav(
+                        jax.random.fold_in(jax.random.fold_in(k_wav, b), ki[b]),
+                        window, None, None, spks[b], offsets[b], states[b],
+                        finalize=True)
+                    finished[b] = True
+                    yield b, wav, True
+            target = min(target + seg, max_len)
 
     def token2wav(
         self,

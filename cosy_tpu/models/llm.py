@@ -479,6 +479,16 @@ class BatchDecodeResult(NamedTuple):
     lengths: jax.Array  # (B,) valid counts
 
 
+class BatchDecodeState(NamedTuple):
+    """Resumable lock-step state for segment-wise batched (streaming) decode."""
+    i: jax.Array  # next token index (shared across the batch)
+    tokens: jax.Array  # (B, max_len)
+    last: jax.Array  # (B,) previous token ids
+    kv_buf: jax.Array  # (nl, 2, B, H, S, dk)
+    rngs: jax.Array  # (B, 2) per-sample streams
+    done: jax.Array  # (B,) bool
+
+
 def llm_decode_batch(
     p: P,
     cfg: LLMConfig,
@@ -493,7 +503,10 @@ def llm_decode_batch(
     tau_r: float = 0.1,
     int8_weights: bool = False,
     max_lens: Optional[jax.Array] = None,  # (B,) per-sample caps <= max_len
-) -> BatchDecodeResult:
+    stop_at: Optional[jax.Array] = None,  # scalar — pause the cohort here
+    state: Optional[BatchDecodeState] = None,
+    return_state: bool = False,
+):
     """Batched AR decode for serving throughput.
 
     bs=1 decode is weight-bandwidth-bound (PERF.md): every token reads the
@@ -503,6 +516,12 @@ def llm_decode_batch(
     makes each sample's logits exactly those of an unpadded run); sample
     ``b``'s rng stream is ``fold_in(rng, b)``, so its tokens equal a
     ``llm_decode`` call with that key.
+
+    Segment-wise streaming (batched llm_job cohorts): pass ``stop_at`` to
+    pause the lock-step loop at a token boundary and ``return_state=True``
+    for a resumable :class:`BatchDecodeState`; resume by passing it back as
+    ``state`` (prefill is skipped).  Token streams are bit-identical to an
+    uninterrupted run.
     """
     ecfg = cfg.llm
     D, H, dk, nl = (ecfg.output_size, ecfg.attention_heads, ecfg.head_dim,
@@ -537,23 +556,8 @@ def llm_decode_batch(
     _mm = _matmul_q
     _ln = _ln_f32
 
-    # ---- prefill (padded queries compute garbage but their keys are never
-    # attended; outputs read only at the right-aligned last position) ----
-    x0 = embed_tokens(prefix_emb)
-    pe0 = rel_pos_table(L0, D).astype(dt)
-    kq = jnp.arange(L0)
-    vis = (kq[None, None, :] <= kq[None, :, None]) & \
-          (kq[None, None, :] >= start[:, None, None])  # (B, L0, L0)
-    bias0 = jnp.where(vis, 0.0, M.NEG_BIAS).astype(dt)
-    kv_buf = jnp.zeros((nl, 2, B, H, S, dk), dt)
-    h = x0
-    for i in range(nl):
-        h, (ki, vi) = transformer_layer(
-            sp_llm, f"encoders.{i}", ecfg, h, bias0, pe0, EVAL, return_kv=True)
-        kv_buf = kv_buf.at[i, 0, :, :, :L0].set(ki.astype(dt))
-        kv_buf = kv_buf.at[i, 1, :, :, :L0].set(vi.astype(dt))
-    h = layer_norm(sp_llm, "after_norm", h, eps=1e-5)
-    logits0 = dense(p, "llm_decoder", h[:, -1])  # (B, V)
+    caps_ = (jnp.full((B,), max_len, jnp.int32) if max_lens is None
+             else jnp.minimum(jnp.asarray(max_lens, jnp.int32), max_len))
 
     def pos_window_at(L):
         return jax.lax.dynamic_slice(
@@ -607,23 +611,47 @@ def llm_decode_batch(
         x = layer_norm(sp_llm, "after_norm", x, eps=1e-5)
         return x, new_kv
 
-    tokens = jnp.full((B, max_len), -1, jnp.int32)
-    rngs = jax.vmap(lambda b: jax.random.fold_in(rng, b))(jnp.arange(B))
     split2 = jax.vmap(jax.random.split)
-    ks = split2(rngs)
-    k_s, rngs = ks[:, 0], ks[:, 1]
-    first = sample_vec(k_s, logits0, jnp.asarray(0), tokens,
-                       jnp.asarray(0), min_len).astype(jnp.int32)
-    # EOS is masked at step 0 (as in llm_decode), so the first token is
-    # always a real speech token
-    tokens = tokens.at[:, 0].set(first)
-    caps = (jnp.full((B,), max_len, jnp.int32) if max_lens is None
-            else jnp.minimum(jnp.asarray(max_lens, jnp.int32), max_len))
-    done0 = caps <= 1  # degenerate per-sample cap
+    if state is None:
+        # ---- prefill (padded queries compute garbage but their keys are
+        # never attended; outputs read only at the right-aligned last
+        # position) ----
+        x0 = embed_tokens(prefix_emb)
+        pe0 = rel_pos_table(L0, D).astype(dt)
+        kq = jnp.arange(L0)
+        vis = (kq[None, None, :] <= kq[None, :, None]) & \
+              (kq[None, None, :] >= start[:, None, None])  # (B, L0, L0)
+        bias0 = jnp.where(vis, 0.0, M.NEG_BIAS).astype(dt)
+        kv_buf = jnp.zeros((nl, 2, B, H, S, dk), dt)
+        h = x0
+        for i in range(nl):
+            h, (ki, vi) = transformer_layer(
+                sp_llm, f"encoders.{i}", ecfg, h, bias0, pe0, EVAL, return_kv=True)
+            kv_buf = kv_buf.at[i, 0, :, :, :L0].set(ki.astype(dt))
+            kv_buf = kv_buf.at[i, 1, :, :, :L0].set(vi.astype(dt))
+        h = layer_norm(sp_llm, "after_norm", h, eps=1e-5)
+        logits0 = dense(p, "llm_decoder", h[:, -1])  # (B, V)
+
+        tokens = jnp.full((B, max_len), -1, jnp.int32)
+        rngs = jax.vmap(lambda b: jax.random.fold_in(rng, b))(jnp.arange(B))
+        ks = split2(rngs)
+        k_s, rngs = ks[:, 0], ks[:, 1]
+        first = sample_vec(k_s, logits0, jnp.asarray(0), tokens,
+                           jnp.asarray(0), min_len).astype(jnp.int32)
+        # EOS is masked at step 0 (as in llm_decode), so the first token is
+        # always a real speech token
+        tokens = tokens.at[:, 0].set(first)
+        state = BatchDecodeState(i=jnp.asarray(1), tokens=tokens,
+                                 last=jnp.maximum(first, 0), kv_buf=kv_buf,
+                                 rngs=rngs, done=caps_ <= 1)
+
+    caps = caps_
+    stop = jnp.asarray(max_len) if stop_at is None else jnp.minimum(
+        jnp.asarray(stop_at), max_len)
 
     def cond(st):
         i, tokens, last, kvb, rngs, done = st
-        return jnp.any(~done) & (i < max_len)
+        return jnp.any(~done) & (i < stop)
 
     def body(st):
         i, tokens, last, kvb, rngs, done = st
@@ -646,8 +674,11 @@ def llm_decode_batch(
         # per-sample cap: sample b stops after caps[b] tokens even while
         # longer batchmates continue
         done = done | is_eos | (i + 1 >= caps)
-        return (i + 1, tokens, last, kvb, rngs, done)
+        return BatchDecodeState(i + 1, tokens, last, kvb, rngs, done)
 
-    st = (jnp.asarray(1), tokens, jnp.maximum(first, 0), kv_buf, rngs, done0)
-    _, tokens, _, _, _, _ = jax.lax.while_loop(cond, body, st)
-    return BatchDecodeResult(tokens=tokens, lengths=jnp.sum(tokens >= 0, axis=1))
+    out = jax.lax.while_loop(cond, body, state)
+    result = BatchDecodeResult(tokens=out.tokens,
+                               lengths=jnp.sum(out.tokens >= 0, axis=1))
+    if return_state:
+        return result, out
+    return result

@@ -570,6 +570,18 @@ def init_qwen2lm_params(key: jax.Array, cfg: Qwen2LMConfig) -> Params:
     return d
 
 
+class BatchDecodeState(NamedTuple):
+    """Resumable lock-step state for segment-wise batched CosyVoice2 decode."""
+    i: jax.Array  # next attempt index (shared across the batch)
+    n: jax.Array  # (B,) emitted token counts (fill tokens skipped)
+    tokens: jax.Array  # (B, max_len)
+    last: jax.Array  # (B,) previous token ids
+    k_buf: jax.Array  # (nl, B, kvH, S, dk)
+    v_buf: jax.Array
+    rngs: jax.Array  # (B, 2)
+    done: jax.Array  # (B,) bool
+
+
 class BatchDecodeResult(NamedTuple):
     tokens: jax.Array  # (B, max_len) int32, -1 padded
     lengths: jax.Array  # (B,) valid counts
@@ -588,11 +600,19 @@ def qwen2lm_decode_batch(
     win_size: int = 10,
     tau_r: float = 0.1,
     max_lens: Optional[jax.Array] = None,  # (B,) per-sample caps <= max_len
-) -> BatchDecodeResult:
+    stop_at: Optional[jax.Array] = None,  # scalar — pause the cohort here
+    state: Optional["BatchDecodeState"] = None,
+    return_state: bool = False,
+):
     """Batched CosyVoice2 decode (see models.llm.llm_decode_batch for the
     left-padding/rng contract).  GQA caches; fill tokens (> eos) are skipped
     per sample (not stored, not fed back — llm.py:506-507), so per-sample
-    output counts advance independently of the shared attempt counter."""
+    output counts advance independently of the shared attempt counter.
+
+    Segment-wise streaming cohorts: ``stop_at`` bounds decode *attempts*
+    (the shared counter), ``return_state=True`` yields a resumable
+    :class:`BatchDecodeState`; token streams are bit-identical to an
+    uninterrupted run."""
     q = cfg.qwen
     B, L0 = prefix_emb.shape[0], prefix_emb.shape[1]
     S = L0 + max_len
@@ -602,23 +622,6 @@ def qwen2lm_decode_batch(
     qp = p.sub("llm.model.model")
     start = (L0 - prefix_valid.astype(jnp.int32))  # (B,)
 
-    # ---- prefill (pad keys masked; outputs read at the right-aligned end) --
-    k_buf = jnp.zeros((nl, B, q.num_key_value_heads, S, q.head_dim), dt)
-    v_buf = jnp.zeros_like(k_buf)
-    kq = jnp.arange(S)[None, None, :]
-    vis0 = (kq <= jnp.arange(L0)[None, :, None]) & (kq >= start[:, None, None])
-    bias0 = M.mask_to_bias(vis0, dt)  # (B, L0, S)
-    positions0 = jnp.arange(L0)
-    h = prefix_emb
-    for i in range(nl):
-        h, (kb, vb) = qwen2_layer(
-            qp.sub(f"layers.{i}"), q, h, positions0, bias0, EVAL,
-            kv_cache=(k_buf[i], v_buf[i]), cache_index=0)
-        k_buf = k_buf.at[i].set(kb)
-        v_buf = v_buf.at[i].set(vb)
-    h = rms_norm(qp, "norm", h, q.rms_norm_eps)
-    logits0 = dense(p, "llm_decoder", h[:, -1])  # (B, V)
-
     def sample_one(rng_i, logits, step_i, tokens_b, ntok, min_b):
         logp = jax.nn.log_softmax(logits.astype(jnp.float32))
         mask_eos = step_i < min_b
@@ -627,24 +630,49 @@ def qwen2lm_decode_batch(
                           win_size, tau_r)
 
     sample_vec = jax.vmap(sample_one, in_axes=(0, 0, None, 0, 0, 0))
-
-    tokens = jnp.full((B, max_len), -1, jnp.int32)
-    rngs = jax.vmap(lambda b: jax.random.fold_in(rng, b))(jnp.arange(B))
     split2 = jax.vmap(jax.random.split)
-    ks = split2(rngs)
-    k_s, rngs = ks[:, 0], ks[:, 1]
-    first = sample_vec(k_s, logits0, jnp.asarray(0), tokens,
-                       jnp.zeros((B,), jnp.int32), min_len).astype(jnp.int32)
-    is_special0 = first >= eos
-    tokens = tokens.at[:, 0].set(jnp.where(is_special0, -1, first))
-    n0 = jnp.where(is_special0, 0, 1)
     caps = (jnp.full((B,), max_len, jnp.int32) if max_lens is None
             else jnp.minimum(jnp.asarray(max_lens, jnp.int32), max_len))
-    done0 = (first == eos) | (caps <= 1)
+
+    if state is None:
+        # ---- prefill (pad keys masked; outputs read at the right-aligned
+        # end) ----
+        k_buf = jnp.zeros((nl, B, q.num_key_value_heads, S, q.head_dim), dt)
+        v_buf = jnp.zeros_like(k_buf)
+        kq = jnp.arange(S)[None, None, :]
+        vis0 = (kq <= jnp.arange(L0)[None, :, None]) & (kq >= start[:, None, None])
+        bias0 = M.mask_to_bias(vis0, dt)  # (B, L0, S)
+        positions0 = jnp.arange(L0)
+        h = prefix_emb
+        for i in range(nl):
+            h, (kb, vb) = qwen2_layer(
+                qp.sub(f"layers.{i}"), q, h, positions0, bias0, EVAL,
+                kv_cache=(k_buf[i], v_buf[i]), cache_index=0)
+            k_buf = k_buf.at[i].set(kb)
+            v_buf = v_buf.at[i].set(vb)
+        h = rms_norm(qp, "norm", h, q.rms_norm_eps)
+        logits0 = dense(p, "llm_decoder", h[:, -1])  # (B, V)
+
+        tokens = jnp.full((B, max_len), -1, jnp.int32)
+        rngs = jax.vmap(lambda b: jax.random.fold_in(rng, b))(jnp.arange(B))
+        ks = split2(rngs)
+        k_s, rngs = ks[:, 0], ks[:, 1]
+        first = sample_vec(k_s, logits0, jnp.asarray(0), tokens,
+                           jnp.zeros((B,), jnp.int32), min_len).astype(jnp.int32)
+        is_special0 = first >= eos
+        tokens = tokens.at[:, 0].set(jnp.where(is_special0, -1, first))
+        n0 = jnp.where(is_special0, 0, 1)
+        done0 = (first == eos) | (caps <= 1)
+        state = BatchDecodeState(
+            i=jnp.asarray(1), n=n0, tokens=tokens, last=jnp.maximum(first, 0),
+            k_buf=k_buf, v_buf=v_buf, rngs=rngs, done=done0)
+
+    stop = jnp.asarray(max_len) if stop_at is None else jnp.minimum(
+        jnp.asarray(stop_at), max_len)
 
     def cond(st):
         i, n, tokens, last, kb, vb, rngs, done = st
-        return jnp.any(~done) & (i < max_len)
+        return jnp.any(~done) & (i < stop)
 
     def body(st):
         i, n, tokens, last, kb, vb, rngs, done = st
@@ -676,9 +704,10 @@ def qwen2lm_decode_batch(
         n = jnp.where(write, n + 1, n)
         last = jnp.where(is_skip | done, last, tok)
         done = done | is_eos | (n >= caps)
-        return (i + 1, n, tokens, last, new_kb, new_vb, rngs, done)
+        return BatchDecodeState(i + 1, n, tokens, last, new_kb, new_vb, rngs, done)
 
-    st = (jnp.asarray(1), n0, tokens, jnp.maximum(first, 0), k_buf, v_buf,
-          rngs, done0)
-    _, n, tokens, _, _, _, _, _ = jax.lax.while_loop(cond, body, st)
-    return BatchDecodeResult(tokens=tokens, lengths=n)
+    out = jax.lax.while_loop(cond, body, state)
+    result = BatchDecodeResult(tokens=out.tokens, lengths=out.n)
+    if return_state:
+        return result, out
+    return result

@@ -146,12 +146,13 @@ def flash_attention(
 def use_flash(T: int, d: int) -> bool:
     """Gate for routing production attention through the Pallas kernel.
 
-    OFF by default: measured on the real chip (see PERF.md), XLA's fused
-    attention beats this kernel at every estimator/LLM shape (7.4 vs 17.1
-    ms/estimator call at B8 T512 — pallas_call is a fusion barrier, and
-    this chip's time is dominated by fusion-boundary overhead rather than
-    flops).  Set COSY_TPU_FLASH=1 to opt in (e.g. shapes where the (B,T,S)
-    bias materialization dominates, or future chips)."""
+    OFF by default: measured on the real chip with RTT-free methodology
+    (nfe-differenced solves, PERF.md), XLA's fused attention beats this
+    kernel at every estimator shape — 4.4 vs 12.8 ms/estimator call at
+    B8 T512, 15.8 vs 42.8 at T1024.  The estimator makes 64 attention calls
+    per forward; 64 pallas_call boundaries cost more than the (B,T,S) score
+    materialization they avoid at these sizes.  Set COSY_TPU_FLASH=1 to opt
+    in (e.g. much longer sequences, or future chips)."""
     import os
 
     if not os.environ.get("COSY_TPU_FLASH"):

@@ -48,6 +48,10 @@ class TTSServer:
         self._queue: list = []
         self._queue_lock = threading.Lock()
         self._worker_busy = threading.Lock()
+        # streaming cohorts (synthesize_stream_batched)
+        self._stream_queue: list = []
+        self._stream_wake = threading.Event()
+        self._stream_thread: Optional[threading.Thread] = None
         self.batches_run = 0  # observability
 
     def synthesize(self, text: str, spk_id: str = "", speed: float = 1.0,
@@ -117,6 +121,68 @@ class TTSServer:
             raise item["err"]
         return item["wav"]
 
+    def synthesize_stream_batched(self, text: str):
+        """Streaming with cohort batching: requests arriving within the
+        window share one lock-step segmented decode
+        (pipeline.synthesize_stream_batch) — concurrent streams amortize the
+        per-token weight read (the dominant bs=1 decode cost, PERF.md) —
+        while every connection receives its own hop-sized chunks as they are
+        produced.  A dedicated worker thread drives cohorts; request threads
+        only drain their per-request queues, so every stream's
+        time-to-first-audio is one cohort hop, not the full utterance."""
+        import queue as _queue
+
+        ids = self.api.frontend.extract_text_token(
+            self.api.frontend.normalize(text, split=False))
+        item = {"ids": ids, "q": _queue.Queue(), "err": None}
+        with self._queue_lock:
+            self._stream_queue.append(item)
+            if self._stream_thread is None:
+                self._stream_thread = threading.Thread(
+                    target=self._stream_worker, daemon=True)
+                self._stream_thread.start()
+        self._stream_wake.set()
+        while True:
+            got = item["q"].get()
+            if got is None:
+                if item["err"] is not None:
+                    raise item["err"]
+                return
+            yield got
+
+    def _stream_worker(self):
+        import time
+
+        while True:
+            self._stream_wake.wait()
+            time.sleep(self.batch_window_ms / 1e3)  # collection window
+            with self._queue_lock:
+                cohort, self._stream_queue = (
+                    self._stream_queue[: self.max_batch],
+                    self._stream_queue[self.max_batch:])
+                if not self._stream_queue:
+                    self._stream_wake.clear()
+            if not cohort:
+                continue
+            self.batches_run += 1
+            model = self.api.model
+            spk_dim = (model.cfg.llm.spk_embed_dim if hasattr(model, "cfg")
+                       else model.fcfg.spk_embed_dim)
+            zero = np.zeros((1, spk_dim), np.float32)
+            try:
+                with self.lock:
+                    for b, wav, done in model.synthesize_stream_batch(
+                            self.api._next_rng(),
+                            [it["ids"] for it in cohort],
+                            [zero] * len(cohort)):
+                        cohort[b]["q"].put(wav[0])
+            except Exception as e:  # noqa: BLE001
+                for it in cohort:
+                    it["err"] = e
+            finally:
+                for it in cohort:
+                    it["q"].put(None)  # end-of-stream sentinel
+
 
 def make_handler(server: TTSServer, sample_rate: int):
     class Handler(BaseHTTPRequestHandler):
@@ -169,7 +235,14 @@ def make_handler(server: TTSServer, sample_rate: int):
                                 sample_rate * 2, 2, 16) + \
                     b"data" + struct.pack("<I", 0xFFFFFFFF)
                 send_chunk(hdr)
-                for piece in server.synthesize(text, spk_id, speed, stream=True):
+                if (not spk_id and speed == 1.0
+                        and hasattr(server.api.model, "synthesize_stream_batch")):
+                    # concurrent prompt-free streams share a lock-step
+                    # segmented decode (cohort batching)
+                    pieces = server.synthesize_stream_batched(text)
+                else:
+                    pieces = server.synthesize(text, spk_id, speed, stream=True)
+                for piece in pieces:
                     pcm = (np.clip(piece, -1, 1) * 32767).astype("<i2").tobytes()
                     send_chunk(pcm)
                 self.wfile.write(b"0\r\n\r\n")

@@ -100,3 +100,25 @@ def test_qwen2lm_batch_decode_matches_singles():
         np.testing.assert_array_equal(np.asarray(rb.tokens[1]), np.asarray(r2.tokens))
         assert int(rb.lengths[0]) == int(r1.length)
         assert int(rb.lengths[1]) == int(r2.length)
+
+
+def test_batch_decode_segments_match_uninterrupted():
+    """Segment-wise batched decode (stop_at + state round-trip) must be
+    bit-identical to one uninterrupted llm_decode_batch run."""
+    with jax.enable_x64(True):
+        cfg = _cfg()
+        p = L.init_llm_params(jax.random.PRNGKey(0), cfg)
+        p = {k: v.astype(jnp.float64) for k, v in p.items()}
+        rng = jax.random.PRNGKey(9)
+        pb = jax.random.normal(jax.random.PRNGKey(4), (2, 6, 16), jnp.float64)
+        valid = jnp.asarray([6, 4])
+        mins = jnp.asarray([2, 2])
+        full = L.llm_decode_batch(P(p), cfg, rng, pb, valid, mins, 12)
+
+        state = None
+        for stop in (3, 7, 12):
+            seg, state = L.llm_decode_batch(
+                P(p), cfg, rng, pb, valid, mins, 12,
+                stop_at=jnp.asarray(stop), state=state, return_state=True)
+        np.testing.assert_array_equal(np.asarray(seg.tokens), np.asarray(full.tokens))
+        np.testing.assert_array_equal(np.asarray(seg.lengths), np.asarray(full.lengths))

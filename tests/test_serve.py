@@ -126,3 +126,39 @@ def test_http_streaming_chunked_response():
         assert (len(body) - 44) % 2 == 0  # whole PCM16 samples
     finally:
         httpd.shutdown()
+
+
+def test_concurrent_streams_share_a_cohort():
+    """Two overlapping stream=true requests ride one lock-step segmented
+    decode (batches_run == 1) and both receive valid chunked WAV."""
+    api = _make_api()
+    orig = api.frontend.extract_text_token
+    api.frontend.extract_text_token = lambda text: orig(text) % 40
+    server = TTSServer(api, batch_window_ms=1500.0)
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(server, 22050))
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    results = {}
+
+    def one(i):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/tts",
+            data=json.dumps({"text": f"hello number {i}.", "stream": True}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=900) as r:
+            results[i] = r.read()
+
+    try:
+        threads = [threading.Thread(target=one, args=(i,)) for i in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert set(results) == {0, 1}
+        for body in results.values():
+            assert body[:4] == b"RIFF" and len(body) > 44
+            assert (len(body) - 44) % 2 == 0
+        assert server.batches_run == 1, server.batches_run
+    finally:
+        httpd.shutdown()
