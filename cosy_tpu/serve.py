@@ -268,11 +268,26 @@ def main():
     ap.add_argument("--model-dir", default="pretrained_models/CosyVoice-300M")
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--cosyvoice2", action="store_true")
+    ap.add_argument("--tp", type=int, default=1,
+                    help="shard the LLM over a model-axis mesh of this size "
+                         "(multi-chip serving: N chips = N x the per-token "
+                         "weight bandwidth that bounds bs=1 decode; decoded "
+                         "tokens are identical to the replicated run)")
     args = ap.parse_args()
 
     from .api import CosyVoice, CosyVoice2
 
     api = (CosyVoice2 if args.cosyvoice2 else CosyVoice)(args.model_dir)
+    if args.tp > 1:
+        import jax
+
+        from .parallel import mesh as pmesh, tp as tpmod
+
+        mesh = pmesh.make_mesh(dp=1, model=args.tp,
+                               devices=jax.devices()[: args.tp])
+        api.model.llm_params = tpmod.shard_params(mesh, api.model.llm_params)
+        print(f"LLM tensor-parallel over {args.tp} devices "
+              f"({tpmod.count_sharded(api.model.llm_params)} split params)")
     server = TTSServer(api)
     httpd = ThreadingHTTPServer(("0.0.0.0", args.port),
                                 make_handler(server, api.sample_rate))
