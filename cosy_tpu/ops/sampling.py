@@ -17,16 +17,19 @@ def nucleus_sample(rng: jax.Array, logits: jax.Array, top_p: float = 0.8, top_k:
     Matches the reference inclusion rule (common.py:119-135): token i (in
     descending-prob order) is kept iff the cumulative probability *before* it
     is < top_p and fewer than top_k tokens are kept.
-    """
+
+    Only the top_k probabilities can ever be kept, so the candidate set is
+    reduced with ``lax.top_k`` (ties break toward the lower index, the same
+    order a stable descending argsort gives) instead of a full V-element
+    sort — this runs once per decoded token inside the AR while-loop, and a
+    4k-element argsort there costs more than an entire transformer layer."""
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-    order = jnp.argsort(-probs, stable=True)
-    sorted_p = probs[order]
-    cum_before = jnp.cumsum(sorted_p) - sorted_p
-    rank = jnp.arange(logits.shape[-1])
-    keep = (cum_before < top_p) & (rank < top_k)
-    kept = jnp.where(keep, sorted_p, 0.0)
-    idx = jax.random.categorical(rng, jnp.log(jnp.maximum(kept, 1e-30)))
-    return order[idx]
+    k = min(top_k, logits.shape[-1])
+    top_vals, top_idx = jax.lax.top_k(probs, k)  # sorted descending
+    cum_before = jnp.cumsum(top_vals) - top_vals
+    kept = jnp.where(cum_before < top_p, top_vals, 0.0)
+    i = jax.random.categorical(rng, jnp.log(jnp.maximum(kept, 1e-30)))
+    return top_idx[i]
 
 
 def random_sample(rng: jax.Array, logits: jax.Array) -> jax.Array:
