@@ -52,6 +52,12 @@ class TTS2Pipeline:
         self.lcfg = llm_cfg
         self.fcfg = flow_cfg
         self.hcfg = hift_cfg
+        if infer_cfg.int8_decode:
+            # weight-only int8 for the Qwen2 projections: halves the
+            # per-token weight read that bounds bs=1 decode (quant.py)
+            from ..quant import quantize_int8
+
+            llm_params = quantize_int8(llm_params)
         self.llm_params = llm_params
         self.flow_params = flow_params
         self.hift_params = hift_params

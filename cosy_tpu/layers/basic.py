@@ -37,9 +37,16 @@ def _lora_delta(ctx: Ctx, full_name: str, x: jax.Array) -> Optional[jax.Array]:
 
 
 def dense(p: P, name: str, x: jax.Array, ctx: Ctx = EVAL) -> jax.Array:
-    """torch nn.Linear: weight (out, in), y = x @ W^T + b, plus LoRA delta."""
-    w = p[name + ".weight"].astype(x.dtype)
-    y = jnp.einsum("...i,oi->...o", x, w)
+    """torch nn.Linear: weight (out, in), y = x @ W^T + b, plus LoRA delta.
+
+    int8 weight-only quantization (quant.quantize_int8) is transparent: an
+    int8 weight with a ``.weight@scale`` sibling dequantizes per output
+    channel after the matmul — the convert fuses into the dot, so weight HBM
+    traffic halves (the bound on bs=1 decode, PERF.md)."""
+    w = p[name + ".weight"]
+    y = jnp.einsum("...i,oi->...o", x, w.astype(x.dtype))
+    if w.dtype == jnp.int8:
+        y = y * p[name + ".weight@scale"].astype(x.dtype)
     b = p.get(name + ".bias")
     if b is not None:
         y = y + b.astype(x.dtype)

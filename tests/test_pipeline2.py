@@ -126,3 +126,22 @@ def test_cosyvoice2_stream_batch_cohort():
     assert dones == {0, 1}
     for b in (0, 1):
         assert sum(w.shape[1] for w in chunks[b]) > 0
+
+
+def test_cosyvoice2_int8_decode_pipeline():
+    """int8_decode=True quantizes the Qwen2 projections at pipeline build
+    (quant.py) and the whole synthesis path still runs."""
+    key = jax.random.PRNGKey(0)
+    pipe = TTS2Pipeline(
+        LCFG, FCFG, HCFG,
+        init_qwen2lm_params(jax.random.fold_in(key, 1), LCFG),
+        init_flow2_params(jax.random.fold_in(key, 2), FCFG),
+        init_hift_params(jax.random.fold_in(key, 3), HCFG),
+        InferenceConfig(nfe_short=2, int8_decode=True),
+        hop_samples=256,
+    )
+    from cosy_tpu.quant import count_quantized
+    assert count_quantized(pipe.llm_params) > 0
+    text = np.random.default_rng(3).integers(0, 50, (1, 5)).astype(np.int32)
+    outs = list(pipe.synthesize(jax.random.PRNGKey(9), text))
+    assert len(outs) == 1 and np.isfinite(outs[0]["tts_speech"]).all()
