@@ -46,6 +46,26 @@ def fade_in_out(fade_in: np.ndarray, fade_out: np.ndarray, window: np.ndarray) -
     return out
 
 
+def _batch_prefixes(built):
+    """LEFT-pad per-request prefixes into one batch (shared absolute
+    positions/cache slots; see llm_decode_batch).  ``built`` is a list of
+    (prefix (1, L, D), min_len, max_len) triples from _build_prefix.
+    Returns (prefix (B, L0, D), valid, min_lens, max_lens, max_len) — every
+    batched decode entry point (one-shot and streaming-cohort, both
+    families) must build its inputs here so their decodes stay bit-identical."""
+    L0 = max(int(pr.shape[1]) for pr, _, _ in built)
+    L0 = ((L0 + 15) // 16) * 16  # bucket prefix length to limit recompiles
+    max_len = max(ml for _, _, ml in built)
+    prefix = jnp.concatenate([
+        jnp.pad(pr, ((0, 0), (L0 - pr.shape[1], 0), (0, 0)))
+        for pr, _, _ in built], axis=0)
+    valid = jnp.asarray([pr.shape[1] for pr, _, _ in built], jnp.int32)
+    min_lens = jnp.asarray([mn for _, mn, _ in built], jnp.int32)
+    # each request keeps ITS OWN decode cap (not the batch max)
+    max_lens = jnp.asarray([ml for _, _, ml in built], jnp.int32)
+    return prefix, valid, min_lens, max_lens, max_len
+
+
 @dataclasses.dataclass
 class StreamState:
     """Per-request streaming carries (reference: model.py:66-72, 192-211)."""
@@ -298,16 +318,7 @@ class TTSPipeline:
         speeds = list(speed) if isinstance(speed, (list, tuple)) else [speed] * B
         built = [self._build_prefix(t, None, None, s, max_len_cap)
                  for t, s in zip(text_tokens_list, spk_embeddings)]
-        L0 = max(int(pr.shape[1]) for pr, _, _ in built)
-        L0 = ((L0 + 15) // 16) * 16  # bucket prefix length
-        max_len = max(ml for _, _, ml in built)
-        prefix = jnp.concatenate([
-            jnp.pad(pr, ((0, 0), (L0 - pr.shape[1], 0), (0, 0)))
-            for pr, _, _ in built], axis=0)
-        valid = jnp.asarray([pr.shape[1] for pr, _, _ in built], jnp.int32)
-        min_lens = jnp.asarray([mn for _, mn, _ in built], jnp.int32)
-        # each request keeps ITS OWN decode cap (not the batch max)
-        max_lens = jnp.asarray([ml for _, _, ml in built], jnp.int32)
+        prefix, valid, min_lens, max_lens, max_len = _batch_prefixes(built)
 
         k_llm, k_wav = jax.random.split(rng)
         res = self._decode_batch_jit(
@@ -358,15 +369,7 @@ class TTSPipeline:
             spk_embeddings = [None] * B
         built = [self._build_prefix(t, None, None, s, max_len_cap)
                  for t, s in zip(text_tokens_list, spk_embeddings)]
-        L0 = max(int(pr.shape[1]) for pr, _, _ in built)
-        L0 = ((L0 + 15) // 16) * 16
-        max_len = max(ml for _, _, ml in built)
-        prefix = jnp.concatenate([
-            jnp.pad(pr, ((0, 0), (L0 - pr.shape[1], 0), (0, 0)))
-            for pr, _, _ in built], axis=0)
-        valid = jnp.asarray([pr.shape[1] for pr, _, _ in built], jnp.int32)
-        min_lens = jnp.asarray([mn for _, mn, _ in built], jnp.int32)
-        max_lens = jnp.asarray([ml for _, _, ml in built], jnp.int32)
+        prefix, valid, min_lens, max_lens, max_len = _batch_prefixes(built)
 
         k_llm, k_wav = jax.random.split(rng)
         spks = [np.zeros((1, self.cfg.llm.spk_embed_dim), np.float32)

@@ -27,7 +27,7 @@ from ..models.qwen2lm import (Qwen2LMConfig, qwen2lm_decode,
                               qwen2lm_decode_batch)
 from ..models import hift as H
 from ..config import HiFTConfig
-from .pipeline import fade_in_out
+from .pipeline import _batch_prefixes, fade_in_out
 
 
 @dataclasses.dataclass
@@ -244,15 +244,7 @@ class TTS2Pipeline:
         speeds = list(speed) if isinstance(speed, (list, tuple)) else [speed] * B
         built = [self._build_prefix(t, None, None, max_len_cap)
                  for t in text_tokens_list]
-        L0 = max(int(pr.shape[1]) for pr, _, _ in built)
-        L0 = ((L0 + 15) // 16) * 16
-        max_len = max(ml for _, _, ml in built)
-        prefix = jnp.concatenate([
-            jnp.pad(pr, ((0, 0), (L0 - pr.shape[1], 0), (0, 0)))
-            for pr, _, _ in built], axis=0)
-        valid = jnp.asarray([pr.shape[1] for pr, _, _ in built], jnp.int32)
-        min_lens = jnp.asarray([mn for _, mn, _ in built], jnp.int32)
-        max_lens = jnp.asarray([ml for _, _, ml in built], jnp.int32)
+        prefix, valid, min_lens, max_lens, max_len = _batch_prefixes(built)
 
         k_llm, k_wav = jax.random.split(rng)
         res = self._decode_batch_jit(
@@ -314,15 +306,7 @@ class TTS2Pipeline:
             spk_embeddings = [None] * B
         built = [self._build_prefix(t, None, None, max_len_cap)
                  for t in text_tokens_list]
-        L0 = max(int(pr.shape[1]) for pr, _, _ in built)
-        L0 = ((L0 + 15) // 16) * 16
-        max_len = max(ml for _, _, ml in built)
-        prefix = jnp.concatenate([
-            jnp.pad(pr, ((0, 0), (L0 - pr.shape[1], 0), (0, 0)))
-            for pr, _, _ in built], axis=0)
-        valid = jnp.asarray([pr.shape[1] for pr, _, _ in built], jnp.int32)
-        min_lens = jnp.asarray([mn for _, mn, _ in built], jnp.int32)
-        max_lens = jnp.asarray([ml for _, _, ml in built], jnp.int32)
+        prefix, valid, min_lens, max_lens, max_len = _batch_prefixes(built)
 
         k_llm, k_wav = jax.random.split(rng)
         spks = [np.zeros((1, self.fcfg.spk_embed_dim), np.float32)

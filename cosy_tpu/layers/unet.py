@@ -197,8 +197,15 @@ def conditional_decoder(
         mask = mask.transpose(0, 2, 1)  # (B, T, 1)
 
     n_levels = len(cfg.channels)
-    # per-level masks and attention biases (level l has T // 2^l frames for
-    # l < n_levels; the last down "downsample" is stride-1)
+    # per-level frame counts: each stride-2 downsample (and the matching
+    # [::2] mask subsampling) yields ceil(T_l / 2); the last down block is
+    # stride-1 so the deepest level repeats the previous count
+    level_lens = [T]
+    for _ in range(n_levels - 1):
+        level_lens.append(-(-level_lens[-1] // 2))
+    # the dense fast path with prompt isolation still needs explicit masks
+    if mask is None and prompt_lens is not None and not streaming:
+        mask = jnp.ones((B, T, 1), dtype)
     if mask is None:
         level_masks = [None] * n_levels
     else:
@@ -215,16 +222,11 @@ def conditional_decoder(
             dead = jnp.sum(allowed, axis=-1, keepdims=True) == 0
             return M.mask_to_bias(allowed | dead, dtype)
 
-        level_bias = [_stream_bias(m, T >> min(l, n_levels - 1))
-                      for l, m in enumerate(level_masks)]
-    elif mask is None and prompt_lens is None:
+        level_bias = [_stream_bias(m, T_l)
+                      for m, T_l in zip(level_masks, level_lens)]
+    elif mask is None:
         level_bias = [None] * n_levels
     else:
-        if mask is None:
-            mask = jnp.ones((B, T, 1), dtype)
-            level_masks = [mask]
-            for _ in range(n_levels - 1):
-                level_masks.append(level_masks[-1][:, ::2, :])
         level_bias = [_level_bias(m, T, prompt_lens, dtype) for m in level_masks]
 
     def run_transformers(prefix, ht, lvl):

@@ -54,6 +54,20 @@ class TTSServer:
         self._stream_thread: Optional[threading.Thread] = None
         self.batches_run = 0  # observability
 
+    def _zero_spk(self) -> np.ndarray:
+        """Zero speaker embedding sized for whichever pipeline is loaded."""
+        model = self.api.model
+        spk_dim = (model.cfg.llm.spk_embed_dim if hasattr(model, "cfg")
+                   else model.fcfg.spk_embed_dim)
+        return np.zeros((1, spk_dim), np.float32)
+
+    def _prompt_free_kwargs(self) -> dict:
+        """The zero-embedding kwarg for model.synthesize — TTSPipeline takes
+        spk_embedding, TTS2Pipeline takes flow_embedding (CosyVoice2 has no
+        LLM speaker row)."""
+        key = "spk_embedding" if hasattr(self.api.model, "cfg") else "flow_embedding"
+        return {key: self._zero_spk()}
+
     def synthesize(self, text: str, spk_id: str = "", speed: float = 1.0,
                    stream: bool = False):
         with self.lock:
@@ -63,13 +77,9 @@ class TTSServer:
                 # prompt-free path with zero speaker embedding
                 ids = self.api.frontend.extract_text_token(
                     self.api.frontend.normalize(text, split=False))
-                model = self.api.model
-                spk_dim = (model.cfg.llm.spk_embed_dim if hasattr(model, "cfg")
-                           else model.fcfg.spk_embed_dim)
-                zero = np.zeros((1, spk_dim), np.float32)
                 gen = self.api.model.synthesize(
-                    self.api._next_rng(), ids, spk_embedding=zero,
-                    stream=stream, speed=speed)
+                    self.api._next_rng(), ids, stream=stream, speed=speed,
+                    **self._prompt_free_kwargs())
             for out in gen:
                 yield out["tts_speech"][0]
 
@@ -96,13 +106,9 @@ class TTSServer:
                                           self._queue[self.max_batch:])
                 if batch:
                     try:
-                        model = self.api.model
-                        spk_dim = (model.cfg.llm.spk_embed_dim
-                                   if hasattr(model, "cfg")
-                                   else model.fcfg.spk_embed_dim)
-                        zero = np.zeros((1, spk_dim), np.float32)
+                        zero = self._zero_spk()
                         with self.lock:
-                            wavs = model.synthesize_batch(
+                            wavs = self.api.model.synthesize_batch(
                                 self.api._next_rng(),
                                 [b["ids"] for b in batch],
                                 [zero] * len(batch),
@@ -165,23 +171,29 @@ class TTSServer:
             if not cohort:
                 continue
             self.batches_run += 1
-            model = self.api.model
-            spk_dim = (model.cfg.llm.spk_embed_dim if hasattr(model, "cfg")
-                       else model.fcfg.spk_embed_dim)
-            zero = np.zeros((1, spk_dim), np.float32)
+            finished = [False] * len(cohort)
             try:
+                zero = self._zero_spk()
                 with self.lock:
-                    for b, wav, done in model.synthesize_stream_batch(
+                    for b, wav, done in self.api.model.synthesize_stream_batch(
                             self.api._next_rng(),
                             [it["ids"] for it in cohort],
                             [zero] * len(cohort)):
                         cohort[b]["q"].put(wav[0])
+                        if done:
+                            # release this client immediately — short streams
+                            # must not wait for (or inherit errors from) the
+                            # cohort's longest utterance
+                            finished[b] = True
+                            cohort[b]["q"].put(None)
             except Exception as e:  # noqa: BLE001
-                for it in cohort:
-                    it["err"] = e
+                for it, fin in zip(cohort, finished):
+                    if not fin:
+                        it["err"] = e
             finally:
-                for it in cohort:
-                    it["q"].put(None)  # end-of-stream sentinel
+                for it, fin in zip(cohort, finished):
+                    if not fin:
+                        it["q"].put(None)  # end-of-stream sentinel
 
 
 def make_handler(server: TTSServer, sample_rate: int):

@@ -285,7 +285,18 @@ class JointTrainer:
                     print(f"epoch {epoch} step {state.step}: {line}")
                 if self._any_host_preempted():
                     break
+
+            def _flush_metrics():
+                # one stacked fetch for the epoch's (possibly partial) metrics
+                vals = np.asarray(jnp.stack(packed_steps))  # (n_steps, n_metrics)
+                ms = [dict(zip(mkeys, row.tolist())) for row in vals]
+                for sid, m_host in zip(step_ids, ms):
+                    self._metrics_log.append({"epoch": epoch, "step": sid, **m_host})
+                return ms
+
             if self._any_host_preempted():
+                if packed_steps:
+                    _flush_metrics()  # don't drop the partial epoch's metrics
                 path = self.save_checkpoint(os.path.join(
                     self.out_dir, f"joint_{self.tcfg.training_mode}_preempt.ckpt"), state)
                 stop_reason = f"preempted — resumable snapshot at {path} (step {state.step})"
@@ -295,11 +306,7 @@ class JointTrainer:
                 print("empty epoch — no data")
                 break
 
-            # one stacked fetch for the whole epoch's metrics
-            all_vals = np.asarray(jnp.stack(packed_steps))  # (n_steps, n_metrics)
-            epoch_metrics = [dict(zip(mkeys, row.tolist())) for row in all_vals]
-            for sid, m_host in zip(step_ids, epoch_metrics):
-                self._metrics_log.append({"epoch": epoch, "step": sid, **m_host})
+            epoch_metrics = _flush_metrics()
 
             avg = {k: float(np.mean([m[k] for m in epoch_metrics])) for k in epoch_metrics[0]}
             dt = time.time() - t0

@@ -92,3 +92,32 @@ def test_euler_solve_dense_equals_ones_mask():
     y_none = Fl.cfm_solve_euler(P(params), cfg, z, None, mu, spks, cond, 4, EVAL)
     np.testing.assert_allclose(np.asarray(y_none), np.asarray(y_mask),
                                atol=1e-6, rtol=1e-6)
+
+
+def test_estimator_three_level_streaming_dense():
+    """3-level U-Net with streaming chunk bias: per-level lengths follow the
+    iterated ceil(T/2) of the stride-2 downsamples (a plain T >> l would
+    build mismatched biases for odd intermediate lengths), and the dense
+    fast path must still equal the all-ones-mask run."""
+    cfg3 = EstimatorConfig(
+        in_channels=24, out_channels=6, channels=(16, 16, 16), dropout=0.0,
+        attention_head_dim=4, n_blocks=1, num_mid_blocks=1, num_heads=2,
+        act_fn="gelu",
+    )
+    key = jax.random.PRNGKey(5)
+    params = {}
+    init_conditional_decoder(KeyGen(key), params, "", cfg3)
+    B, T = 2, 18  # levels: 18 -> 9 -> 5 (ceil), not 18 -> 9 -> 4 (shift)
+    ks = jax.random.split(key, 5)
+    x = jax.random.normal(ks[0], (B, 6, T))
+    mu = jax.random.normal(ks[1], (B, 12, T))
+    t = jax.random.uniform(ks[2], (B,))
+    spks = jax.random.normal(ks[3], (B, 2))
+    cond = jax.random.normal(ks[4], (B, 4, T))
+    ones = jnp.ones((B, 1, T))
+    kw = dict(streaming=True, static_chunk_size=4)
+    y_mask = conditional_decoder(P(params), cfg3, x, ones, mu, t, spks, cond, EVAL, **kw)
+    y_none = conditional_decoder(P(params), cfg3, x, None, mu, t, spks, cond, EVAL, **kw)
+    assert y_mask.shape == (B, 6, T)
+    np.testing.assert_allclose(np.asarray(y_none), np.asarray(y_mask),
+                               atol=1e-6, rtol=1e-6)

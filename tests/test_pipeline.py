@@ -121,13 +121,17 @@ def test_stream_batch_cohort_matches_batch_tokens():
     dones = set()
     for b, wav, done in pipe.synthesize_stream_batch(key, texts):
         assert wav.ndim == 2 and np.isfinite(wav).all()
+        assert b not in dones, "chunk after done"
         chunks[b].append(wav)
         if done:
             dones.add(b)
     assert dones == {0, 1, 2}
     for b in range(3):
+        # all non-final chunks cover exactly one hop of audio each
+        hop_samples = {w.shape[1] for w in chunks[b][:-1]}
+        assert len(hop_samples) <= 1, hop_samples
         total = sum(w.shape[1] for w in chunks[b])
-        assert total > 0
-        # chunked audio length is close to the non-streamed run (fades trim
-        # the seams, so allow slack)
-        assert abs(total - wavs_batch[b].shape[1]) < wavs_batch[b].shape[1]
+        # chunked audio must track the non-streamed run (fades/caches trim
+        # only seam-sized amounts)
+        ref = wavs_batch[b].shape[1]
+        assert 0.7 * ref <= total <= 1.3 * ref, (total, ref)
