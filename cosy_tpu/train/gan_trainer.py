@@ -19,6 +19,7 @@ import optax
 from ..config import HiFTConfig
 from ..params import Params
 from ..models.gan import hifigan_generator_loss, hifigan_discriminator_loss
+from ..parallel import mesh as pmesh
 
 
 class HiFiGanTrainer:
@@ -34,8 +35,16 @@ class HiFiGanTrainer:
         tpr_weight: float = 1.0,
         tpr_tau: float = 0.04,
         grad_clip: float = 5.0,
+        mesh=None,
     ):
+        """mesh: optional dp mesh — batches shard over `dp`, params replicate
+        and both turns' gradient psums ride the mesh (the DDP arrangement the
+        reference trains HiFiGAN under, train_utils.py:94-108)."""
         self.cfg = cfg
+        self.mesh = mesh
+        if mesh is not None:
+            gen_params = pmesh.replicate_tree(mesh, gen_params)
+            disc_params = pmesh.replicate_tree(mesh, disc_params)
         self.gen_params = gen_params
         self.disc_params = disc_params
         self.weights = dict(mel_weight=mel_weight, feat_match_weight=feat_match_weight,
@@ -79,6 +88,8 @@ class HiFiGanTrainer:
         """One discriminator turn + one generator turn (executor.py:100-140)."""
         if self._gen_step is None:
             self._build()
+        if self.mesh is not None:
+            batch = pmesh.shard_batch(self.mesh, batch, batch_axis=0)
         k1, k2 = jax.random.split(rng)
         self.disc_params, self.disc_opt_state, d_metrics = self._disc_step(
             self.disc_params, self.disc_opt_state, self.gen_params, k1, batch)

@@ -74,3 +74,31 @@ def test_gan_trainer_one_turn():
         assert np.isfinite(v), (k, v)
     assert m["gen/loss_mel"] > 0
     assert m["disc/loss_disc"] > 0
+
+
+def test_gan_trainer_dp_mesh_matches_single():
+    """dp=4 GAN training must produce the same losses/updates as the
+    single-device run on the same global batch (the DDP arrangement the
+    reference uses for HiFiGAN training)."""
+    import jax as _jax
+    from cosy_tpu.parallel import mesh as pmesh
+
+    cfg = MODEL_CFG.hift
+    T, B = 8, 4
+    rng = np.random.default_rng(1)
+    batch = {
+        "speech": jnp.asarray(rng.uniform(-0.5, 0.5, (B, T * 256)).astype(np.float32)),
+        "speech_feat": jnp.asarray((rng.standard_normal((B, T, 80)) * 2 - 6).astype(np.float32)),
+        "pitch_feat": jnp.asarray(rng.uniform(100, 200, (B, T)).astype(np.float32)),
+    }
+
+    def run(mesh):
+        trainer = HiFiGanTrainer(
+            cfg, init_hift_params(jax.random.PRNGKey(0), cfg),
+            G.init_discriminator_params(jax.random.PRNGKey(1)), mesh=mesh)
+        return trainer.step(dict(batch), jax.random.PRNGKey(2))
+
+    m_dp = run(pmesh.make_mesh(dp=4, devices=_jax.devices("cpu")[:4]))
+    m_1 = run(None)
+    for k in m_1:
+        np.testing.assert_allclose(m_dp[k], m_1[k], rtol=2e-4, atol=2e-5)
