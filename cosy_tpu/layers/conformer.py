@@ -46,6 +46,31 @@ def positionwise_ff(p: P, name: str, x: jax.Array, act, dropout: float, ctx: Ctx
     return dense(sp, "w_2", h, ctx)
 
 
+def moe_ffn(p: P, name: str, x: jax.Array, n_expert: int, n_expert_per_token: int,
+            act, dropout: float, ctx: Ctx) -> jax.Array:
+    """Mixture-of-experts feed-forward (positionwise_feed_forward.py:58-115;
+    weight names gate / experts.{i}.w_1/w_2).  Off every CosyVoice model path
+    (the reference never instantiates it) but part of the op-library surface.
+
+    TPU-first formulation: instead of the reference's per-expert gather loop
+    (data-dependent shapes), every expert runs densely over all tokens and is
+    combined with its routing weight (zero for unrouted tokens) — static
+    shapes, MXU-batched, the standard dense-MoE arrangement on TPU."""
+    sp = p.sub(name)
+    B, L, D = x.shape
+    xs = x.reshape(-1, D)
+    router = dense(sp, "gate", xs, ctx)  # (B*L, n_expert)
+    logits, indices = jax.lax.top_k(router, n_expert_per_token)
+    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=1).astype(x.dtype)
+    out = jnp.zeros_like(xs)
+    for i in range(n_expert):
+        # routing weight of expert i for each token (0 when unrouted)
+        w_i = jnp.sum(jnp.where(indices == i, weights, 0.0), axis=1)  # (B*L,)
+        y = positionwise_ff(sp, f"experts.{i}", xs, act, dropout, ctx)
+        out = out + w_i[:, None] * y
+    return out.reshape(B, L, D)
+
+
 def convolution_module(
     p: P,
     name: str,
