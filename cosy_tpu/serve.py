@@ -285,6 +285,11 @@ def main():
                          "(multi-chip serving: N chips = N x the per-token "
                          "weight bandwidth that bounds bs=1 decode; decoded "
                          "tokens are identical to the replicated run)")
+    ap.add_argument("--warmup", action="store_true",
+                    help="compile the synthesis programs before accepting "
+                         "traffic (remote compilation takes minutes cold; "
+                         "without this the first request of each shape "
+                         "bucket pays it)")
     args = ap.parse_args()
 
     from .api import CosyVoice, CosyVoice2
@@ -301,6 +306,16 @@ def main():
         print(f"LLM tensor-parallel over {args.tp} devices "
               f"({tpmod.count_sharded(api.model.llm_params)} split params)")
     server = TTSServer(api)
+    if args.warmup:
+        import time as _time
+
+        t0 = _time.time()
+        print("warmup: compiling synthesis programs ...", flush=True)
+        for wav in server.synthesize("warmup.", stream=False):
+            pass
+        for wav in server.synthesize("warmup.", stream=True):
+            pass
+        print(f"warmup done in {_time.time() - t0:.0f}s")
     httpd = ThreadingHTTPServer(("0.0.0.0", args.port),
                                 make_handler(server, api.sample_rate))
     print(f"cosy_tpu TTS server on :{args.port}")

@@ -49,3 +49,25 @@ def test_tp_sharded_decode_matches_replicated():
         np.testing.assert_array_equal(np.asarray(r_tp.tokens),
                                       np.asarray(r_rep.tokens))
         assert int(r_tp.length) == int(r_rep.length)
+
+
+def test_tp_sharded_batch_decode_matches_replicated():
+    """The serving batch decode must also be sharding-invariant."""
+    with jax.enable_x64(True):
+        cfg = _cfg()
+        params = L.init_llm_params(jax.random.PRNGKey(0), cfg)
+        params = {k: v.astype(jnp.float64) for k, v in params.items()}
+        prefix = jax.random.normal(jax.random.PRNGKey(2), (2, 6, 16), jnp.float64)
+        valid = jnp.asarray([6, 4])
+        mins = jnp.asarray([2, 2])
+        rng = jax.random.PRNGKey(8)
+
+        r_rep = L.llm_decode_batch(P(params), cfg, rng, prefix, valid, mins, 12)
+
+        mesh = pmesh.make_mesh(dp=1, model=2, devices=jax.devices("cpu")[:2])
+        p_tp = tp.shard_params(mesh, params)
+        fn = jax.jit(lambda p, r: L.llm_decode_batch(
+            P(p), cfg, r, prefix, valid, mins, 12))
+        r_tp = fn(p_tp, rng)
+        np.testing.assert_array_equal(np.asarray(r_tp.tokens),
+                                      np.asarray(r_rep.tokens))

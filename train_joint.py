@@ -38,6 +38,11 @@ def main():
     ap.add_argument("--no-augmentation", action="store_true")
     ap.add_argument("--tiny", action="store_true",
                     help="smoke-test topology (toy widths; not checkpoint-compatible)")
+    ap.add_argument("--batched-micro", action="store_true",
+                    help="trade accumulation for batch at the same effective "
+                         "batch (bs*8, accum/8): ~1.3x faster per optimizer "
+                         "step on TPU (PERF.md) with identical expected "
+                         "gradients; needs 8x the activation memory")
     args = ap.parse_args()
 
     from cosy_tpu.config import tiny_model_config
@@ -53,6 +58,11 @@ def main():
         tcfg = replace(tcfg, max_feat_len=args.max_feat_len)
     if args.accum:
         tcfg = replace(tcfg, accumulate_grad_batches=args.accum)
+    if args.batched_micro:
+        shift = min(3, tcfg.accumulate_grad_batches.bit_length() - 1)
+        tcfg = replace(tcfg,
+                       batch_size=tcfg.batch_size * (1 << shift),
+                       accumulate_grad_batches=tcfg.accumulate_grad_batches >> shift)
 
     print("=" * 60)
     print("cosy_tpu joint LLM + Flow LoRA training")
