@@ -46,6 +46,17 @@ def fade_in_out(fade_in: np.ndarray, fade_out: np.ndarray, window: np.ndarray) -
     return out
 
 
+def fade_in_out_jnp(fade_in: jax.Array, fade_out: jax.Array, window) -> jax.Array:
+    """fade_in_out on device (same clamped semantics, static shapes)."""
+    n = min(int(window.shape[0]) // 2, fade_in.shape[-1], fade_out.shape[-1])
+    if n == 0:
+        return fade_in
+    half = int(window.shape[0]) // 2
+    win = jnp.asarray(window, fade_in.dtype)
+    head = fade_in[..., :n] * win[:n] + fade_out[..., -n:] * win[half:half + n]
+    return jnp.concatenate([head, fade_in[..., n:]], axis=-1)
+
+
 def _batch_prefixes(built):
     """LEFT-pad per-request prefixes into one batch (shared absolute
     positions/cache slots; see llm_decode_batch).  ``built`` is a list of
@@ -121,6 +132,42 @@ class TTSPipeline:
             return H.hift_inference(P(params), self.cfg.hift, rng, mel, cache_source)
 
         self._hift_jit = jax.jit(_hift_fn)
+
+        # fused STREAMING chunk: flow solve + trim + overlap fades + cache
+        # management + HiFT in ONE program.  The staged path costs 2-3 host
+        # round-trips per chunk, which dominates per-chunk latency through
+        # the remote runtime.  Zero-width state arrays encode the
+        # first-chunk case (shape-bucketed compile, not a traced branch).
+        def _t2w_stream_fn(flow_p, hift_p, rng, token, prompt_token,
+                           prompt_feat, spk, mel_overlap, hift_mel,
+                           hift_source, hift_speech, flow_cache, *, trim):
+            k_flow, k_hift = jax.random.split(rng)  # matches token2wav
+            mel, new_cache = F.flow_inference(
+                P(flow_p), self.cfg.flow, k_flow, token, prompt_token,
+                prompt_feat, spk, finetuned_norm=self.finetuned_norm,
+                mel_norm=(self.cfg.mel_mean, self.cfg.mel_std),
+                flow_cache=flow_cache if flow_cache.shape[2] else None,
+                return_cache=True)
+            if trim > 0:
+                mel = mel[:, :, trim:]
+            if mel_overlap.shape[2]:
+                mel = fade_in_out_jnp(mel, mel_overlap, self.mel_window)
+            if hift_mel.shape[2]:
+                mel = jnp.concatenate([hift_mel, mel], axis=2)
+            new_overlap = mel[:, :, -self.mel_overlap_len:]
+            mel = mel[:, :, : -self.mel_overlap_len]
+            wav, source = H.hift_inference(
+                P(hift_p), self.cfg.hift, k_hift, mel,
+                hift_source if hift_source.shape[2] else None)
+            if hift_speech.shape[1]:
+                wav = fade_in_out_jnp(wav, hift_speech, self.speech_window)
+            new_hift_mel = mel[:, :, -self.mel_cache_len:]
+            new_source = source[:, :, -self.source_cache_len:]
+            new_speech = wav[:, -self.source_cache_len:]
+            return (wav[:, : -self.source_cache_len], new_overlap,
+                    new_hift_mel, new_source, new_speech, new_cache)
+
+        self._t2w_stream_jit = jax.jit(_t2w_stream_fn, static_argnames=("trim",))
 
         # fused non-streaming token2wav: flow solve + boundary trim + HiFT in
         # ONE program — through the remote-TPU runtime each extra program
@@ -442,6 +489,11 @@ class TTSPipeline:
                                     spk_embedding, stream_state, finalize, speed)
         if fut is not None:
             return np.asarray(fut), None
+        sres = self._token2wav_stream_fused(rng, token, prompt_token,
+                                            prompt_feat, spk_embedding,
+                                            stream_state, finalize, speed)
+        if sres is not None:
+            return sres
 
         carry = stream_state.flow_cache if stream_state is not None else None
         mel, new_flow_cache = self._flow_jit(
@@ -505,6 +557,39 @@ class TTSPipeline:
             self.flow_params, self.hift_params, rng,
             jnp.asarray(token, jnp.int32), jnp.asarray(prompt_token, jnp.int32),
             jnp.asarray(prompt_feat), jnp.asarray(spk_embedding), trim=trim)
+
+    def _token2wav_stream_fused(self, rng, token, prompt_token, prompt_feat,
+                                spk_embedding, state, finalize, speed):
+        """One-program streaming chunk (non-final): flow + trim + fades +
+        caches + HiFT (see _t2w_stream_jit).  Returns (wav, updated state) or
+        None when the staged path must run (finalize or speed != 1.0).
+        Zero-width arrays stand in for first-chunk None carries."""
+        if not (state is not None and not finalize and speed == 1.0):
+            return None
+        mel_len2 = int(token.shape[1] / self.cfg.flow.input_frame_rate * 22050 / 256)
+        trim = int(prompt_feat.shape[1] * self.icfg.boundary_trim_ratio)
+        trim = trim if (trim > 0 and mel_len2 > trim) else 0
+
+        def _or_empty(x, *shape):
+            return np.asarray(x) if x is not None else np.zeros(shape, np.float32)
+
+        out = self._t2w_stream_jit(
+            self.flow_params, self.hift_params, rng,
+            jnp.asarray(token, jnp.int32), jnp.asarray(prompt_token, jnp.int32),
+            jnp.asarray(prompt_feat), jnp.asarray(spk_embedding),
+            jnp.asarray(state.mel_overlap),
+            jnp.asarray(_or_empty(state.hift_mel, 1, 80, 0)),
+            jnp.asarray(_or_empty(state.hift_source, 1, 1, 0)),
+            jnp.asarray(_or_empty(state.hift_speech, 1, 0)),
+            jnp.asarray(_or_empty(state.flow_cache, 1, 80, 0, 2)),
+            trim=trim)
+        wav, mo, hm, hs, hsp, fc = out
+        state.mel_overlap = np.asarray(mo)
+        state.hift_mel = np.asarray(hm)
+        state.hift_source = np.asarray(hs)
+        state.hift_speech = np.asarray(hsp)
+        state.flow_cache = np.asarray(fc)
+        return np.asarray(wav), state
 
     def _hift(self, rng, mel: np.ndarray, cache_source: np.ndarray):
         wav, source = self._hift_jit(

@@ -27,7 +27,7 @@ from ..models.qwen2lm import (Qwen2LMConfig, qwen2lm_decode,
                               qwen2lm_decode_batch)
 from ..models import hift as H
 from ..config import HiFTConfig
-from .pipeline import _batch_prefixes, fade_in_out
+from .pipeline import _batch_prefixes, fade_in_out, fade_in_out_jnp
 
 
 @dataclasses.dataclass
@@ -96,6 +96,34 @@ class TTS2Pipeline:
             return wav
 
         self._t2w_jit = jax.jit(_t2w_fn, static_argnames=("offset", "n_timesteps"))
+
+        # fused STREAMING chunk (non-final): causal flow + offset trim +
+        # HiFT caches/fade in one program (see pipeline.py _t2w_stream_jit;
+        # CosyVoice2 has no mel-overlap fade or flow z/mu cache — the fixed
+        # seeded noise buffer provides stream consistency instead)
+        def _t2w_stream_fn(flow_p, hift_p, rng, token, prompt_token,
+                           prompt_feat, spk, hift_mel, hift_source,
+                           hift_speech, *, offset, streaming, n_timesteps):
+            mel = flow2_inference(
+                P(flow_p), self.fcfg, token, prompt_token, prompt_feat, spk,
+                streaming=streaming, finalize=False, n_timesteps=n_timesteps)
+            if offset > 0:
+                mel = mel[:, :, offset * self.fcfg.token_mel_ratio:]
+            if hift_mel.shape[2]:
+                mel = jnp.concatenate([hift_mel, mel], axis=2)
+            wav, source = H.hift_inference(
+                P(hift_p), self.hcfg, rng, mel,
+                hift_source if hift_source.shape[2] else None)
+            if hift_speech.shape[1]:
+                wav = fade_in_out_jnp(wav, hift_speech, self.speech_window)
+            new_mel = mel[:, :, -self.mel_cache_len:]
+            new_source = source[:, :, -self.source_cache_len:]
+            new_speech = wav[:, -self.source_cache_len:]
+            return (wav[:, : -self.source_cache_len], new_mel, new_source,
+                    new_speech)
+
+        self._t2w_stream_jit = jax.jit(
+            _t2w_stream_fn, static_argnames=("offset", "streaming", "n_timesteps"))
 
         def _decode_fn(params, rng, prefix, min_len, *, max_len, top_p, top_k,
                        win_size, tau_r):
@@ -352,6 +380,32 @@ class TTS2Pipeline:
                     yield b, wav, True
             target = min(target + seg, max_len)
 
+    def _token2wav_stream_fused(self, rng, token, prompt_token, prompt_feat,
+                                spk_embedding, token_offset, state, stream,
+                                finalize, speed):
+        """One-program streaming chunk (non-final; see _t2w_stream_jit).
+        Returns (wav, updated state) or None for the staged path."""
+        if not (state is not None and not finalize and speed == 1.0):
+            return None
+
+        def _or_empty(x, *shape):
+            return np.asarray(x) if x is not None else np.zeros(shape, np.float32)
+
+        out = self._t2w_stream_jit(
+            self.flow_params, self.hift_params, rng,
+            jnp.asarray(token, jnp.int32), jnp.asarray(prompt_token, jnp.int32),
+            jnp.asarray(prompt_feat), jnp.asarray(spk_embedding),
+            jnp.asarray(_or_empty(state.hift_mel, 1, 80, 0)),
+            jnp.asarray(_or_empty(state.hift_source, 1, 1, 0)),
+            jnp.asarray(_or_empty(state.hift_speech, 1, 0)),
+            offset=token_offset, streaming=stream,
+            n_timesteps=self.icfg.nfe_short)
+        wav, hm, hs, hsp = out
+        state.hift_mel = np.asarray(hm)
+        state.hift_source = np.asarray(hs)
+        state.hift_speech = np.asarray(hsp)
+        return np.asarray(wav), state
+
     def token2wav(
         self,
         rng: jax.Array,
@@ -374,6 +428,12 @@ class TTS2Pipeline:
                                     stream, finalize, speed)
         if fut is not None:
             return np.asarray(fut), None
+        sres = self._token2wav_stream_fused(rng, token, prompt_token,
+                                            prompt_feat, spk_embedding,
+                                            token_offset, state, stream,
+                                            finalize, speed)
+        if sres is not None:
+            return sres
 
         mel = self._flow_jit(
             self.flow_params,

@@ -135,3 +135,23 @@ def test_stream_batch_cohort_matches_batch_tokens():
         # only seam-sized amounts)
         ref = wavs_batch[b].shape[1]
         assert 0.7 * ref <= total <= 1.3 * ref, (total, ref)
+
+
+def test_streaming_fused_chunk_matches_staged():
+    """The one-program streaming chunk (_t2w_stream_jit) must produce the
+    same audio and carries as the staged flow->fades->HiFT path."""
+    text = np.random.default_rng(9).integers(0, 40, (1, 8)).astype(np.int32)
+
+    def run(disable_fused):
+        pipe = _build_pipeline()
+        if disable_fused:
+            pipe._token2wav_stream_fused = lambda *a, **k: None
+        return [o["tts_speech"] for o in
+                pipe.synthesize(jax.random.PRNGKey(31), text, stream=True)]
+
+    staged = run(True)
+    fused = run(False)
+    assert len(staged) == len(fused)
+    for a, b in zip(staged, fused):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(b, a, atol=2e-4, rtol=2e-4)

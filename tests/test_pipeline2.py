@@ -145,3 +145,22 @@ def test_cosyvoice2_int8_decode_pipeline():
     text = np.random.default_rng(3).integers(0, 50, (1, 5)).astype(np.int32)
     outs = list(pipe.synthesize(jax.random.PRNGKey(9), text))
     assert len(outs) == 1 and np.isfinite(outs[0]["tts_speech"]).all()
+
+
+def test_cosyvoice2_streaming_fused_chunk_matches_staged():
+    """The one-program CV2 streaming chunk must equal the staged path."""
+    text = np.random.default_rng(12).integers(0, 50, (1, 6)).astype(np.int32)
+
+    def run(disable_fused):
+        pipe = _pipe()
+        if disable_fused:
+            pipe._token2wav_stream_fused = lambda *a, **k: None
+        return [o["tts_speech"] for o in
+                pipe.synthesize(jax.random.PRNGKey(33), text, stream=True)]
+
+    staged = run(True)
+    fused = run(False)
+    assert len(staged) == len(fused)
+    for a, b in zip(staged, fused):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(b, a, atol=2e-4, rtol=2e-4)
