@@ -171,6 +171,30 @@ def bench_ar_decode(model_cfg: ModelConfig, dtype=jnp.bfloat16, prefix_len=64, m
     return tps
 
 
+def bench_batch_decode(model_cfg: ModelConfig, dtype=jnp.bfloat16, B=8,
+                       prefix_len=64, max_len=256):
+    """Serving throughput: B concurrent requests through one llm_decode_batch
+    (amortizes the per-token weight read that bounds bs=1 decode)."""
+    key = jax.random.PRNGKey(0)
+    llm_params = jax.jit(lambda k: L.init_llm_params(k, model_cfg.llm))(key)
+    llm_params = cast(llm_params, dtype)
+    prefix = jax.random.normal(key, (B, prefix_len, model_cfg.llm.llm_input_size), dtype)
+    valid = jnp.full((B,), prefix_len, jnp.int32)
+    mins = jnp.full((B,), max_len, jnp.int32)
+    fn = jax.jit(lambda p, r: L.llm_decode_batch(
+        P(p), model_cfg.llm, r, prefix, valid, mins, max_len))
+    n = dt = 1
+    for i in range(2):
+        t0 = time.perf_counter()
+        res = fn(llm_params, jax.random.PRNGKey(i))
+        n = int(np.sum(jax.block_until_ready(res.lengths)))
+        dt = time.perf_counter() - t0
+    tps = n / dt
+    log(f"[batch-decode] B={B}: {n} tokens in {dt*1e3:.0f} ms -> "
+        f"{tps:.0f} tok/s aggregate ({tps/B:.0f}/stream)")
+    return tps
+
+
 def bench_token2wav(model_cfg: ModelConfig, n_tokens=250):
     """token2wav RTF: speech tokens -> mel (CFM) -> wav (HiFT), the
     non-LLM half of the TTS latency (reference logs RTF per chunk,
@@ -228,6 +252,10 @@ def main():
         secondary["token2wav_rtf"] = round(bench_token2wav(model_cfg), 4)
     except Exception as e:  # noqa: BLE001
         log(f"[token2wav] bench failed: {e}")
+    try:
+        secondary["batch_decode_tok_per_s"] = round(bench_batch_decode(model_cfg), 1)
+    except Exception as e:  # noqa: BLE001
+        log(f"[batch-decode] bench failed: {e}")
     log(f"secondary: {json.dumps(secondary)}")
 
     base = 1.0
