@@ -162,3 +162,37 @@ def test_concurrent_streams_share_a_cohort():
         assert server.batches_run == 1, server.batches_run
     finally:
         httpd.shutdown()
+
+
+def test_cohort_error_isolation():
+    """A failure after one stream finished must not corrupt that stream:
+    the finished client keeps its clean audio; the unfinished one gets the
+    error (serve.py _stream_worker per-stream sentinel/err handling)."""
+    api = _make_api()
+    server = TTSServer(api, batch_window_ms=200.0)
+
+    def fake_stream_batch(rng, ids_list, spks):
+        # stream 0 completes, then the cohort generator dies mid-flight
+        yield 0, np.zeros((1, 640), np.float32), True
+        yield 1, np.zeros((1, 640), np.float32), False
+        raise RuntimeError("boom")
+
+    api.model.synthesize_stream_batch = fake_stream_batch
+    results = {}
+
+    def one(i):
+        try:
+            results[i] = list(server.synthesize_stream_batched(f"text {i}"))
+        except RuntimeError as e:
+            results[i] = e
+
+    threads = [threading.Thread(target=one, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+        assert not t.is_alive(), "client blocked forever"
+    done_streams = [r for r in results.values() if isinstance(r, list) and len(r) == 1]
+    errored = [r for r in results.values() if isinstance(r, RuntimeError)]
+    assert len(done_streams) == 1, results
+    assert len(errored) == 1, results
