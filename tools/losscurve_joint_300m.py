@@ -15,6 +15,8 @@ Run: python tools/losscurve_joint_300m.py   (~20 min CPU)
 import importlib.machinery
 import json
 import os
+
+os.environ.setdefault("COSY_TPU_NO_CACHE", "1")  # stale cross-host AOT cache is a SIGILL risk
 import sys
 import time
 import types

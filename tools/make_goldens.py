@@ -9,6 +9,8 @@ Usage: python tools/make_goldens.py
 """
 
 import os
+
+os.environ.setdefault("COSY_TPU_NO_CACHE", "1")  # stale cross-host AOT cache is a SIGILL risk
 import sys
 
 sys.path.insert(0, "/root/reference/cosyvoice_flow_finetune")

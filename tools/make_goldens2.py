@@ -10,6 +10,8 @@ Usage: python tools/make_goldens2.py
 
 import importlib.machinery
 import os
+
+os.environ.setdefault("COSY_TPU_NO_CACHE", "1")  # stale cross-host AOT cache is a SIGILL risk
 import sys
 import types
 

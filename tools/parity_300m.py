@@ -17,6 +17,8 @@ Writes tools/parity_300m_result.json.  Run:
 import importlib.machinery
 import json
 import os
+
+os.environ.setdefault("COSY_TPU_NO_CACHE", "1")  # stale cross-host AOT cache is a SIGILL risk
 import sys
 import tempfile
 import time

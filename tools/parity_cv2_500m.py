@@ -12,6 +12,8 @@ Writes tools/parity_cv2_500m_result.json.  Run:
 import importlib.machinery
 import json
 import os
+
+os.environ.setdefault("COSY_TPU_NO_CACHE", "1")  # stale cross-host AOT cache is a SIGILL risk
 import random
 import sys
 import tempfile
