@@ -134,8 +134,13 @@ class TTSServer:
         per-token weight read (the dominant bs=1 decode cost, PERF.md) —
         while every connection receives its own hop-sized chunks as they are
         produced.  A dedicated worker thread drives cohorts; request threads
-        only drain their per-request queues, so every stream's
-        time-to-first-audio is one cohort hop, not the full utterance."""
+        only drain their per-request queues, so for requests landing in the
+        same collection window time-to-first-audio is one cohort hop, not the
+        full utterance.  Known limitation: cohorts are admitted one at a
+        time — a request arriving mid-cohort waits for the current cohort's
+        longest utterance before its own cohort starts (bounded by the
+        per-request max text length; interleaving admissions at segment
+        boundaries is future work)."""
         import queue as _queue
 
         ids = self.api.frontend.extract_text_token(
@@ -143,7 +148,9 @@ class TTSServer:
         item = {"ids": ids, "q": _queue.Queue(), "err": None}
         with self._queue_lock:
             self._stream_queue.append(item)
-            if self._stream_thread is None:
+            # respawn if the worker died (it is hardened below, but a dead
+            # worker must never strand queued clients on q.get() forever)
+            if self._stream_thread is None or not self._stream_thread.is_alive():
                 self._stream_thread = threading.Thread(
                     target=self._stream_worker, daemon=True)
                 self._stream_thread.start()
@@ -160,40 +167,49 @@ class TTSServer:
         import time
 
         while True:
-            self._stream_wake.wait()
-            time.sleep(self.batch_window_ms / 1e3)  # collection window
-            with self._queue_lock:
-                cohort, self._stream_queue = (
-                    self._stream_queue[: self.max_batch],
-                    self._stream_queue[self.max_batch:])
-                if not self._stream_queue:
-                    self._stream_wake.clear()
-            if not cohort:
-                continue
-            self.batches_run += 1
-            finished = [False] * len(cohort)
+            cohort = []
             try:
-                zero = self._zero_spk()
-                with self.lock:
-                    for b, wav, done in self.api.model.synthesize_stream_batch(
-                            self.api._next_rng(),
-                            [it["ids"] for it in cohort],
-                            [zero] * len(cohort)):
-                        cohort[b]["q"].put(wav[0])
-                        if done:
-                            # release this client immediately — short streams
-                            # must not wait for (or inherit errors from) the
-                            # cohort's longest utterance
-                            finished[b] = True
-                            cohort[b]["q"].put(None)
-            except Exception as e:  # noqa: BLE001
-                for it, fin in zip(cohort, finished):
-                    if not fin:
-                        it["err"] = e
-            finally:
-                for it, fin in zip(cohort, finished):
-                    if not fin:
-                        it["q"].put(None)  # end-of-stream sentinel
+                self._stream_wake.wait()
+                time.sleep(self.batch_window_ms / 1e3)  # collection window
+                with self._queue_lock:
+                    cohort, self._stream_queue = (
+                        self._stream_queue[: self.max_batch],
+                        self._stream_queue[self.max_batch:])
+                    if not self._stream_queue:
+                        self._stream_wake.clear()
+                if not cohort:
+                    continue
+                self._run_stream_cohort(cohort)
+            except Exception as e:  # noqa: BLE001 — the worker must not die
+                for it in cohort:
+                    it["err"] = it["err"] or e
+                    it["q"].put(None)
+
+    def _run_stream_cohort(self, cohort):
+        self.batches_run += 1
+        finished = [False] * len(cohort)
+        try:
+            zero = self._zero_spk()
+            with self.lock:
+                for b, wav, done in self.api.model.synthesize_stream_batch(
+                        self.api._next_rng(),
+                        [it["ids"] for it in cohort],
+                        [zero] * len(cohort)):
+                    cohort[b]["q"].put(wav[0])
+                    if done:
+                        # release this client immediately — short streams
+                        # must not wait for (or inherit errors from) the
+                        # cohort's longest utterance
+                        finished[b] = True
+                        cohort[b]["q"].put(None)
+        except Exception as e:  # noqa: BLE001
+            for it, fin in zip(cohort, finished):
+                if not fin:
+                    it["err"] = e
+        finally:
+            for it, fin in zip(cohort, finished):
+                if not fin:
+                    it["q"].put(None)  # end-of-stream sentinel
 
 
 def make_handler(server: TTSServer, sample_rate: int):
@@ -315,7 +331,19 @@ def main():
             pass
         for wav in server.synthesize("warmup.", stream=True):
             pass
-        print(f"warmup done in {_time.time() - t0:.0f}s")
+        # the serving path proper is cohort streaming at B>1 — compile the
+        # segmented batch decode + fused batch token2wav too, or the first
+        # live concurrent-stream batch pays the minutes-long cold compile
+        def _drain():
+            for _ in server.synthesize_stream_batched("warmup cohort."):
+                pass
+        cohort = [threading.Thread(target=_drain) for _ in range(2)]
+        for t in cohort:
+            t.start()
+        for t in cohort:
+            t.join()
+        print(f"warmup done in {_time.time() - t0:.0f}s "
+              f"({server.batches_run} batch programs)")
     httpd = ThreadingHTTPServer(("0.0.0.0", args.port),
                                 make_handler(server, api.sample_rate))
     print(f"cosy_tpu TTS server on :{args.port}")

@@ -196,3 +196,31 @@ def test_cohort_error_isolation():
     errored = [r for r in results.values() if isinstance(r, RuntimeError)]
     assert len(done_streams) == 1, results
     assert len(errored) == 1, results
+
+
+def test_stream_worker_respawns_after_death():
+    """A dead worker thread must not strand later streaming clients: the
+    enqueue path respawns it (serve.py synthesize_stream_batched), and a
+    failure outside the per-cohort handler errors the cohort instead of
+    killing the worker silently."""
+    api = _make_api()
+    server = TTSServer(api, batch_window_ms=50.0)
+
+    def fake_stream_batch(rng, ids_list, spks):
+        for b in range(len(ids_list)):
+            yield b, np.zeros((1, 640), np.float32), True
+
+    api.model.synthesize_stream_batch = fake_stream_batch
+    assert len(list(server.synthesize_stream_batched("first"))) == 1
+
+    # simulate a crashed worker: plant a dead thread object
+    dead = threading.Thread(target=lambda: None)
+    dead.start()
+    dead.join()
+    server._stream_thread = dead
+
+    t = threading.Thread(
+        target=lambda: list(server.synthesize_stream_batched("second")))
+    t.start()
+    t.join(timeout=60)
+    assert not t.is_alive(), "client stranded behind a dead worker"

@@ -59,7 +59,11 @@ def main():
     if args.accum:
         tcfg = replace(tcfg, accumulate_grad_batches=args.accum)
     if args.batched_micro:
-        shift = min(3, tcfg.accumulate_grad_batches.bit_length() - 1)
+        # fold micro-batches into the batch dim only by powers of two that
+        # divide accum exactly, so effective batch (and expected gradient)
+        # is unchanged for any accum value
+        accum = tcfg.accumulate_grad_batches
+        shift = min(3, (accum & -accum).bit_length() - 1)
         tcfg = replace(tcfg,
                        batch_size=tcfg.batch_size * (1 << shift),
                        accumulate_grad_batches=tcfg.accumulate_grad_batches >> shift)
