@@ -35,7 +35,9 @@ def en_number_to_words(n: int) -> str:
         return _EN_ONES[n]
     if n < 100:
         t, r = divmod(n, 10)
-        return _EN_TENS[t] + ("" if r == 0 else " " + _EN_ONES[r])
+        # hyphenated compounds (inflect/wetext convention, also what the
+        # ordinal rule in textnorm.py keys on)
+        return _EN_TENS[t] + ("" if r == 0 else "-" + _EN_ONES[r])
     for scale, name in _EN_SCALE:
         if n >= scale:
             head, rest = divmod(n, scale)
@@ -118,17 +120,32 @@ def replace_blank(text: str) -> str:
     return "".join(out)
 
 
+def replace_corner_mark(text: str) -> str:
+    """² / ³ -> spoken forms (frontend_utils.py:26-29)."""
+    return text.replace("²", "平方").replace("³", "立方")
+
+
 def text_normalize(text: str) -> str:
-    """Normalize raw text for tokenization (frontend.py:160-188 surface)."""
+    """Normalize raw text for tokenization (frontend.py:160-188 surface).
+
+    Structured TN (dates, times, units, phones, ordinals …) lives in
+    textnorm.py — the self-contained replacement for the reference's
+    wetext/inflect dependency."""
+    from .textnorm import normalize_en, normalize_zh
+
     text = text.strip()
     lang = "zh" if contains_chinese(text) else "en"
     text = remove_bracket(text)
-    text = spell_out_numbers(text, lang)
     if lang == "zh":
+        text = normalize_zh(text)
         text = text.replace("\n", "").replace("…", "。").replace(" - ", "，")
+        text = replace_corner_mark(text)
+        # decimals were consumed by normalize_zh; remaining dots end sentences
+        text = text.replace(".", "。")
         text = re.sub(r"[，,、]+$", "。", text)
         text = replace_blank(text)
     else:
+        text = normalize_en(text)
         text = re.sub(r"\s+", " ", text)
     return text
 

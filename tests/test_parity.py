@@ -35,6 +35,12 @@ def load_golden(name):
             # large goldens store f16-representable params as float16 to
             # keep the repo small; compute always runs f32
             params[key] = jnp.asarray(arr, jnp.float32)
+        elif kind == "pshape":
+            # seeded golden: regenerate the exact per-name values the torch
+            # generator used (tools/make_goldens2.py seed_module)
+            from golden_seed import seeded_param
+
+            params[key] = jnp.asarray(seeded_param(key, arr))
         elif kind == "in":
             ins[key] = arr
         else:

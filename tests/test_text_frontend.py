@@ -10,9 +10,9 @@ from cosy_tpu.data.text import (contains_chinese, en_number_to_words,
 def test_en_numbers():
     assert en_number_to_words(0) == "zero"
     assert en_number_to_words(13) == "thirteen"
-    assert en_number_to_words(42) == "forty two"
+    assert en_number_to_words(42) == "forty-two"
     assert en_number_to_words(100) == "one hundred"
-    assert en_number_to_words(215) == "two hundred fifteen"
+    assert en_number_to_words(215) == "two hundred fifteen"  # no tens compound
     assert en_number_to_words(1000) == "one thousand"
     assert en_number_to_words(1000000) == "one million"
     assert en_number_to_words(-7) == "minus seven"

@@ -98,9 +98,29 @@ def quantize_f16(module):
     return module
 
 
-def save(name, module, inputs, outputs):
+def seed_module(module):
+    """Fill every param/buffer from tests/golden_seed.seeded_param so the
+    golden only needs shapes (big hard-coded-512-channel topologies would
+    otherwise make ~20 MB goldens)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+    from golden_seed import seeded_param
+    sd = module.state_dict()
+    for k, v in sd.items():
+        if v.is_floating_point():
+            sd[k] = torch.from_numpy(seeded_param(k, tuple(v.shape)))
+    module.load_state_dict(sd)
+    return module
+
+
+def save(name, module, inputs, outputs, seeded=False):
     blob = {}
-    if module is not None:
+    if module is not None and seeded:
+        for k, v in module.state_dict().items():
+            if not v.is_floating_point():
+                blob["param:" + k] = v.detach().numpy()
+            else:
+                blob["pshape:" + k] = np.asarray(v.shape, np.int32)
+    elif module is not None:
         for k, v in module.state_dict().items():
             a = v.detach().numpy()
             if a.dtype == np.float32 and np.allclose(
@@ -156,7 +176,7 @@ up = UpsampleConformerEncoder(
     pos_enc_layer_type="rel_pos_espnet", macaron_style=False,
     use_cnn_module=False, static_chunk_size=25,
 ).eval()
-quantize_f16(up)
+seed_module(up)
 xu = torch.randn(1, 9, 512)
 lu = torch.tensor([9])
 with torch.no_grad():
@@ -165,7 +185,7 @@ with torch.no_grad():
     ctxt = torch.randn(1, 3, 512)
     yu_c, _ = up(xu, lu, context=ctxt, streaming=False)
 save("upsample_encoder", up, {"x": xu, "lens": lu, "context": ctxt},
-     {"y": yu, "y_stream": yu_s, "y_ctx": yu_c})
+     {"y": yu, "y_stream": yu_s, "y_ctx": yu_c}, seeded=True)
 
 # ---------------------------------------------------------------------------
 # 3. CausalConditionalDecoder
