@@ -34,6 +34,16 @@ class CosyVoice:
         seed: int = 0,
     ):
         self.model_dir = model_dir
+        yaml_path = os.path.join(model_dir, "cosyvoice.yaml")
+        if model_cfg is None and os.path.exists(yaml_path):
+            # model-dir topology ingestion (reference cosyvoice.py:35-54):
+            # variant num_blocks/heads/channels load without code edits
+            from .compat.yaml_config import (
+                inference_config_from_yaml, model_config_from_yaml)
+
+            model_cfg = model_config_from_yaml(yaml_path)
+            if infer_cfg is None:
+                infer_cfg = inference_config_from_yaml(yaml_path)
         self.cfg = model_cfg or ModelConfig()
         self.sample_rate = self.cfg.sample_rate
         params = load_pretrained(model_dir)
@@ -154,6 +164,13 @@ class CosyVoice2(CosyVoice):
 
         self.model_dir = model_dir
         self.sample_rate = 24000
+        yaml_path = os.path.join(model_dir, "cosyvoice.yaml")
+        if llm_cfg is None and flow_cfg is None and hift_cfg is None \
+                and os.path.exists(yaml_path):
+            from .compat.yaml_config import cv2_configs_from_yaml
+
+            llm_cfg, flow_cfg, hift_cfg, self.sample_rate = \
+                cv2_configs_from_yaml(yaml_path)
         llm_cfg = llm_cfg or Qwen2LMConfig()
         flow_cfg = flow_cfg or Flow2Config()
         hift_cfg = hift_cfg or HiFTConfig(sampling_rate=24000, upsample_rates=(8, 5, 3),
