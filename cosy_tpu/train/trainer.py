@@ -227,6 +227,11 @@ class JointTrainer:
         epochs_no_improve = 0
         stop_reason = None
         metrics_path = os.path.join(self.out_dir, "metrics.jsonl")
+        # TB scalars next to the jsonl (reference train_utils.py:187-192);
+        # no-op when the tensorboard package is absent
+        from ..utils.tb import TBWriter
+
+        tb = TBWriter(os.path.join(self.out_dir, "tensorboard"))
 
         # preemption-aware checkpointing: on SIGTERM/SIGINT (TPU-VM
         # maintenance events arrive as SIGTERM) finish the in-flight step,
@@ -292,6 +297,8 @@ class JointTrainer:
                 ms = [dict(zip(mkeys, row.tolist())) for row in vals]
                 for sid, m_host in zip(step_ids, ms):
                     self._metrics_log.append({"epoch": epoch, "step": sid, **m_host})
+                    tb.add_scalars(sid, m_host)
+                tb.flush()
                 return ms
 
             if self._any_host_preempted():
