@@ -73,6 +73,96 @@ def _make_kernel(scale, block_k, n_kb, with_bias, precision):
     return kernel
 
 
+def _make_one_tile_kernel(scale, with_bias, out_dtype):
+    """Whole-(T,S) attention for one (b, h) per grid step.
+
+    For the estimator regime (T <= ~1k, d=64) the streaming online-softmax
+    kernel loses to XLA: its per-q-block fori_loop is a sequential
+    dependency chain of tiny MXU ops and VPU exps.  One big QK^T, one fully
+    vectorized softmax, and one big PV (bf16 MXU passes, f32 accum) keeps
+    both units saturated; scores stay in VMEM (T*S*4B, fits to T=S=1408)."""
+    from jax.experimental import pallas as pl
+
+    def kernel(*refs):
+        if with_bias:
+            kv_ref, q_ref, k_ref, v_ref, bias_ref, o_ref = refs
+        else:
+            kv_ref, q_ref, k_ref, v_ref, o_ref = refs
+            bias_ref = None
+        T, d = q_ref.shape[-2:]
+        S = k_ref.shape[-2]
+        k_valid = kv_ref[pl.program_id(0)]
+        s = jax.lax.dot_general(
+            q_ref[0, 0], k_ref[0, 0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        if bias_ref is not None:
+            s = s + bias_ref[0].astype(jnp.float32)
+        kpos = jax.lax.broadcasted_iota(jnp.int32, (T, S), 1)
+        s = jnp.where(kpos < k_valid, s, NEG)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        acc = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0, 0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o_ref[0, 0] = (acc / jnp.maximum(l, 1e-30)).astype(out_dtype)
+
+    return kernel
+
+
+def _one_tile_attention(q, k, v, bias, scale, k_valid, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, H, T, d = q.shape
+    S = k.shape[2]
+    Tp = _cdiv(T, 8) * 8
+    Sp = _cdiv(S, 128) * 128
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, Tp - T), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, Sp - S), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, Sp - S), (0, 0)))
+    if k_valid is None:
+        k_valid = jnp.full((B,), S, jnp.int32)
+    k_valid = k_valid.astype(jnp.int32).reshape(B)
+    with_bias = bias is not None
+
+    kernel = _make_one_tile_kernel(scale, with_bias, q.dtype)
+    in_specs = [
+        pl.BlockSpec((B,), lambda b, h: (0,), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, Tp, d), lambda b, h: (b, h, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, Sp, d), lambda b, h: (b, h, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, Sp, d), lambda b, h: (b, h, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [k_valid, qp, kp, vp]
+    if with_bias:
+        bp = jnp.pad(bias, ((0, 0), (0, Tp - T), (0, Sp - S)))
+        in_specs.append(pl.BlockSpec((1, Tp, Sp), lambda b, h: (b, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(bp)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, H),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, Tp, d), lambda b, h: (b, h, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, Tp, d), q.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * Tp * Sp * d,
+            bytes_accessed=(qp.size + kp.size + vp.size) * qp.dtype.itemsize,
+            transcendentals=B * H * Tp * Sp,
+        ),
+    )(*args)
+    return out[:, :, :T, :]
+
+
+# scores for one (b, h) must fit VMEM: S*T*4B (f32) plus q/k/v/out
+MAX_ONE_TILE_S = 1152
+
+
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret"))
 def flash_attention(
     q: jax.Array,  # (B, H, T, d)
@@ -91,6 +181,8 @@ def flash_attention(
 
     B, H, T, d = q.shape
     S = k.shape[2]
+    if S <= MAX_ONE_TILE_S:
+        return _one_tile_attention(q, k, v, bias, scale, k_valid, interpret)
     Tp = _cdiv(T, block_q) * block_q
     Sp = _cdiv(S, block_k) * block_k
 

@@ -56,3 +56,37 @@ def test_flash_fully_masked_rows_are_finite():
     bias = jnp.full((B, T, T), -1e10)
     out = flash_attention(q, k, v, bias, d ** -0.5, block_q=64, block_k=64, interpret=True)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_flash_streaming_path_large_s():
+    """S > MAX_ONE_TILE_S exercises the online-softmax streaming kernel."""
+    from cosy_tpu.ops.flash_attention import MAX_ONE_TILE_S
+
+    rng = np.random.default_rng(3)
+    B, H, T, d = 1, 2, 64, 32
+    S = MAX_ONE_TILE_S + 64
+    q = jnp.asarray(rng.standard_normal((B, H, T, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, S, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, S, d)), jnp.float32)
+    k_valid = jnp.asarray([S - 100], jnp.int32)
+    got = flash_attention(q, k, v, None, d ** -0.5, k_valid=k_valid,
+                          block_q=64, block_k=128, interpret=True)
+    bias = np.zeros((B, T, S), np.float32)
+    bias[:, :, S - 100:] = -1e10
+    want = reference_attention(q, k, v, jnp.asarray(bias), d ** -0.5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_one_tile_path_matches_reference():
+    rng = np.random.default_rng(4)
+    B, H, T, S, d = 2, 2, 96, 130, 32
+    q = jnp.asarray(rng.standard_normal((B, H, T, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, S, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, S, d)), jnp.float32)
+    bias = np.zeros((B, T, S), np.float32)
+    bias[:, :, -30:] = -1e10
+    got = flash_attention(q, k, v, jnp.asarray(bias), d ** -0.5, interpret=True)
+    want = reference_attention(q, k, v, jnp.asarray(bias), d ** -0.5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
