@@ -30,3 +30,30 @@ jax.config.update("jax_enable_x64", False)
 assert jax.default_backend() == "cpu", (
     f"tests must run on CPU, got {jax.default_backend()}")
 assert len(jax.devices()) >= 8, jax.devices()
+
+
+# ---------------------------------------------------------------------------
+# slow-test opt-in: the handful of multi-minute parity tests (dp/tp
+# equivalence, GAN turns, CLI end-to-end) skip by default so the suite stays
+# iterable; run them with --runslow or COSY_TPU_RUN_SLOW=1 (the verify
+# skill's full tier does).
+# ---------------------------------------------------------------------------
+import pytest  # noqa: E402
+
+
+def pytest_addoption(parser):
+    parser.addoption("--runslow", action="store_true", default=False,
+                     help="run tests marked slow")
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: multi-minute test, opt-in")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow") or os.environ.get("COSY_TPU_RUN_SLOW"):
+        return
+    skip = pytest.mark.skip(reason="slow; rerun with --runslow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

@@ -46,6 +46,7 @@ def workdir(tmp_path_factory):
     return d
 
 
+@pytest.mark.slow
 def test_cli_pipeline_end_to_end(workdir):
     d = str(workdir)
     out = _run([os.path.join(REPO, "prepare_joint_data.py"),

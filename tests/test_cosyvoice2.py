@@ -138,6 +138,7 @@ def test_qwen2lm_bistream_and_decode():
     assert (toks >= 0).all() and (toks < 30).all()  # specials never stored
 
 
+@pytest.mark.slow
 def test_flow2_train_and_inference():
     cfg = Flow2Config(
         input_size=16, output_size=8, spk_embed_dim=12, vocab_size=40,

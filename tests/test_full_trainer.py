@@ -2,6 +2,7 @@
 on the 8-device CPU mesh."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 import optax
@@ -71,6 +72,7 @@ def _flow_batch(rng, accum=2, B=8):
     }
 
 
+@pytest.mark.slow
 def test_tensor_parallel_matches_replicated():
     """dp=2 x model=4: TP-sharded training must produce the same loss
     trajectory as the replicated dp=2 run (GSPMD sharding is layout, not

@@ -14,6 +14,7 @@ from cosy_tpu.train.gan_trainer import HiFiGanTrainer
 from test_pipeline import MODEL_CFG, init_hift_params
 
 
+@pytest.mark.slow
 def test_discriminator_shapes_and_fmap():
     params = G.init_discriminator_params(jax.random.PRNGKey(0))
     y = jax.random.normal(jax.random.PRNGKey(1), (2, 4096))
@@ -56,6 +57,7 @@ def test_f0_extraction_sine():
     assert (filled > 0).all()
 
 
+@pytest.mark.slow
 def test_gan_trainer_one_turn():
     cfg = MODEL_CFG.hift
     gen_params = init_hift_params(jax.random.PRNGKey(0), cfg)
@@ -76,6 +78,7 @@ def test_gan_trainer_one_turn():
     assert m["disc/loss_disc"] > 0
 
 
+@pytest.mark.slow
 def test_gan_trainer_dp_mesh_matches_single():
     """dp=4 GAN training must produce the same losses/updates as the
     single-device run on the same global batch (the DDP arrangement the

@@ -1,6 +1,7 @@
 """CosyVoice2 end-to-end pipeline test on tiny configs."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -147,6 +148,7 @@ def test_cosyvoice2_int8_decode_pipeline():
     assert len(outs) == 1 and np.isfinite(outs[0]["tts_speech"]).all()
 
 
+@pytest.mark.slow
 def test_cosyvoice2_streaming_fused_chunk_matches_staged():
     """The one-program CV2 streaming chunk must equal the staged path."""
     text = np.random.default_rng(12).integers(0, 50, (1, 6)).astype(np.int32)

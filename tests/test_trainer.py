@@ -4,6 +4,7 @@ mesh, checkpoint save/resume, merged export."""
 import os
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -112,6 +113,7 @@ def test_trainer_flow_only_mode(tmp_path):
     assert all("llm_loss" not in m for m in trainer._metrics_log)
 
 
+@pytest.mark.slow
 def test_dp_sharding_matches_single_device(tmp_path):
     """The dp=8 mesh step (gradient psum over the mesh) must produce the same
     updated adapters as the identical step on a dp=1 mesh — the DDP-allreduce
