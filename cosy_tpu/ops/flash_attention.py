@@ -238,19 +238,26 @@ def flash_attention(
 def use_flash(T: int, d: int) -> bool:
     """Gate for routing production attention through the Pallas kernel.
 
-    OFF by default: measured on the real chip with RTT-free methodology
-    (nfe-differenced solves, PERF.md), XLA's fused attention beats this
-    kernel at every estimator shape — 4.4 vs 12.8 ms/estimator call at
-    B8 T512, 15.8 vs 42.8 at T1024.  The estimator makes 64 attention calls
-    per forward; 64 pallas_call boundaries cost more than the (B,T,S) score
-    materialization they avoid at these sizes.  Set COSY_TPU_FLASH=1 to opt
-    in (e.g. much longer sequences, or future chips)."""
+    Default ON exactly where the one-tile kernel wins in context (measured
+    round 2, estimator-level steady-state A/B on the real chip, PERF.md):
+    T=1024 solves run 10% faster end-to-end (6.48 vs 7.18 ms/estimator
+    call); at T<=512 the pallas_call boundary blocks XLA's fusion of
+    attention with the surrounding projections and the whole solve gets
+    SLOWER (3.28 vs 2.37 ms/call at T512) even though the op-level
+    micro-benchmark says otherwise (those are submit-floor-bound at ~2 ms —
+    do not trust micro A/Bs below ~1 ms device time).  Above MAX_ONE_TILE_S
+    the streaming kernel would engage and lose — stay with XLA.
+    COSY_TPU_FLASH=1 forces on (gate shapes only), =0 forces off."""
     import os
 
-    if not os.environ.get("COSY_TPU_FLASH"):
+    env = os.environ.get("COSY_TPU_FLASH", "")
+    if env == "0":
         return False
     try:
         on_tpu = jax.default_backend() == "tpu"
     except Exception:  # noqa: BLE001
         on_tpu = False
-    return on_tpu and d % 8 == 0 and d <= 256 and T >= 256
+    shape_ok = on_tpu and d % 8 == 0 and d <= 256
+    if env:  # forced on: any gate-compatible shape
+        return shape_ok and T >= 256
+    return shape_ok and 1024 <= T <= MAX_ONE_TILE_S

@@ -90,3 +90,24 @@ def test_one_tile_path_matches_reference():
     want = reference_attention(q, k, v, jnp.asarray(bias), d ** -0.5)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_use_flash_gate(monkeypatch):
+    """Default-on exactly in the measured-win band (T=1024 est-level A/B),
+    off elsewhere; env forces win over the band."""
+    from cosy_tpu.ops import flash_attention as fa
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.delenv("COSY_TPU_FLASH", raising=False)
+    assert fa.use_flash(1024, 64)
+    assert fa.use_flash(1100, 64)
+    assert not fa.use_flash(512, 64)       # in-context loss at T<=512
+    assert not fa.use_flash(2048, 64)      # streaming kernel would lose
+    assert not fa.use_flash(1024, 63)      # lane-misaligned head dim
+    monkeypatch.setenv("COSY_TPU_FLASH", "0")
+    assert not fa.use_flash(1024, 64)
+    monkeypatch.setenv("COSY_TPU_FLASH", "1")
+    assert fa.use_flash(512, 64)
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    monkeypatch.delenv("COSY_TPU_FLASH", raising=False)
+    assert not fa.use_flash(1024, 64)
