@@ -52,6 +52,13 @@ class TTSServer:
         self._stream_queue: list = []
         self._stream_wake = threading.Event()
         self._stream_thread: Optional[threading.Thread] = None
+        # cohorts interleave at segment boundaries: each runs in its own
+        # thread, re-acquiring the device lock per segment, so a newcomer's
+        # first audio lands between a running cohort's segments instead of
+        # after its longest utterance.  The semaphore bounds concurrent
+        # cohorts (each batch size compiles its own program).
+        self.max_concurrent_cohorts = 2
+        self._cohort_slots = threading.Semaphore(self.max_concurrent_cohorts)
         self.batches_run = 0  # observability
 
     def _zero_spk(self) -> np.ndarray:
@@ -133,14 +140,11 @@ class TTSServer:
         (pipeline.synthesize_stream_batch) — concurrent streams amortize the
         per-token weight read (the dominant bs=1 decode cost, PERF.md) —
         while every connection receives its own hop-sized chunks as they are
-        produced.  A dedicated worker thread drives cohorts; request threads
-        only drain their per-request queues, so for requests landing in the
-        same collection window time-to-first-audio is one cohort hop, not the
-        full utterance.  Known limitation: cohorts are admitted one at a
-        time — a request arriving mid-cohort waits for the current cohort's
-        longest utterance before its own cohort starts (bounded by the
-        per-request max text length; interleaving admissions at segment
-        boundaries is future work)."""
+        produced.  A dispatcher thread admits cohorts; each cohort runs in
+        its own thread holding the device lock per SEGMENT, so up to
+        ``max_concurrent_cohorts`` cohorts interleave at segment boundaries —
+        a request arriving mid-cohort starts after the current segment, not
+        after the running cohort's longest utterance."""
         import queue as _queue
 
         ids = self.api.frontend.extract_text_token(
@@ -168,8 +172,11 @@ class TTSServer:
 
         while True:
             cohort = []
+            slot = False
             try:
                 self._stream_wake.wait()
+                self._cohort_slots.acquire()  # bound concurrent cohorts
+                slot = True
                 time.sleep(self.batch_window_ms / 1e3)  # collection window
                 with self._queue_lock:
                     cohort, self._stream_queue = (
@@ -178,30 +185,50 @@ class TTSServer:
                     if not self._stream_queue:
                         self._stream_wake.clear()
                 if not cohort:
+                    self._cohort_slots.release()
                     continue
-                self._run_stream_cohort(cohort)
+                threading.Thread(target=self._cohort_entry, args=(cohort,),
+                                 daemon=True).start()
             except Exception as e:  # noqa: BLE001 — the worker must not die
                 for it in cohort:
                     it["err"] = it["err"] or e
                     it["q"].put(None)
+                if slot:
+                    self._cohort_slots.release()
+
+    def _cohort_entry(self, cohort):
+        try:
+            self._run_stream_cohort(cohort)
+        finally:
+            self._cohort_slots.release()
 
     def _run_stream_cohort(self, cohort):
-        self.batches_run += 1
+        with self._queue_lock:
+            self.batches_run += 1
         finished = [False] * len(cohort)
         try:
             zero = self._zero_spk()
-            with self.lock:
-                for b, wav, done in self.api.model.synthesize_stream_batch(
-                        self.api._next_rng(),
-                        [it["ids"] for it in cohort],
-                        [zero] * len(cohort)):
-                    cohort[b]["q"].put(wav[0])
-                    if done:
-                        # release this client immediately — short streams
-                        # must not wait for (or inherit errors from) the
-                        # cohort's longest utterance
-                        finished[b] = True
-                        cohort[b]["q"].put(None)
+            gen = self.api.model.synthesize_stream_batch(
+                self.api._next_rng(),
+                [it["ids"] for it in cohort],
+                [zero] * len(cohort))
+            while True:
+                # the device lock is held per SEGMENT, not per cohort:
+                # concurrent cohorts interleave their decode/token2wav
+                # programs, so a later cohort's first chunk is one segment
+                # away, not one full cohort away
+                with self.lock:
+                    try:
+                        b, wav, done = next(gen)
+                    except StopIteration:
+                        break
+                cohort[b]["q"].put(wav[0])
+                if done:
+                    # release this client immediately — short streams
+                    # must not wait for (or inherit errors from) the
+                    # cohort's longest utterance
+                    finished[b] = True
+                    cohort[b]["q"].put(None)
         except Exception as e:  # noqa: BLE001
             for it, fin in zip(cohort, finished):
                 if not fin:

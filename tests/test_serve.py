@@ -2,6 +2,7 @@
 
 import json
 import threading
+import time
 import urllib.request
 from http.server import ThreadingHTTPServer
 
@@ -224,3 +225,54 @@ def test_stream_worker_respawns_after_death():
     t.start()
     t.join(timeout=60)
     assert not t.is_alive(), "client stranded behind a dead worker"
+
+
+def test_cohorts_interleave_at_segment_boundaries():
+    """A stream arriving mid-cohort gets its first chunk while the first
+    cohort is still decoding: cohort threads hold the device lock per
+    segment, not per cohort (serve.py _run_stream_cohort)."""
+    api = _make_api()
+    server = TTSServer(api, batch_window_ms=50.0)
+    def fake_stream_batch(rng, ids_list, spks):
+        # cohort 0: 10 slow segments (~2 s total); cohort 1: one instant
+        # segment.  The per-segment sleep runs inside next(gen) — i.e.
+        # while the device lock is held — so with cohort-held locking the
+        # second cohort would wait the full ~2 s; with per-segment locking
+        # it slips in after at most one segment.
+        tag = int(ids_list[0][0, 0])
+        n_segments = 10 if tag == 0 else 1
+        for seg in range(n_segments):
+            if tag == 0:
+                time.sleep(0.2)
+            for b in range(len(ids_list)):
+                yield b, np.zeros((1, 640), np.float32), seg == n_segments - 1
+
+    api.model.synthesize_stream_batch = fake_stream_batch
+    api.frontend.normalize = lambda text, split=False: text  # keep digits
+    api.frontend.extract_text_token = lambda text: np.asarray(
+        [[int(text), 5, 6]], np.int32)
+
+    results = {}
+
+    def run(i):
+        q0 = time.time()
+        got_first = None
+        for _ in server.synthesize_stream_batched(str(i)):
+            if got_first is None:
+                got_first = time.time() - q0
+        results[i] = got_first
+
+    t0 = threading.Thread(target=run, args=(0,))
+    t0.start()
+    time.sleep(0.5)                 # cohort 0 is now mid-decode
+    t1 = threading.Thread(target=run, args=(1,))
+    t1.start()
+    t1.join(timeout=30)
+    assert not t1.is_alive(), "second cohort blocked behind the first"
+    assert results.get(1) is not None
+    # the proof of interleaving: cohort 1 finished while cohort 0 (with
+    # ~1.5 s of segments left) is still running
+    assert t0.is_alive(), "cohort 0 finished first — no interleaving happened"
+    t0.join(timeout=30)
+    assert not t0.is_alive()
+    assert server.batches_run == 2
