@@ -62,12 +62,31 @@ def moe_ffn(p: P, name: str, x: jax.Array, n_expert: int, n_expert_per_token: in
     router = dense(sp, "gate", xs, ctx)  # (B*L, n_expert)
     logits, indices = jax.lax.top_k(router, n_expert_per_token)
     weights = jax.nn.softmax(logits.astype(jnp.float32), axis=1).astype(x.dtype)
+    # dense routing matrix: w_full[n, e] = routing weight (0 when unrouted)
+    w_full = jnp.zeros((xs.shape[0], n_expert), x.dtype)
+    for k in range(n_expert_per_token):
+        w_full = w_full.at[jnp.arange(xs.shape[0]), indices[:, k]].add(weights[:, k])
+
+    if "experts_stacked.w_1.weight" in sp:
+        # stacked experts (E, H, D)/(E, D, H): one batched einsum per matmul.
+        # Expert-parallel scale-out: tp.py shards the leading E axis over the
+        # mesh ``model`` axis, so each device computes its experts and XLA
+        # inserts the psum for the routed combine (the contraction over E).
+        se = sp.sub("experts_stacked")
+        w1, b1 = se.get("w_1.weight"), se.get("w_1.bias")
+        w2, b2 = se.get("w_2.weight"), se.get("w_2.bias")
+        h = jnp.einsum("nd,ehd->neh", xs, w1.astype(x.dtype)) + b1.astype(x.dtype)[None]
+        h = act(h)
+        if ctx.train and dropout > 0.0:
+            h = ctx.dropout(h, dropout)
+        y = jnp.einsum("neh,edh->ned", h, w2.astype(x.dtype)) + b2.astype(x.dtype)[None]
+        out = jnp.einsum("ne,ned->nd", w_full, y)
+        return out.reshape(B, L, D)
+
     out = jnp.zeros_like(xs)
     for i in range(n_expert):
-        # routing weight of expert i for each token (0 when unrouted)
-        w_i = jnp.sum(jnp.where(indices == i, weights, 0.0), axis=1)  # (B*L,)
         y = positionwise_ff(sp, f"experts.{i}", xs, act, dropout, ctx)
-        out = out + w_i[:, None] * y
+        out = out + w_full[:, i][:, None] * y
     return out.reshape(B, L, D)
 
 

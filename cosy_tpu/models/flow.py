@@ -191,9 +191,16 @@ def cfm_compute_loss(
         spks = spks * keep[:, None]
         cond = cond * keep[:, None, None]
 
+    # sequence parallelism: under a seq-axis mesh (trainer's
+    # sequence_sharding context) the estimator activations shard over T and
+    # XLA inserts the attention all-gathers — identical math (parallel/sp.py)
+    from ..parallel.sp import shard_seq
+
+    y, mu, cond, mask = (shard_seq(a, 2) for a in (y, mu, cond, mask))
     pred = conditional_decoder(
         p, cfg.estimator, y, mask, mu, t[:, 0, 0], spks, cond, ctx, prompt_lens=prompt_lens
     )
+    pred = shard_seq(pred, 2)
 
     loss_mask = mask
     if prompt_lens is not None:
@@ -293,6 +300,9 @@ def flow_forward_train(
     spk = dense(p, "spk_embed_affine_layer", _l2_normalize(spk, axis=1), ctx)
     h = flow_encode(p, cfg, token, token_len, ctx)
     h = length_regulator(p.sub("length_regulator"), h, feat_len, T, cfg.regulator_stages, ctx)
+    from ..parallel.sp import shard_seq
+
+    h = shard_seq(h, 1)  # (B, T, C): mel-rate activations shard over seq
 
     feat_bc = feat.transpose(0, 2, 1)  # (B, 80, T)
     mask = M.make_non_pad_mask(feat_len, T)[:, None, :].astype(h.dtype)

@@ -20,13 +20,18 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as PSpec
 def make_mesh(
     dp: Optional[int] = None,
     model: int = 1,
+    seq: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
+    """(dp, seq, model) mesh.  ``seq`` carries sequence parallelism
+    (parallel/sp.py activation sharding over the time axis); size-1 axes
+    cost nothing, so every mesh exposes all three names."""
     devices = list(devices if devices is not None else jax.devices())
-    dp = dp if dp is not None else len(devices) // model
-    assert dp * model <= len(devices), (dp, model, len(devices))
-    arr = np.asarray(devices[: dp * model]).reshape(dp, model)
-    return Mesh(arr, ("dp", "model"))
+    dp = dp if dp is not None else len(devices) // (model * seq)
+    n = dp * seq * model
+    assert n <= len(devices), (dp, seq, model, len(devices))
+    arr = np.asarray(devices[:n]).reshape(dp, seq, model)
+    return Mesh(arr, ("dp", "seq", "model"))
 
 
 def batch_sharding(mesh: Mesh, batch_axis: int = 0) -> NamedSharding:

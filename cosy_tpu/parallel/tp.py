@@ -67,6 +67,14 @@ def tp_spec(name: str, shape, tp: int) -> PSpec:
     """PartitionSpec for one flat torch-named parameter at model-axis size tp."""
     if tp <= 1 or not shape:
         return PSpec()
+    # expert parallelism: stacked MoE expert weights (E, ...) shard the
+    # expert axis over ``model``; each device computes its experts and the
+    # routed combine's contraction over E becomes an XLA psum
+    # (layers/conformer.moe_ffn stacked path)
+    if ".experts_stacked." in name:
+        if shape[0] % tp == 0 and shape[0] >= tp:
+            return PSpec("model", *([None] * (len(shape) - 1)))
+        return PSpec()
     for mod in _ROW_MODULES:
         if name.endswith(mod + ".weight") or name.endswith(mod + ".bias"):
             if shape[0] % tp == 0 and shape[0] >= tp:
@@ -126,4 +134,29 @@ def compose_zero2(mesh: Mesh, params: Dict[str, jax.Array],
                     spec[axis] = "dp"
                     break
         out[name] = NamedSharding(mesh, PSpec(*spec))
+    return out
+
+
+def stack_experts(params: Dict[str, jax.Array], n_expert: int
+                  ) -> Dict[str, jax.Array]:
+    """Convert per-expert MoE weights (``...experts.{i}.w_1.weight`` — the
+    torch naming) into the stacked expert-parallel layout
+    (``...experts_stacked.w_1.weight`` of shape (E, ...)) consumed by
+    layers/conformer.moe_ffn.  Non-MoE leaves pass through unchanged."""
+    import re
+
+    import jax.numpy as jnp
+
+    out = dict(params)
+    pat = re.compile(r"^(.*\.experts)\.0\.(w_[12]\.(?:weight|bias))$")
+    for name in list(params):
+        m = pat.match(name)
+        if not m:
+            continue
+        prefix, leaf = m.group(1), m.group(2)
+        stacked = jnp.stack([params[f"{prefix}.{i}.{leaf}"]
+                             for i in range(n_expert)])
+        out[f"{prefix}_stacked.{leaf}"] = stacked
+        for i in range(n_expert):
+            out.pop(f"{prefix}.{i}.{leaf}")
     return out

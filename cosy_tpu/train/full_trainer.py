@@ -60,12 +60,29 @@ class FullTrainer:
         grad_clip: float = 5.0,
         accum: int = 1,
         tensor_parallel: bool = False,
+        sequence_parallel: bool = False,
     ):
         """tensor_parallel=True additionally splits the transformer matmuls
         over the mesh's ``model`` axis (parallel/tp.py rules) — Megatron-style
         row/column sharding with XLA-inserted collectives.  The reference has
-        no TP (SURVEY §2.5); this is scale-out beyond its DDP ceiling."""
+        no TP (SURVEY §2.5); this is scale-out beyond its DDP ceiling.
+
+        sequence_parallel=True activates the seq-axis activation sharding
+        context while the loss is traced (parallel/sp.py): models that drop
+        shard_seq annotations (the flow/estimator training forward) shard
+        their time axis over the mesh ``seq`` axis."""
         self.mesh = mesh if mesh is not None else pmesh.make_mesh()
+        if sequence_parallel:
+            from ..parallel.sp import sequence_sharding
+
+            _mesh, _inner = self.mesh, loss_fn
+
+            def loss_fn_sp(params, r, micro):
+                with sequence_sharding(_mesh):
+                    return _inner(params, r, micro)
+
+            loss_fn = loss_fn_sp
+        self.sequence_parallel = sequence_parallel
         self.loss_fn = loss_fn
         self.optimizer = optax.chain(optax.clip_by_global_norm(grad_clip), optimizer)
         self.accum = accum
