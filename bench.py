@@ -157,16 +157,20 @@ def bench_joint_step(model_cfg: ModelConfig, train_cfg: TrainConfig, dtype=jnp.b
     return t
 
 
-def bench_ar_decode(model_cfg: ModelConfig, dtype=jnp.bfloat16, prefix_len=64, max_len=256):
+def bench_ar_decode(model_cfg: ModelConfig, dtype=jnp.bfloat16, prefix_len=64,
+                    max_len=256, int8: bool = False):
     """AR speech-token decode throughput — the RTF-critical loop (each token
-    is 20 ms of audio; > 50 tok/s means faster-than-realtime LLM)."""
+    is 20 ms of audio; > 50 tok/s means faster-than-realtime LLM).
+    int8=True measures the weight-only-quantized per-token stack (bs=1
+    decode is weight-bandwidth-bound, so halved weight bytes ~= +70%)."""
     key = jax.random.PRNGKey(0)
     llm_params = jax.jit(lambda k: L.init_llm_params(k, model_cfg.llm))(key)
     llm_params = cast(llm_params, dtype)
 
     prefix = jax.random.normal(key, (1, prefix_len, model_cfg.llm.llm_input_size), dtype)
     fn = jax.jit(lambda p, r: L.llm_decode(
-        P(p), model_cfg.llm, r, prefix, prefix_len, jnp.asarray(max_len), max_len))
+        P(p), model_cfg.llm, r, prefix, prefix_len, jnp.asarray(max_len), max_len,
+        int8_weights=int8))
 
     # single-decode latency (includes one tunnel round-trip)
     n, dt_lat = 0, 1.0
@@ -190,7 +194,8 @@ def bench_ar_decode(model_cfg: ModelConfig, dtype=jnp.bfloat16, prefix_len=64, m
         ts.append((time.perf_counter() - t0) / sum(lengths))
     t_per_tok = float(np.median(ts))
     tps = 1.0 / t_per_tok
-    log(f"[decode] prefix {prefix_len}, {n} tokens: {tps:.1f} tok/s "
+    tag = " int8" if int8 else ""
+    log(f"[decode{tag}] prefix {prefix_len}, {n} tokens: {tps:.1f} tok/s "
         f"steady-state (depth {depth}), {n/dt_lat:.1f} tok/s single-run "
         f"latency ({tps/50:.1f}x realtime)")
     return tps, n / dt_lat
@@ -339,6 +344,15 @@ def main():
         secondary["decode_tok_per_s_latency"] = round(tps_lat, 1)
     except Exception as e:  # noqa: BLE001
         log(f"[decode] bench failed: {e}")
+    if os.environ.get("COSY_TPU_BENCH_INT8"):
+        # opt-in: the int8 decode program takes ~20 min to compile through
+        # the remote tunnel (measured r4: 1240.7 tok/s steady-state, +21%
+        # over bf16 — PERF.md); too slow for the default bench budget
+        try:
+            tps_i8, _ = bench_ar_decode(model_cfg, int8=True)
+            secondary["decode_int8_tok_per_s"] = round(tps_i8, 1)
+        except Exception as e:  # noqa: BLE001
+            log(f"[decode int8] bench failed: {e}")
     try:
         t_xla, t_pl = bench_flash_ab()
         secondary["flash_ab_xla_ms"] = round(t_xla, 2)

@@ -100,3 +100,24 @@ def test_text_normalize_end_to_end_zh():
 def test_text_normalize_end_to_end_en():
     got = text_normalize("The  21st   meeting costs $5.50, starting at 9:30.")
     assert got == "The twenty-first meeting costs five dollars fifty cents, starting at nine thirty."
+
+
+def test_no_digits_survive_normalization_fuzz():
+    """Property: text_normalize fully verbalizes every digit for both
+    languages across templated random inputs (dates, times, units, phones,
+    currency, percentages, decimals, ranges)."""
+    import random
+    import re
+
+    random.seed(0)
+    zh_tpl = ["价格{}元", "共{}人", "占{}%", "电话{}", "时间{}:{}",
+              "日期{}年{}月{}日", "重量{}kg", "{}条", "从{}-{}", "上涨{}.{}个点"]
+    en_tpl = ["costs ${}", "{}th place", "at {}:{}", "{} items", "{}% done",
+              "chapter {}", "pi {}.{}"]
+    for tpl_list, hi in ((zh_tpl, 99999), (en_tpl, 9999)):
+        for tpl in tpl_list:
+            n = tpl.count("{}")
+            for _ in range(25):
+                raw = tpl.format(*[random.randint(0, hi) for _ in range(n)])
+                out = text_normalize(raw)
+                assert not re.search(r"\d", out), (raw, out)
