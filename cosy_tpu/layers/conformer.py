@@ -272,6 +272,16 @@ def encoder_forward(
 
     Returns (xs (B, T, D), pad_mask (B, 1, T) bool).
     """
+    if not conformer and decoding_chunk_size == 0:
+        # GPipe dispatch: under an active pipeline_context the transformer
+        # stack runs microbatch-pipelined over the mesh (parallel/pp.py);
+        # returns None when no context is active or the stack is ineligible
+        from ..parallel.pp import maybe_pipeline
+
+        res = maybe_pipeline(p, cfg, xs, xs_lens, ctx, xscale)
+        if res is not None:
+            return res
+
     B, T, _ = xs.shape
     pad_mask = M.make_non_pad_mask(xs_lens, T)[:, None, :]  # (B, 1, T)
     xs, pos_emb = embed_input(p, cfg, xs, ctx, xscale=xscale)

@@ -86,9 +86,7 @@ def pipeline_blocks(
     bias_micro = attn_bias.reshape(n_micro, mb, *attn_bias.shape[1:])
 
     def stage_fn(stacked_local, x_micro, bias_micro, pos_emb):
-        # shard_map gives each device its (L/S, ...) slice with a leading
-        # dummy axis of the sharded dim removed? No: the layer axis is
-        # sharded, leaves arrive as (L/S, ...)
+        # shard_map slices the sharded layer axis: leaves arrive (L/S, ...)
         stage = jax.lax.axis_index(axis)
         M = x_micro.shape[0]
         zero = jnp.zeros_like(x_micro[0])
@@ -160,3 +158,53 @@ def pipeline_encoder_forward(
     if cfg.normalize_before:
         h = C.layer_norm(p, "after_norm", h, eps=1e-5)
     return h, pad_mask
+
+
+# ---------------------------------------------------------------------------
+# context-based activation (mirrors parallel/sp.py): trainers enter
+# pipeline_context and layers.conformer.encoder_forward dispatches its
+# transformer stack through the pipeline when eligible
+# ---------------------------------------------------------------------------
+
+import threading as _threading
+from contextlib import contextmanager as _contextmanager
+
+_state = _threading.local()
+
+
+@_contextmanager
+def pipeline_context(mesh: Mesh, n_micro: int, axis: str = "model"):
+    prev = getattr(_state, "ctx", None)
+    _state.ctx = (mesh, n_micro, axis)
+    try:
+        yield
+    finally:
+        _state.ctx = prev
+
+
+def maybe_pipeline(p, cfg, xs, xs_lens, ctx, xscale: bool):
+    """Pipeline dispatch for encoder_forward's transformer path.  Returns
+    (h, pad_mask) when a pipeline context is active and the stack is
+    eligible (dropout-free — see module docstring; no train-time dynamic
+    chunking, whose mask draw would need rng plumbing; stage-divisible
+    block count, microbatch-divisible batch), else None."""
+    pc = getattr(_state, "ctx", None)
+    if pc is None:
+        return None
+    mesh, n_micro, axis = pc
+    S = dict(zip(mesh.axis_names, mesh.devices.shape))[axis]
+    eligible = (
+        S > 1
+        and cfg.num_blocks % S == 0
+        and xs.shape[0] % n_micro == 0
+        and not (ctx.train and (cfg.dropout_rate > 0
+                                or cfg.attention_dropout_rate > 0
+                                or cfg.positional_dropout_rate > 0))
+        and not (ctx.train and cfg.use_dynamic_chunk)
+    )
+    if not eligible:
+        return None
+    _state.engaged = getattr(_state, "engaged", 0) + 1  # trace-time telemetry
+    params = {k: p[k] for k in p.keys()}
+    return pipeline_encoder_forward(params, cfg, xs, xs_lens, mesh, n_micro,
+                                    ctx, xscale=xscale)

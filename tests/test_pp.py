@@ -89,3 +89,50 @@ def test_pipeline_gradients_match_sequential():
     for k in g_seq:
         np.testing.assert_allclose(np.asarray(g_pp[k]), np.asarray(g_seq[k]),
                                    atol=2e-4, rtol=2e-4, err_msg=k)
+
+
+def test_pipeline_context_drives_llm_training_loss():
+    """The real LLM training forward dispatches its 14-block (here 4-block)
+    stack through the pipeline under pipeline_context, with identical loss."""
+    from cosy_tpu.config import LLMConfig
+    from cosy_tpu.ctx import Ctx
+    from cosy_tpu.models.llm import init_llm_params, llm_forward_train
+    from cosy_tpu.parallel.pp import pipeline_context
+    from cosy_tpu.config import replace
+
+    enc = EncoderConfig(input_size=16, output_size=16, attention_heads=2,
+                        linear_units=24, num_blocks=2, dropout_rate=0.0,
+                        positional_dropout_rate=0.0, attention_dropout_rate=0.0,
+                        static_chunk_size=1)
+    cfg = LLMConfig(
+        text_encoder_input_size=16, llm_input_size=16, llm_output_size=16,
+        text_token_size=40, speech_token_size=30, spk_embed_dim=12,
+        text_encoder=enc,
+        llm=replace(enc, num_blocks=4, input_layer="linear_legacy"),
+    )
+    params = init_llm_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    B = 4
+    batch = {
+        "text_token": jnp.asarray(rng.integers(0, 40, (B, 5)), jnp.int32),
+        "text_token_len": jnp.full((B,), 5, jnp.int32),
+        "speech_token": jnp.asarray(rng.integers(0, 30, (B, 7)), jnp.int32),
+        "speech_token_len": jnp.full((B,), 7, jnp.int32),
+        "embedding": jnp.asarray(rng.standard_normal((B, 12)), jnp.float32),
+    }
+    ctx = Ctx(rng=jax.random.PRNGKey(1), train=True)
+    want = llm_forward_train(P(params), cfg, batch, ctx)
+
+    import cosy_tpu.parallel.pp as ppmod
+
+    mesh = pmesh.make_mesh(dp=1, model=2, devices=jax.devices("cpu")[:2])
+    before = getattr(ppmod._state, "engaged", 0)
+    with pipeline_context(mesh, n_micro=2):
+        got = jax.jit(lambda p, b: llm_forward_train(P(p), cfg, b,
+                                                     ctx))(params, batch)
+    assert getattr(ppmod._state, "engaged", 0) > before, \
+        "pipeline did not engage - eligibility gate silently fell back"
+    np.testing.assert_allclose(np.asarray(got["loss"]), np.asarray(want["loss"]),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got["acc"]), np.asarray(want["acc"]),
+                               atol=1e-5, rtol=1e-5)
