@@ -146,6 +146,11 @@ def flow2_forward_train(
         mu = mu * keep[:, None, None]
         spk_p = spk_p * keep[:, None]
         conds = conds * keep[:, None, None]
+    # sequence parallelism: no-op outside the trainer's sequence_sharding
+    # context (parallel/sp.py; same annotation as the v1 flow loss)
+    from ..parallel.sp import shard_seq
+
+    y, mu, conds, mask = (shard_seq(a, 2) for a in (y, mu, conds, mask))
     pred = conditional_decoder(
         p.sub("decoder.estimator"), cfg.estimator, y, mask, mu, t[:, 0, 0], spk_p, conds,
         ctx, causal=True, streaming=streaming,
