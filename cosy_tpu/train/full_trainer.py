@@ -61,6 +61,7 @@ class FullTrainer:
         accum: int = 1,
         tensor_parallel: bool = False,
         sequence_parallel: bool = False,
+        pipeline_parallel_microbatches: int = 0,
     ):
         """tensor_parallel=True additionally splits the transformer matmuls
         over the mesh's ``model`` axis (parallel/tp.py rules) — Megatron-style
@@ -70,8 +71,23 @@ class FullTrainer:
         sequence_parallel=True activates the seq-axis activation sharding
         context while the loss is traced (parallel/sp.py): models that drop
         shard_seq annotations (the flow/estimator training forward) shard
-        their time axis over the mesh ``seq`` axis."""
+        their time axis over the mesh ``seq`` axis.
+
+        pipeline_parallel_microbatches=M (> 0) activates the GPipe pipeline
+        context (parallel/pp.py): eligible transformer stacks inside the loss
+        (dropout-free, stage-divisible over the ``model`` axis) run
+        microbatch-pipelined with M microbatches."""
         self.mesh = mesh if mesh is not None else pmesh.make_mesh()
+        if pipeline_parallel_microbatches > 0:
+            from ..parallel.pp import pipeline_context
+
+            _mesh_pp, _inner_pp, _m = self.mesh, loss_fn, pipeline_parallel_microbatches
+
+            def loss_fn_pp(params, r, micro):
+                with pipeline_context(_mesh_pp, _m):
+                    return _inner_pp(params, r, micro)
+
+            loss_fn = loss_fn_pp
         if sequence_parallel:
             from ..parallel.sp import sequence_sharding
 

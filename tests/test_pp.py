@@ -136,3 +136,52 @@ def test_pipeline_context_drives_llm_training_loss():
                                atol=1e-5, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(got["acc"]), np.asarray(want["acc"]),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_full_trainer_pipeline_parallel_flag():
+    """FullTrainer(pipeline_parallel_microbatches=2) trains the LLM with the
+    block stack pipelined over the model axis; loss matches the replicated
+    trainer (blocks are dropout-free in this config)."""
+    import optax
+
+    from cosy_tpu.config import LLMConfig, replace
+    from cosy_tpu.ctx import Ctx
+    from cosy_tpu.models.llm import init_llm_params, llm_forward_train
+    from cosy_tpu.train.full_trainer import FullTrainer
+
+    enc = EncoderConfig(input_size=16, output_size=16, attention_heads=2,
+                        linear_units=24, num_blocks=2, dropout_rate=0.0,
+                        positional_dropout_rate=0.0, attention_dropout_rate=0.0,
+                        static_chunk_size=1)
+    cfg = LLMConfig(
+        text_encoder_input_size=16, llm_input_size=16, llm_output_size=16,
+        text_token_size=40, speech_token_size=30, spk_embed_dim=12,
+        text_encoder=enc,
+        llm=replace(enc, num_blocks=4, input_layer="linear_legacy"),
+    )
+    params = init_llm_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    B = 4
+    batch = {k: v[None] for k, v in {
+        "text_token": rng.integers(0, 40, (B, 5)).astype(np.int32),
+        "text_token_len": np.full((B,), 5, np.int32),
+        "speech_token": rng.integers(0, 30, (B, 7)).astype(np.int32),
+        "speech_token_len": np.full((B,), 7, np.int32),
+        "embedding": rng.standard_normal((B, 12)).astype(np.float32),
+    }.items()}
+
+    def loss_fn(p, r, micro):
+        out = llm_forward_train(P(p), cfg, micro, Ctx(rng=r, train=True))
+        return out["loss"], {}
+
+    def run(mesh, n_micro):
+        fresh = {k: jnp.array(v) for k, v in params.items()}
+        t = FullTrainer(loss_fn, fresh, optax.adamw(1e-3), mesh=mesh,
+                        zero2=False, accum=1,
+                        pipeline_parallel_microbatches=n_micro)
+        return t.step(batch, jax.random.PRNGKey(5))["loss"]
+
+    loss_rep = run(pmesh.make_mesh(dp=1, devices=jax.devices("cpu")[:1]), 0)
+    loss_pp = run(pmesh.make_mesh(dp=1, model=2,
+                                  devices=jax.devices("cpu")[:2]), 2)
+    np.testing.assert_allclose(loss_pp, loss_rep, atol=1e-5, rtol=1e-5)
