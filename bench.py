@@ -314,6 +314,56 @@ def bench_flash_ab(T=1024, B=8, H=8, d=64, dtype=jnp.bfloat16, depth=16):
     return t_xla, t_pl
 
 
+def bench_fused_ab(model_cfg: ModelConfig, dtype=jnp.bfloat16, B=4, T=512,
+                   nfe=10, depth=12):
+    """Fused whole-block Pallas kernel vs the XLA block path, whole CFM solve,
+    at the headline T512 regime where the kernel defaults on (win band
+    384<=T<=512, tools/probe_fused.py).  Doubles as the compiled-mode
+    regression gate: the kernel must lower, run, and match the XLA solve
+    numerics on the real chip.  Returns (xla_ms, fused_ms)."""
+    key = jax.random.PRNGKey(0)
+    from cosy_tpu.params import KeyGen
+    from cosy_tpu.layers.unet import init_conditional_decoder
+
+    kg = KeyGen(key)
+    est_params = {}
+    init_conditional_decoder(kg, est_params, "", model_cfg.flow.estimator)
+    est_params = cast(est_params, dtype)
+    z = jax.random.normal(key, (B, 80, T), dtype)
+    mu = jax.random.normal(key, (B, 80, T), dtype)
+    spks = jax.random.normal(key, (B, 80), dtype)
+    cond = jnp.zeros((B, 80, T), dtype)
+
+    def steady(env):
+        os.environ["COSY_TPU_FUSED_BLOCK"] = env
+        try:
+            fn = jax.jit(lambda p, zz: F.cfm_solve_euler(
+                P(p), model_cfg.flow, zz, None, mu, spks, cond, nfe, EVAL))
+            out = fn(est_params, z)
+            _sync(out)
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                outs = [fn(est_params, z) for _ in range(depth)]
+                _sync(outs[-1])
+                ts.append((time.perf_counter() - t0) / depth)
+            return float(np.median(ts)) * 1e3, np.asarray(out, np.float32)
+        finally:
+            os.environ.pop("COSY_TPU_FUSED_BLOCK", None)
+
+    t_xla, out_xla = steady("0")
+    t_fused, out_fused = steady("1")
+    d = np.abs(out_fused - out_xla)
+    err, mean_err = float(np.max(d)), float(np.mean(d))
+    # bf16 reorder noise over nfe*2 estimator calls x 64 blocks measures
+    # max 0.0625 (2 ulps at |out|~4), mean 0.004; real divergence is O(1)
+    assert err < 0.25 and mean_err < 0.02, \
+        f"fused block diverges from XLA on-chip: max {err} mean {mean_err}"
+    log(f"[fused-ab] B{B} T{T} nfe{nfe} {dtype.__name__}: XLA {t_xla:.1f} ms/solve, "
+        f"fused {t_fused:.1f} ms/solve ({t_xla/t_fused:.2f}x), max|err| {err:.1e}")
+    return t_xla, t_fused
+
+
 def main():
     model_cfg = ModelConfig()
     train_cfg = TrainConfig()
@@ -359,6 +409,12 @@ def main():
         secondary["flash_ab_pallas_ms"] = round(t_pl, 2)
     except Exception as e:  # noqa: BLE001
         log(f"[flash-ab] bench failed: {e}")
+    try:
+        t_xla, t_fused = bench_fused_ab(model_cfg)
+        secondary["fused_ab_xla_ms"] = round(t_xla, 1)
+        secondary["fused_ab_pallas_ms"] = round(t_fused, 1)
+    except Exception as e:  # noqa: BLE001
+        log(f"[fused-ab] bench failed: {e}")
     try:
         secondary["token2wav_rtf"] = round(bench_token2wav(model_cfg), 4)
     except Exception as e:  # noqa: BLE001

@@ -120,6 +120,28 @@ def basic_transformer_block(
 ) -> jax.Array:
     """attn1 + ff with norm1/norm3 naming (modules.py:296-375)."""
     sp = p.sub(name)
+
+    from ..ops.fused_block import fused_transformer_block, use_fused_block
+
+    wq = sp.get("attn1.to_q.weight")
+    w1 = sp.get("ff.net.0.proj.weight")
+    if wq is not None and w1 is not None and dropout == 0.0 and use_fused_block(
+            x.shape[1], x.shape[2], wq.shape[0], w1.shape[0], act_fn, ctx,
+            None if attn_bias is None else attn_bias.ndim):
+        # whole block in one Pallas kernel, intermediates VMEM-resident
+        # (ops/fused_block.py); math identical to the XLA path below
+        return fused_transformer_block(
+            x, attn_bias,
+            sp["norm1.weight"], sp["norm1.bias"],
+            wq, sp["attn1.to_k.weight"], sp["attn1.to_v.weight"],
+            sp["attn1.to_out.0.weight"], sp["attn1.to_out.0.bias"],
+            sp["norm3.weight"], sp["norm3.bias"],
+            w1, sp["ff.net.0.proj.bias"],
+            sp["ff.net.2.weight"], sp["ff.net.2.bias"],
+            heads=heads, scale=(wq.shape[0] // heads) ** -0.5,
+            gelu_approximate=gelu_approximate or act_fn == "gelu-approximate",
+        )
+
     h = layer_norm(sp, "norm1", x)
     x = x + diffusers_attention(sp, "attn1", h, attn_bias, heads, ctx)
     h = layer_norm(sp, "norm3", x)
