@@ -210,8 +210,11 @@ def flash_attention(
         return _one_tile_attention(q, k, v, bias, scale, k_valid, interpret)
     if S <= MAX_QBLOCK_S:
         Sp = _cdiv(S, 128) * 128
+        # clamp to padded T so skinny-T calls don't pad up to a full block
+        qb = min(_qblock_for(Sp, bias is not None),
+                 max(128, _cdiv(q.shape[2], 128) * 128))
         return _one_tile_attention(q, k, v, bias, scale, k_valid, interpret,
-                                   block_q=_qblock_for(Sp, bias is not None))
+                                   block_q=qb)
     Tp = _cdiv(T, block_q) * block_q
     Sp = _cdiv(S, block_k) * block_k
 
