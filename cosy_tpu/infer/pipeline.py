@@ -478,9 +478,17 @@ class TTSPipeline:
         stream_state: Optional[StreamState] = None,
         finalize: bool = True,
         speed: float = 1.0,
+        sync: bool = True,
     ) -> Tuple[np.ndarray, Optional[StreamState]]:
         """Flow + boundary trim + (stream fades/caches) + HiFT
-        (reference: model.py:171-219)."""
+        (reference: model.py:171-219).
+
+        ``sync=False`` (honored on the fused non-streaming path) returns the
+        un-synced device array instead of host numpy, so callers can enqueue
+        several independent token2wav programs before paying the (remote
+        runtime) round-trip once — through the tunnel the per-call sync
+        otherwise doubles steady-state cost (measured 81 -> 35 ms/call).
+        """
         k_flow, k_hift = jax.random.split(rng)
         prompt_token = prompt_token if prompt_token is not None else np.zeros((1, 0), np.int32)
         prompt_feat = prompt_feat if prompt_feat is not None else np.zeros((1, 0, 80), np.float32)
@@ -488,7 +496,7 @@ class TTSPipeline:
         fut = self._token2wav_fused(rng, token, prompt_token, prompt_feat,
                                     spk_embedding, stream_state, finalize, speed)
         if fut is not None:
-            return np.asarray(fut), None
+            return (fut if not sync else np.asarray(fut)), None
         sres = self._token2wav_stream_fused(rng, token, prompt_token,
                                             prompt_feat, spk_embedding,
                                             stream_state, finalize, speed)

@@ -418,8 +418,14 @@ class TTS2Pipeline:
         stream: bool = False,
         finalize: bool = True,
         speed: float = 1.0,
+        sync: bool = True,
     ) -> Tuple[np.ndarray, Optional[Stream2State]]:
-        """model.py:336-370."""
+        """model.py:336-370.
+
+        ``sync=False`` (fused non-streaming path only) returns the un-synced
+        device array so callers can pipeline independent requests — see
+        pipeline.TTSPipeline.token2wav.
+        """
         prompt_token = prompt_token if prompt_token is not None else np.zeros((1, 0), np.int32)
         prompt_feat = prompt_feat if prompt_feat is not None else np.zeros((1, 0, 80), np.float32)
 
@@ -427,7 +433,7 @@ class TTS2Pipeline:
                                     spk_embedding, token_offset, state,
                                     stream, finalize, speed)
         if fut is not None:
-            return np.asarray(fut), None
+            return (fut if not sync else np.asarray(fut)), None
         sres = self._token2wav_stream_fused(rng, token, prompt_token,
                                             prompt_feat, spk_embedding,
                                             token_offset, state, stream,
