@@ -149,10 +149,15 @@ def bench_joint_step(model_cfg: ModelConfig, train_cfg: TrainConfig, dtype=jnp.b
         return jax.tree.map(lambda g: g / accum, gsum)
 
     fn = jax.jit(step)
-    t = timed(fn, loras, llm_params, flow_params, super_batch, jax.random.PRNGKey(3),
+    # key impl = the trainer's default (TrainConfig.prng_impl, "rbg"): the
+    # dropout bit-stream is real step work and the bench must measure what
+    # training runs (threefry is ~40% of this step — PERF.md)
+    step_key = jax.random.key(3, impl=train_cfg.prng_impl)
+    t = timed(fn, loras, llm_params, flow_params, super_batch, step_key,
               warmup=1, iters=3)
     n_samples = B * accum
-    log(f"[joint] bs{B} x accum{accum}, seq {Tm}: {t*1e3:.1f} ms/optimizer-step "
+    log(f"[joint] bs{B} x accum{accum}, seq {Tm} ({train_cfg.prng_impl}): "
+        f"{t*1e3:.1f} ms/optimizer-step "
         f"({t*1e3/accum:.1f} ms/micro-batch, {t*1e3/n_samples:.1f} ms/sample)")
     return t
 

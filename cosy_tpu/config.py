@@ -325,6 +325,13 @@ class TrainConfig:
 
     bf16: bool = True
     seed: int = 1986
+    # PRNG implementation for the training key stream: "rbg" drives dropout
+    # masks from the TPU hardware RNG (measured 1.49x on the b8 joint step —
+    # threefry bit-generation is ~40% of the step at these dropout rates);
+    # "threefry2x32" keeps jax's default splittable stream for cross-backend
+    # bit-reproducibility.  Reference parity is distributional either way
+    # (the torch reference's RNG streams differ from any jax impl).
+    prng_impl: str = "rbg"
 
     llm_lora: LoRAConfig = field(default_factory=lambda: LLM_LORA_DEFAULT)
     flow_lora: LoRAConfig = field(default_factory=lambda: FLOW_LORA_DEFAULT)

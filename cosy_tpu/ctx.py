@@ -13,6 +13,24 @@ import jax
 import jax.numpy as jnp
 
 
+def root_key(seed: int, impl: str = "threefry2x32") -> jax.Array:
+    """Root PRNG key with an explicit implementation.
+
+    The impl travels with the key through every split/fold_in/draw, so
+    choosing it at the root switches the whole training step's RNG (dropout
+    masks, CFM noise, anti-leakage draws).  "rbg" maps to the TPU hardware
+    RNG (XLA RngBitGenerator) — measured 1.49x on the b8 joint train step vs
+    threefry, whose generated bit-stream ops are ~40% of the step at the
+    reference dropout rates.  "threefry2x32" is jax's default splittable
+    stream (cross-backend bit-reproducible).
+
+    Returns a NEW-style typed key (jax.random.key): the impl only travels
+    with typed keys — ``jax.random.PRNGKey(seed, impl=...)`` returns raw
+    uint32 data that downstream ops re-wrap as the default impl.
+    """
+    return jax.random.key(seed, impl=impl)
+
+
 class Ctx:
     __slots__ = ("rng", "train", "lora", "lora_scale", "lora_dropout", "_n")
 

@@ -17,6 +17,7 @@ import numpy as np
 import optax
 
 from ..config import HiFTConfig
+from ..ctx import root_key
 from ..params import Params
 from ..models.gan import hifigan_generator_loss, hifigan_discriminator_loss
 from ..parallel import mesh as pmesh
@@ -106,7 +107,9 @@ class HiFiGanTrainer:
 
     def fit(self, loader: Iterable, epochs: int, rng: Optional[jax.Array] = None,
             log_every: int = 10):
-        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        # "rbg" = TPU hardware RNG for the dropout/noise streams (see
+        # ctx.root_key); pass an explicit threefry key for bit-reproducibility
+        rng = rng if rng is not None else root_key(0, "rbg")
         step = 0
         for epoch in range(epochs):
             t0 = time.time()

@@ -30,6 +30,7 @@ import numpy as np
 import optax
 
 from ..config import ModelConfig, TrainConfig
+from ..ctx import root_key
 from ..params import Params, save_torch_checkpoint
 from ..lora import init_lora, merge_lora
 from ..models.joint import joint_forward_train
@@ -171,7 +172,7 @@ class JointTrainer:
     def evaluate(self, loader, state: TrainState, rng: Optional[jax.Array] = None
                  ) -> Dict[str, float]:
         """Average eval-mode losses over a loader (dropout off, no update)."""
-        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        rng = rng if rng is not None else root_key(0, self.tcfg.prng_impl)
         if self._eval_fn is None:
             cfg, tcfg = self.cfg, self.tcfg
 
@@ -215,7 +216,7 @@ class JointTrainer:
         resume: Optional[str] = None,
         log_every: int = 10,
     ) -> TrainState:
-        rng = rng if rng is not None else jax.random.PRNGKey(self.tcfg.seed)
+        rng = rng if rng is not None else root_key(self.tcfg.seed, self.tcfg.prng_impl)
         if state is None:
             state = self.init_state(jax.random.fold_in(rng, 0))
         if resume:

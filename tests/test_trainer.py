@@ -113,6 +113,39 @@ def test_trainer_flow_only_mode(tmp_path):
     assert all("llm_loss" not in m for m in trainer._metrics_log)
 
 
+def test_prng_impl_rbg_and_threefry(tmp_path):
+    """TrainConfig.prng_impl selects the key implementation for the whole
+    training stream (ctx.root_key).  "rbg" (TPU hardware RNG, the default —
+    threefry dropout-bit generation measured at ~40% of the 300M joint step)
+    and "threefry2x32" must both drive a dropout-enabled joint step to a
+    finite decreasing loss; the two streams differ (distribution parity, not
+    bit parity — same contract as vs the torch reference)."""
+    from cosy_tpu.ctx import root_key
+
+    losses = {}
+    for impl in ("rbg", "threefry2x32"):
+        tcfg = replace(
+            TRAIN_CFG, prng_impl=impl,
+            llm_lora=replace(TRAIN_CFG.llm_lora, dropout=0.1),
+            flow_lora=replace(TRAIN_CFG.flow_lora, dropout=0.1),
+        )
+        mesh = pmesh.make_mesh()
+        llm_params = L.init_llm_params(jax.random.PRNGKey(1), MODEL_CFG.llm)
+        flow_params = F.init_flow_params(jax.random.PRNGKey(2), MODEL_CFG.flow)
+        trainer = JointTrainer(MODEL_CFG, tcfg, llm_params, flow_params,
+                               out_dir=str(tmp_path / impl), mesh=mesh,
+                               total_steps=20)
+        state = trainer.init_state(root_key(3, impl))
+        batch = synthetic_loader(n_batches=1)[0]
+        m1 = trainer.step(state, batch, jax.random.fold_in(root_key(4, impl), 1))
+        assert np.isfinite(float(m1["loss"])), (impl, m1)
+        assert float(m1["grad_norm"]) > 0.0, (impl, m1)
+        losses[impl] = float(m1["loss"])
+    # same model/data, different streams: losses agree to the dropout-noise
+    # scale but are not required (or expected) to be bitwise equal
+    assert abs(losses["rbg"] - losses["threefry2x32"]) / losses["rbg"] < 0.2, losses
+
+
 @pytest.mark.slow
 def test_dp_sharding_matches_single_device(tmp_path):
     """The dp=8 mesh step (gradient psum over the mesh) must produce the same

@@ -78,7 +78,8 @@ def main():
           f"early-stop patience {tcfg.early_stop_patience}")
     print(f"devices: {jax.devices()}")
 
-    rng = jax.random.PRNGKey(tcfg.seed)
+    from cosy_tpu.ctx import root_key
+    rng = root_key(tcfg.seed, tcfg.prng_impl)
     pretrained = load_or_init(args.pretrained, model_cfg, rng)
 
     dataset = FlowFinetuneDataset(args.data_dir, augmentation=not args.no_augmentation,
