@@ -1,0 +1,372 @@
+"""Continuous-batching TTS serving engine (token-level slot scheduling).
+
+The reference's serving story is its vLLM plugin
+(cosyvoice/vllm/cosyvoice2.py) — and vLLM's headline mechanism is
+continuous batching: requests join and leave the running decode batch at
+token granularity instead of waiting for a whole cohort to drain.  This is
+the TPU-native equivalent, built on static shapes:
+
+- ONE persistent segmented decode program with ``slots`` fixed batch rows
+  (``llm_decode_batch`` + per-slot ``births``), compiled once;
+- a newcomer is prefilled and spliced into a free slot at the next segment
+  boundary (``llm_admit_slot``) — its time-to-first-audio is one segment
+  (~``seg_tokens`` tokens of device time), not the running cohort's longest
+  utterance;
+- each slot's token stream is bit-identical to a solo ``llm_decode`` with
+  the request's own key (the admission carries the request's rng stream);
+- finished slots free immediately and are reused by the next admission, so
+  under sustained load the batch stays full and aggregate tok/s sits at the
+  measured B=slots amortization point (PERF.md: 2.5x at B=8) while
+  per-request latency stays one-segment-bounded.
+
+Capacity model: the shared KV ring has ``max_len`` decode columns.  A
+request admitted at shared step ``i`` needs ``i - 1 + its token cap`` to fit
+in ``max_len``; if it doesn't, admission defers until the cohort drains
+(worst case ``max_len - i`` further tokens) — when the engine goes idle it
+re-parks (resets the shared step to 1), restoring full runway.  No request
+is ever truncated by another's position.
+
+Usage::
+
+    eng = ContinuousBatchEngine(pipeline, slots=4)
+    q = eng.submit(jax.random.key(0), text_tokens)   # returns a queue
+    while (chunk := q.get()) is not None:            # (1, n) wav chunks
+        play(chunk)
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import List, Optional
+
+import jax
+import numpy as np
+
+from .pipeline import StreamState
+
+
+def _canon_key(rng):
+    """Canonicalize to a typed key so state.rngs has one dtype regardless of
+    whether callers pass raw uint32 PRNGKeys or typed keys (the bit streams
+    are identical — wrapping does not change the threefry stream)."""
+    import jax.numpy as jnp
+
+    rng = jnp.asarray(rng)
+    if rng.dtype == jnp.uint32:
+        return jax.random.wrap_key_data(rng)
+    return rng
+
+
+class EngineRequest:
+    """One in-flight synthesis request."""
+
+    def __init__(self, rng, text_tokens, spk_embedding, max_len_cap):
+        self.k_llm, self.k_wav = jax.random.split(_canon_key(rng))
+        self.text_tokens = text_tokens
+        self.spk_embedding = spk_embedding
+        self.max_len_cap = max_len_cap
+        self.q: queue.Queue = queue.Queue()
+        self.err: Optional[BaseException] = None
+        # filled at admission
+        self.prefix = None  # (1, L, D) device array
+        self.valid = 0
+        self.min_len = 0
+        self.cap = 0
+        self.pos = 0  # tokens consumed by emitted windows
+        self.ki = 0  # wav-chunk counter (rng folding)
+        self.stream_state: Optional[StreamState] = None
+        self.tokens: Optional[np.ndarray] = None  # final stream (debugging/tests)
+
+    def chunks(self):
+        """Iterate this request's wav chunks; raises the request's error."""
+        while (got := self.q.get()) is not None:
+            yield got
+        if self.err is not None:
+            raise self.err
+
+
+class ContinuousBatchEngine:
+    """Token-level continuous batching over one persistent decode state."""
+
+    def __init__(self, pipeline, slots: int = 4, prefix_len: int = 128,
+                 max_len: int = 512, seg_tokens: Optional[int] = None,
+                 device_lock: Optional[threading.Lock] = None):
+        self.pl = pipeline
+        # family: TTSPipeline (300M, .cfg) vs TTS2Pipeline (CosyVoice2,
+        # .lcfg/.fcfg) — same engine, different prefix builder / emission
+        self.is_cv2 = not hasattr(pipeline, "cfg")
+        self.B = slots
+        self.L0 = prefix_len
+        self.max_len = max_len
+        # segment = admission granularity; default one audio hop so emission
+        # cadence and admission cadence coincide (pipeline constants)
+        if self.is_cv2:
+            self.hop = pipeline.token_hop_len
+            self.seg = seg_tokens or 2 * self.hop
+        else:
+            self.hop = pipeline.token_min_hop_len
+            self.seg = seg_tokens or self.hop
+        self.lock = device_lock or threading.Lock()
+
+        self._slots: List[Optional[EngineRequest]] = [None] * slots
+        self._births = np.zeros(slots, np.int32)
+        self._valid = np.ones(slots, np.int32)
+        self._min_lens = np.zeros(slots, np.int32)
+        self._caps = np.ones(slots, np.int32)
+        self._state = None
+        self._i = 1  # host copy of the shared step
+        self._pending: List[EngineRequest] = []
+        self._cv = threading.Condition()
+        self._thread: Optional[threading.Thread] = None
+        self._stopping = False
+        self._dummy_rng = jax.random.key(0)
+        D = (pipeline.lcfg.llm_input_size if self.is_cv2
+             else pipeline.cfg.llm.llm_input_size)
+        self._spk_dim = (pipeline.fcfg.spk_embed_dim if self.is_cv2
+                         else pipeline.cfg.llm.spk_embed_dim)
+        import jax.numpy as jnp
+
+        # dtype must match _build_prefix's output (the params dtype): the
+        # persistent state is created from this array's dtype
+        wdt = pipeline.llm_params["llm_embedding.weight"].dtype
+        self._zero_prefix = jnp.zeros((slots, prefix_len, D), wdt)
+        self.segments_run = 0  # observability
+
+    # -- public API -------------------------------------------------------
+
+    def submit(self, rng, text_tokens, spk_embedding=None) -> EngineRequest:
+        """Queue a request; returns the :class:`EngineRequest` — consume wav
+        chunks via ``req.chunks()`` (or ``req.q`` directly: (1, n) arrays
+        terminated by None, with ``req.err`` set on failure)."""
+        req = EngineRequest(rng, np.asarray(text_tokens), spk_embedding,
+                            max_len_cap=self.max_len)
+        with self._cv:
+            self._pending.append(req)
+            if self._thread is None or not self._thread.is_alive():
+                self._stopping = False
+                self._thread = threading.Thread(target=self._loop, daemon=True)
+                self._thread.start()
+            self._cv.notify()
+        return req
+
+    def stop(self):
+        with self._cv:
+            self._stopping = True
+            self._cv.notify()
+        if self._thread is not None:
+            self._thread.join(timeout=30)
+
+    # -- internals ----------------------------------------------------------
+
+    def _active(self) -> bool:
+        return any(r is not None for r in self._slots)
+
+    def _park(self):
+        """(Re)initialize the decode state with all slots empty: one prefill
+        with caps=1 marks every slot done instantly and resets the shared
+        step to 1, restoring full KV runway."""
+        import jax.numpy as jnp
+
+        ones = jnp.ones(self.B, jnp.int32)
+        _, st = self.pl._decode_batch_seg_jit(
+            self.pl.llm_params, self._dummy_rng, self._zero_prefix,
+            ones, jnp.zeros(self.B, jnp.int32), ones,
+            jnp.asarray(1), None, max_len=self.max_len,
+            births=jnp.zeros(self.B, jnp.int32))
+        self._state = st
+        self._i = 1
+        self._births[:] = 0
+        self._valid[:] = 1
+        self._min_lens[:] = 0
+        self._caps[:] = 1
+
+    def _build(self, req: EngineRequest) -> bool:
+        """Build + left-pad the request's prefix to the engine bucket.
+        Returns False (and fails the request) if it cannot ever fit."""
+        import jax.numpy as jnp
+
+        if self.is_cv2:
+            prefix, min_len, max_len = self.pl._build_prefix(
+                req.text_tokens, None, None, req.max_len_cap)
+        else:
+            prefix, min_len, max_len = self.pl._build_prefix(
+                req.text_tokens, None, None, req.spk_embedding,
+                req.max_len_cap)
+        if prefix.shape[1] > self.L0:
+            req.err = ValueError(
+                f"prefix length {prefix.shape[1]} exceeds engine bucket "
+                f"{self.L0}")
+            req.q.put(None)
+            return False
+        req.valid = int(prefix.shape[1])
+        req.prefix = jnp.pad(prefix, ((0, 0), (self.L0 - req.valid, 0), (0, 0)))
+        req.min_len = min_len
+        req.cap = min(max_len, self.max_len)
+        if self.is_cv2:
+            from .pipeline2 import Stream2State
+
+            req.stream_state = Stream2State()
+        else:
+            req.stream_state = StreamState(
+                mel_overlap=np.zeros((1, 80, 0), np.float32))
+        return True
+
+    def _try_admit(self):
+        """Admit pending requests into free slots while runway allows."""
+        import jax.numpy as jnp
+
+        while self._pending:
+            req = self._pending[0]
+            if req.prefix is None and not self._build(req):
+                self._pending.pop(0)
+                continue
+            try:
+                b = self._slots.index(None)
+            except ValueError:
+                return  # no free slot
+            runway = self.max_len - (self._i - 1)
+            if runway < req.cap:
+                if not self._active():
+                    self._park()  # idle: reset the shared step for full runway
+                else:
+                    return  # defer until the cohort drains
+            if self._state is None:
+                self._park()
+            self._pending.pop(0)
+            with self.lock:
+                if self.is_cv2:
+                    self._state = self.pl._admit_jit(
+                        self.pl.llm_params, self._state, req.prefix,
+                        jnp.asarray(req.valid), req.k_llm, jnp.asarray(b),
+                        jnp.asarray(req.cap), jnp.asarray(req.min_len))
+                else:
+                    self._state = self.pl._admit_jit(
+                        self.pl.llm_params, self._state, req.prefix,
+                        jnp.asarray(req.valid), req.k_llm, jnp.asarray(b),
+                        jnp.asarray(req.cap))
+            self._slots[b] = req
+            self._births[b] = self._i - 1
+            self._valid[b] = req.valid
+            self._min_lens[b] = req.min_len
+            self._caps[b] = req.cap
+
+    def _segment(self):
+        """Run one decode segment and emit every slot's ready audio."""
+        import jax.numpy as jnp
+
+        pl = self.pl
+        hop = self.hop
+        ov = 0 if self.is_cv2 else pl.token_overlap_len
+        target = min(self._i + self.seg, self.max_len)
+        with self.lock:
+            res, self._state = pl._decode_batch_seg_jit(
+                pl.llm_params, self._dummy_rng, self._zero_prefix,
+                jnp.asarray(self._valid), jnp.asarray(self._min_lens),
+                jnp.asarray(self._caps), jnp.asarray(target), self._state,
+                max_len=self.max_len, births=jnp.asarray(self._births))
+        lengths = np.asarray(res.lengths)
+        done_dev = np.asarray(self._state.done)
+        all_tokens = np.asarray(res.tokens)
+        self._i = int(self._state.i)
+        self.segments_run += 1
+        # attempts exhausted: CV2 fill-token skips can leave emitted counts
+        # below cap when the shared counter hits max_len — finalize with
+        # what each slot has (same escape as synthesize_stream_batch)
+        exhausted = self._i >= self.max_len
+        for b, req in enumerate(self._slots):
+            if req is None:
+                continue
+            n = int(lengths[b])
+            sdone = bool(done_dev[b]) or exhausted
+            try:
+                self._emit(b, req, all_tokens[b], n, sdone, hop, ov)
+                if sdone:
+                    req.tokens = all_tokens[b][:n].copy()
+                    req.q.put(None)
+                    self._free(b)
+            except Exception as e:  # noqa: BLE001 — isolate per request
+                req.err = e
+                req.q.put(None)
+                self._free(b)
+
+    def _emit(self, b, req, toks, n, sdone, hop, ov):
+        """Emit slot ``b``'s ready audio windows (family-specific geometry:
+        v1 slides hop+overlap windows, CV2 grows a cumulative window with
+        pre-lookahead and a token offset)."""
+        pl = self.pl
+        spk = (np.zeros((1, self._spk_dim), np.float32)
+               if req.spk_embedding is None else np.asarray(req.spk_embedding))
+        if self.is_cv2:
+            la = pl.fcfg.pre_lookahead_len
+            while n >= req.pos + hop + la:
+                window = toks[None, : req.pos + hop + la]
+                with self.lock:
+                    wav, req.stream_state = pl.token2wav(
+                        jax.random.fold_in(req.k_wav, req.ki), window,
+                        None, None, spk, req.pos, req.stream_state,
+                        stream=True, finalize=False)
+                req.q.put(wav)
+                req.pos += hop
+                req.ki += 1
+            if sdone:
+                window = toks[None, :n]
+                with self.lock:
+                    wav, _ = pl.token2wav(
+                        jax.random.fold_in(req.k_wav, req.ki), window,
+                        None, None, spk, req.pos, req.stream_state,
+                        finalize=True)
+                req.q.put(wav)
+            return
+        while n - req.pos >= hop + ov:
+            window = toks[None, req.pos: req.pos + hop + ov]
+            with self.lock:
+                wav, req.stream_state = pl.token2wav(
+                    jax.random.fold_in(req.k_wav, req.ki), window,
+                    None, None, spk, stream_state=req.stream_state,
+                    finalize=False)
+            req.q.put(wav)
+            req.pos += hop
+            req.ki += 1
+        if sdone:
+            window = toks[None, req.pos: n]
+            with self.lock:
+                wav, _ = pl.token2wav(
+                    jax.random.fold_in(req.k_wav, req.ki), window,
+                    None, None, spk, stream_state=req.stream_state,
+                    finalize=True)
+            req.q.put(wav)
+
+    def _free(self, b: int):
+        self._slots[b] = None
+        self._caps[b] = 1
+        self._min_lens[b] = 0
+        # done[b] stays True on device; births/valid are don't-cares
+
+    def _fail_all(self, e: BaseException):
+        for b, req in enumerate(self._slots):
+            if req is not None:
+                req.err = e
+                req.q.put(None)
+                self._free(b)
+        for req in self._pending:
+            req.err = e
+            req.q.put(None)
+        self._pending.clear()
+        self._state = None  # force a fresh park on recovery
+
+    def _loop(self):
+        while True:
+            with self._cv:
+                while (not self._pending and not self._active()
+                       and not self._stopping):
+                    self._cv.wait()
+                if self._stopping and not self._active() and not self._pending:
+                    return
+                pending_or_active = True  # noqa: F841
+            try:
+                self._try_admit()
+                if self._active():
+                    self._segment()
+            except Exception as e:  # noqa: BLE001 — the engine must survive
+                self._fail_all(e)

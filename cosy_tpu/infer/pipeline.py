@@ -227,16 +227,28 @@ class TTSPipeline:
         # segment-wise batched decode for streaming cohorts (lock-step
         # stop_at + resumable state; bit-identical to the uninterrupted run)
         def _decode_batch_seg_fn(params, rng, prefix, valid, min_lens,
-                                 max_lens, stop_at, state, *, max_len):
+                                 max_lens, stop_at, state, *, max_len,
+                                 births=None):
             return L.llm_decode_batch(
                 P(params), self.cfg.llm, rng, prefix, valid, min_lens, max_len,
                 top_p=self.icfg.sampling_top_p, top_k=self.icfg.sampling_top_k,
                 win_size=self.icfg.ras_win_size, tau_r=self.icfg.ras_tau_r,
                 int8_weights=self.icfg.int8_decode, max_lens=max_lens,
-                stop_at=stop_at, state=state, return_state=True)
+                stop_at=stop_at, state=state, return_state=True, births=births)
 
         self._decode_batch_seg_jit = jax.jit(_decode_batch_seg_fn,
                                              static_argnames=("max_len",))
+
+        # continuous-batching slot admission (infer/engine.py): prefill one
+        # newcomer and splice it into a paused BatchDecodeState
+        def _admit_fn(params, state, prefix, valid, rng_req, slot, cap):
+            return L.llm_admit_slot(
+                P(params), self.cfg.llm, state, prefix, valid, rng_req, slot,
+                cap, top_p=self.icfg.sampling_top_p,
+                top_k=self.icfg.sampling_top_k,
+                win_size=self.icfg.ras_win_size, tau_r=self.icfg.ras_tau_r)
+
+        self._admit_jit = jax.jit(_admit_fn)
 
     # ------------------------------------------------------------------
     # stage 1: AR speech-token generation

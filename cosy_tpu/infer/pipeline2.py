@@ -160,16 +160,30 @@ class TTS2Pipeline:
 
         # segment-wise batched decode for streaming cohorts
         def _decode_batch_seg_fn(params, rng, prefix, valid, min_lens,
-                                 max_lens, stop_at, state, *, max_len):
+                                 max_lens, stop_at, state, *, max_len,
+                                 births=None):
             return qwen2lm_decode_batch(
                 P(params), self.lcfg, rng, prefix, valid, min_lens, max_len,
                 top_p=self.icfg.sampling_top_p, top_k=self.icfg.sampling_top_k,
                 win_size=self.icfg.ras_win_size, tau_r=self.icfg.ras_tau_r,
                 max_lens=max_lens, stop_at=stop_at, state=state,
-                return_state=True)
+                return_state=True, births=births)
 
         self._decode_batch_seg_jit = jax.jit(_decode_batch_seg_fn,
                                              static_argnames=("max_len",))
+
+        # continuous-batching slot admission (infer/engine.py)
+        def _admit_fn(params, state, prefix, valid, rng_req, slot, cap,
+                      min_len_req):
+            from ..models.qwen2lm import qwen2lm_admit_slot
+
+            return qwen2lm_admit_slot(
+                P(params), self.lcfg, state, prefix, valid, rng_req, slot,
+                cap, min_len_req, top_p=self.icfg.sampling_top_p,
+                top_k=self.icfg.sampling_top_k,
+                win_size=self.icfg.ras_win_size, tau_r=self.icfg.ras_tau_r)
+
+        self._admit_jit = jax.jit(_admit_fn)
 
     # ------------------------------------------------------------------
 

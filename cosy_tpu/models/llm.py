@@ -506,6 +506,7 @@ def llm_decode_batch(
     stop_at: Optional[jax.Array] = None,  # scalar — pause the cohort here
     state: Optional[BatchDecodeState] = None,
     return_state: bool = False,
+    births: Optional[jax.Array] = None,  # (B,) shared step of slot's token 0
 ):
     """Batched AR decode for serving throughput.
 
@@ -522,6 +523,15 @@ def llm_decode_batch(
     for a resumable :class:`BatchDecodeState`; resume by passing it back as
     ``state`` (prefill is skipped).  Token streams are bit-identical to an
     uninterrupted run.
+
+    Continuous batching (:mod:`cosy_tpu.infer.engine`): ``births[b]`` is the
+    shared loop step at which slot ``b``'s first generated token lives — a
+    request ADMITTED into a paused state (see :func:`llm_admit_slot`) at
+    shared step ``i`` has ``births[b] = i - 1``, and all of its per-token
+    bookkeeping (RAS window, min/max-length, EOS masking, token columns)
+    runs on its LOCAL step ``i - births[b]``, so its token stream is
+    bit-identical to a solo ``llm_decode`` with its own key.  Slots admitted
+    at birth 0 (the plain cohort case, ``births=None``) are unchanged.
     """
     ecfg = cfg.llm
     D, H, dk, nl = (ecfg.output_size, ecfg.attention_heads, ecfg.head_dim,
@@ -531,7 +541,12 @@ def llm_decode_batch(
     dt = prefix_emb.dtype
     eos = cfg.speech_token_size
     sp_llm = p.sub("llm")
-    start = (L0 - prefix_valid.astype(jnp.int32))  # (B,) first valid key slot
+    births_ = (jnp.zeros((B,), jnp.int32) if births is None
+               else jnp.asarray(births, jnp.int32))
+    # slot b's prefix keys occupy [start_b, L0 + births_b): a late joiner is
+    # just "more left padding" in its own cache rows, so the rel-pos /
+    # masking math is identical to a birth-0 slot
+    start = (L0 + births_ - prefix_valid.astype(jnp.int32))  # (B,) first valid key slot
 
     def embed_tokens(x):
         sp = sp_llm.sub("embed")
@@ -570,7 +585,7 @@ def llm_decode_batch(
         return ras_sample(rng_i, logp, tokens_b, ntok, top_p, top_k,
                           win_size, tau_r)
 
-    sample_vec = jax.vmap(sample_one, in_axes=(0, 0, None, 0, None, 0))
+    sample_vec = jax.vmap(sample_one, in_axes=(0, 0, 0, 0, 0, 0))
 
     def run_layers(x, kvbuf, L, attn_bias, pos_win):
         """x: (B, 1, D). kvbuf: (nl, 2, B, H, S, dk). attn_bias: (B, 1, 1, S)."""
@@ -636,8 +651,9 @@ def llm_decode_batch(
         rngs = jax.vmap(lambda b: jax.random.fold_in(rng, b))(jnp.arange(B))
         ks = split2(rngs)
         k_s, rngs = ks[:, 0], ks[:, 1]
-        first = sample_vec(k_s, logits0, jnp.asarray(0), tokens,
-                           jnp.asarray(0), min_len).astype(jnp.int32)
+        zeros_b = jnp.zeros((B,), jnp.int32)
+        first = sample_vec(k_s, logits0, zeros_b, tokens,
+                           zeros_b, min_len).astype(jnp.int32)
         # EOS is masked at step 0 (as in llm_decode), so the first token is
         # always a real speech token
         tokens = tokens.at[:, 0].set(first)
@@ -665,15 +681,20 @@ def llm_decode_batch(
         logits = dense(p, "llm_decoder", h[:, -1])  # (B, V)
         ks = split2(rngs)
         k_i, rngs = ks[:, 0], ks[:, 1]
-        tok = sample_vec(k_i, logits, i, tokens, i, min_len).astype(jnp.int32)
+        li = i - births_  # (B,) per-slot LOCAL step (== i when births=0)
+        tok = sample_vec(k_i, logits, li, tokens, li, min_len).astype(jnp.int32)
         is_eos = tok == eos
         freeze = done | is_eos
-        col = jnp.where(freeze, tokens[:, i], tok)
-        tokens = tokens.at[:, i].set(col)
+        # slot b's token for local step li_b lives at column li_b (token
+        # columns are LOCAL, so lengths/RAS windows match a solo run); a
+        # frozen slot's column is simply not written
+        write = (~freeze)[:, None] & (
+            jnp.arange(max_len)[None, :] == li[:, None])
+        tokens = jnp.where(write, tok[:, None], tokens)
         last = jnp.where(freeze, last, tok)
         # per-sample cap: sample b stops after caps[b] tokens even while
         # longer batchmates continue
-        done = done | is_eos | (i + 1 >= caps)
+        done = done | is_eos | (li + 1 >= caps)
         return BatchDecodeState(i + 1, tokens, last, kvb, rngs, done)
 
     out = jax.lax.while_loop(cond, body, state)
@@ -682,3 +703,89 @@ def llm_decode_batch(
     if return_state:
         return result, out
     return result
+
+
+def llm_admit_slot(
+    p: P,
+    cfg: LLMConfig,
+    state: BatchDecodeState,
+    prefix_emb: jax.Array,  # (1, L0, D) LEFT-padded to the cohort's L0
+    prefix_valid: jax.Array,  # scalar valid prefix length
+    rng_req: jax.Array,  # the request's OWN decode key
+    slot: jax.Array,  # scalar slot index to (re)occupy
+    cap: jax.Array,  # scalar per-request token cap
+    top_p: float = 0.8,
+    top_k: int = 25,
+    win_size: int = 10,
+    tau_r: float = 0.1,
+):
+    """Admit one request into a paused :class:`BatchDecodeState` — the
+    continuous-batching join step (vLLM-style serving, TPU static shapes).
+
+    Prefills the newcomer's prefix (B=1), samples its first token with ITS
+    OWN rng stream (``split(rng_req)`` — the same stream a solo
+    :func:`llm_decode` with ``rng_req`` uses, so the continued batch decode
+    is bit-identical to that solo run), and splices kv/tokens/rng/done into
+    slot ``slot``.  The newcomer's prefix keys are placed ending at cache
+    column ``L0 + birth`` with ``birth = state.i - 1``, which is exactly the
+    "more left padding" layout :func:`llm_decode_batch` masks correctly when
+    the caller passes ``births[slot] = birth`` on subsequent segment calls.
+
+    Placement always fits: ``birth <= max_len - 1`` so
+    ``birth + L0 <= S - 1 < S`` (no dynamic_update_slice clamping).
+    """
+    ecfg = cfg.llm
+    D, H, nl = ecfg.output_size, ecfg.attention_heads, ecfg.num_blocks
+    dk = ecfg.head_dim
+    L0 = prefix_emb.shape[1]
+    max_len = state.tokens.shape[1]
+    dt = prefix_emb.dtype
+    eos = cfg.speech_token_size
+    sp_llm = p.sub("llm")
+    birth = state.i - 1
+
+    def embed_tokens(x):
+        sp = sp_llm.sub("embed")
+        x = dense(sp, "out.0", x)
+        x = layer_norm(sp, "out.1", x, eps=1e-5)
+        x = jax.nn.relu(x)
+        return x * jnp.asarray(D, dt) ** 0.5
+
+    # ---- B=1 prefill (same masked left-padded math as the cohort prefill) --
+    x0 = embed_tokens(prefix_emb)
+    pe0 = rel_pos_table(L0, D).astype(dt)
+    start1 = L0 - prefix_valid.astype(jnp.int32)
+    kq = jnp.arange(L0)
+    vis = (kq[None, None, :] <= kq[None, :, None]) & (kq[None, None, :] >= start1)
+    bias0 = jnp.where(vis, 0.0, M.NEG_BIAS).astype(dt)
+    newkv = jnp.zeros((nl, 2, 1, H, L0, dk), dt)
+    h = x0
+    for i in range(nl):
+        h, (ki, vi) = transformer_layer(
+            sp_llm, f"encoders.{i}", ecfg, h, bias0, pe0, EVAL, return_kv=True)
+        newkv = newkv.at[i, 0].set(ki.astype(dt))
+        newkv = newkv.at[i, 1].set(vi.astype(dt))
+    h = layer_norm(sp_llm, "after_norm", h, eps=1e-5)
+    logits0 = dense(p, "llm_decoder", h[:, -1])[0]  # (V,)
+
+    # ---- first token: the solo llm_decode prefill sampling, per-request key
+    k_s, k_rest = jax.random.split(rng_req)
+    row = jnp.full((max_len,), -1, jnp.int32)
+    logp = jax.nn.log_softmax(logits0.astype(jnp.float32))
+    logp = logp.at[eos].set(-jnp.inf)  # EOS masked at step 0
+    first = ras_sample(k_s, logp, row, jnp.asarray(0), top_p, top_k,
+                       win_size, tau_r).astype(jnp.int32)
+    row = row.at[0].set(first)
+
+    # ---- splice into the cohort state (state.i untouched) ----
+    slot = jnp.asarray(slot, jnp.int32)
+    birth32 = jnp.asarray(birth, jnp.int32)
+    z = jnp.int32(0)
+    kv_buf = jax.lax.dynamic_update_slice(
+        state.kv_buf, newkv.astype(state.kv_buf.dtype),
+        (z, z, slot, z, birth32, z))
+    tokens = jax.lax.dynamic_update_slice(state.tokens, row[None], (slot, z))
+    last = state.last.at[slot].set(jnp.maximum(first, 0))
+    rngs = state.rngs.at[slot].set(k_rest)
+    done = state.done.at[slot].set(jnp.asarray(cap) <= 1)
+    return BatchDecodeState(state.i, tokens, last, kv_buf, rngs, done)

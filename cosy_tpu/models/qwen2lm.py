@@ -603,6 +603,7 @@ def qwen2lm_decode_batch(
     stop_at: Optional[jax.Array] = None,  # scalar — pause the cohort here
     state: Optional["BatchDecodeState"] = None,
     return_state: bool = False,
+    births: Optional[jax.Array] = None,  # (B,) shared step of slot's attempt 0
 ):
     """Batched CosyVoice2 decode (see models.llm.llm_decode_batch for the
     left-padding/rng contract).  GQA caches; fill tokens (> eos) are skipped
@@ -612,7 +613,13 @@ def qwen2lm_decode_batch(
     Segment-wise streaming cohorts: ``stop_at`` bounds decode *attempts*
     (the shared counter), ``return_state=True`` yields a resumable
     :class:`BatchDecodeState`; token streams are bit-identical to an
-    uninterrupted run."""
+    uninterrupted run.
+
+    Continuous batching: ``births[b]`` is the shared attempt step of slot
+    b's first token (see llm.llm_decode_batch / qwen2lm_admit_slot); the
+    slot's min-length masking runs on its LOCAL attempt count
+    ``i - births[b]``.  Token columns are already per-slot (the fill-skip
+    ``n`` counter), so only the step bookkeeping changes."""
     q = cfg.qwen
     B, L0 = prefix_emb.shape[0], prefix_emb.shape[1]
     S = L0 + max_len
@@ -620,7 +627,9 @@ def qwen2lm_decode_batch(
     eos = cfg.speech_token_size
     nl = q.num_hidden_layers
     qp = p.sub("llm.model.model")
-    start = (L0 - prefix_valid.astype(jnp.int32))  # (B,)
+    births_ = (jnp.zeros((B,), jnp.int32) if births is None
+               else jnp.asarray(births, jnp.int32))
+    start = (L0 + births_ - prefix_valid.astype(jnp.int32))  # (B,)
 
     def sample_one(rng_i, logits, step_i, tokens_b, ntok, min_b):
         logp = jax.nn.log_softmax(logits.astype(jnp.float32))
@@ -629,7 +638,7 @@ def qwen2lm_decode_batch(
         return ras_sample(rng_i, logp, tokens_b, ntok, top_p, top_k,
                           win_size, tau_r)
 
-    sample_vec = jax.vmap(sample_one, in_axes=(0, 0, None, 0, 0, 0))
+    sample_vec = jax.vmap(sample_one, in_axes=(0, 0, 0, 0, 0, 0))
     split2 = jax.vmap(jax.random.split)
     caps = (jnp.full((B,), max_len, jnp.int32) if max_lens is None
             else jnp.minimum(jnp.asarray(max_lens, jnp.int32), max_len))
@@ -657,8 +666,9 @@ def qwen2lm_decode_batch(
         rngs = jax.vmap(lambda b: jax.random.fold_in(rng, b))(jnp.arange(B))
         ks = split2(rngs)
         k_s, rngs = ks[:, 0], ks[:, 1]
-        first = sample_vec(k_s, logits0, jnp.asarray(0), tokens,
-                           jnp.zeros((B,), jnp.int32), min_len).astype(jnp.int32)
+        zeros_b = jnp.zeros((B,), jnp.int32)
+        first = sample_vec(k_s, logits0, zeros_b, tokens,
+                           zeros_b, min_len).astype(jnp.int32)
         is_special0 = first >= eos
         tokens = tokens.at[:, 0].set(jnp.where(is_special0, -1, first))
         n0 = jnp.where(is_special0, 0, 1)
@@ -695,7 +705,8 @@ def qwen2lm_decode_batch(
         logits = dense(p, "llm_decoder", h[:, -1])  # (B, V)
         ks = split2(rngs)
         k_i, rngs = ks[:, 0], ks[:, 1]
-        tok = sample_vec(k_i, logits, i, tokens, n, min_len).astype(jnp.int32)
+        li = i - births_  # (B,) per-slot LOCAL attempt step
+        tok = sample_vec(k_i, logits, li, tokens, n, min_len).astype(jnp.int32)
         is_eos = tok == eos
         is_skip = tok > eos
         write = ~(done | is_eos | is_skip)
@@ -711,3 +722,80 @@ def qwen2lm_decode_batch(
     if return_state:
         return result, out
     return result
+
+
+def qwen2lm_admit_slot(
+    p: P,
+    cfg: Qwen2LMConfig,
+    state: BatchDecodeState,
+    prefix_emb: jax.Array,  # (1, L0, D) LEFT-padded to the cohort's L0
+    prefix_valid: jax.Array,  # scalar
+    rng_req: jax.Array,  # the request's OWN decode key
+    slot: jax.Array,  # scalar slot index
+    cap: jax.Array,  # scalar per-request emitted-token cap
+    min_len_req: jax.Array,  # scalar (CV2 masks EOS at step 0 iff min>0)
+    top_p: float = 0.8,
+    top_k: int = 25,
+    win_size: int = 10,
+    tau_r: float = 0.1,
+):
+    """Admit one request into a paused CosyVoice2 cohort (continuous
+    batching — see llm.llm_admit_slot for the design).  The CV2-specific
+    wrinkle is RoPE: cached keys are rotated with their ABSOLUTE position at
+    write time, so the newcomer's prefill rotates at ``arange(L0) + birth``
+    — placing its keys in the cohort's shared coordinate system, where the
+    score's rotation difference (query at L0+i-1) reproduces the solo run's
+    relative distances exactly."""
+    q = cfg.qwen
+    D = cfg.llm_input_size
+    L0 = prefix_emb.shape[1]
+    max_len = state.tokens.shape[1]
+    dt = prefix_emb.dtype
+    eos = cfg.speech_token_size
+    nl = q.num_hidden_layers
+    qp = p.sub("llm.model.model")
+    birth = jnp.asarray(state.i - 1, jnp.int32)
+
+    # ---- B=1 prefill at cohort-shifted RoPE positions ----
+    start1 = L0 - prefix_valid.astype(jnp.int32)
+    kq = jnp.arange(L0)
+    vis = (kq[None, None, :] <= kq[None, :, None]) & (kq[None, None, :] >= start1)
+    bias0 = M.mask_to_bias(vis, dt)  # (1, L0, L0)
+    positions0 = jnp.arange(L0) + birth
+    kb1 = jnp.zeros((nl, 1, q.num_key_value_heads, L0, q.head_dim), dt)
+    vb1 = jnp.zeros_like(kb1)
+    h = prefix_emb
+    for i in range(nl):
+        h, (kb, vb) = qwen2_layer(
+            qp.sub(f"layers.{i}"), q, h, positions0, bias0, EVAL,
+            kv_cache=(kb1[i], vb1[i]), cache_index=0)
+        kb1 = kb1.at[i].set(kb)
+        vb1 = vb1.at[i].set(vb)
+    h = rms_norm(qp, "norm", h, q.rms_norm_eps)
+    logits0 = dense(p, "llm_decoder", h[:, -1])[0]  # (V,)
+
+    # ---- first token with the request's own stream (solo-identical) ----
+    k_s, k_rest = jax.random.split(rng_req)
+    row = jnp.full((max_len,), -1, jnp.int32)
+    logp = jax.nn.log_softmax(logits0.astype(jnp.float32))
+    logp = logp.at[eos].set(
+        jnp.where(jnp.asarray(0) < min_len_req, -jnp.inf, logp[eos]))
+    first = ras_sample(k_s, logp, row, jnp.asarray(0), top_p, top_k,
+                       win_size, tau_r).astype(jnp.int32)
+    is_special0 = first >= eos
+    row = row.at[0].set(jnp.where(is_special0, -1, first))
+    n0 = jnp.where(is_special0, 0, 1).astype(state.n.dtype)
+
+    # ---- splice into the cohort state (state.i untouched) ----
+    slot = jnp.asarray(slot, jnp.int32)
+    z = jnp.int32(0)
+    k_buf = jax.lax.dynamic_update_slice(
+        state.k_buf, kb1.astype(state.k_buf.dtype), (z, slot, z, birth, z))
+    v_buf = jax.lax.dynamic_update_slice(
+        state.v_buf, vb1.astype(state.v_buf.dtype), (z, slot, z, birth, z))
+    tokens = jax.lax.dynamic_update_slice(state.tokens, row[None], (slot, z))
+    last = state.last.at[slot].set(jnp.maximum(first, 0))
+    rngs = state.rngs.at[slot].set(k_rest)
+    n = state.n.at[slot].set(n0)
+    done = state.done.at[slot].set((first == eos) | (jnp.asarray(cap) <= 1))
+    return BatchDecodeState(state.i, n, tokens, last, k_buf, v_buf, rngs, done)

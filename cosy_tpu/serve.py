@@ -36,10 +36,21 @@ def wav_bytes(wav: np.ndarray, sr: int) -> bytes:
 
 class TTSServer:
     def __init__(self, api, lock: Optional[threading.Lock] = None,
-                 batch_window_ms: float = 20.0, max_batch: int = 8):
+                 batch_window_ms: float = 20.0, max_batch: int = 8,
+                 engine_slots: int = 0):
         self.api = api
         # single-chip: serialize device work; the jitted stages batch internally
         self.lock = lock or threading.Lock()
+        # continuous batching (infer/engine.py): requests join/leave the ONE
+        # persistent decode batch at segment granularity — no cohort
+        # formation wait, slots refill as streams finish.  Opt-in because it
+        # compiles its own fixed-(slots, prefix, max_len) decode program.
+        self.engine = None
+        if engine_slots > 0 and hasattr(api.model, "_admit_jit"):
+            from .infer.engine import ContinuousBatchEngine
+
+            self.engine = ContinuousBatchEngine(
+                api.model, slots=engine_slots, device_lock=self.lock)
         # dynamic batching for non-streaming prompt-free requests: requests
         # arriving within the window share one llm_decode_batch call
         # (PERF.md: 2.5x aggregate tok/s at B=8)
@@ -133,6 +144,17 @@ class TTSServer:
         if item["err"] is not None:
             raise item["err"]
         return item["wav"]
+
+    def synthesize_stream_engine(self, text: str):
+        """Streaming via the continuous-batching engine: this request joins
+        the persistent decode batch at the next segment boundary (one-segment
+        TTFA under load) and its slot frees for the next request the moment
+        it finishes — no cohort formation window, no lock-step drain."""
+        ids = self.api.frontend.extract_text_token(
+            self.api.frontend.normalize(text, split=False))
+        req = self.engine.submit(self.api._next_rng(), ids)
+        for chunk in req.chunks():
+            yield chunk[0]
 
     def synthesize_stream_batched(self, text: str):
         """Streaming with cohort batching: requests arriving within the
@@ -290,7 +312,10 @@ def make_handler(server: TTSServer, sample_rate: int):
                                 sample_rate * 2, 2, 16) + \
                     b"data" + struct.pack("<I", 0xFFFFFFFF)
                 send_chunk(hdr)
-                if (not spk_id and speed == 1.0
+                if not spk_id and speed == 1.0 and server.engine is not None:
+                    # continuous batching: join the persistent decode batch
+                    pieces = server.synthesize_stream_engine(text)
+                elif (not spk_id and speed == 1.0
                         and hasattr(server.api.model, "synthesize_stream_batch")):
                     # concurrent prompt-free streams share a lock-step
                     # segmented decode (cohort batching)
@@ -328,6 +353,11 @@ def main():
                          "(multi-chip serving: N chips = N x the per-token "
                          "weight bandwidth that bounds bs=1 decode; decoded "
                          "tokens are identical to the replicated run)")
+    ap.add_argument("--engine-slots", type=int, default=0,
+                    help="enable continuous batching with this many decode "
+                         "slots (vLLM-style: streaming requests join/leave "
+                         "the one persistent decode batch at segment "
+                         "boundaries; 0 = cohort batching)")
     ap.add_argument("--warmup", action="store_true",
                     help="compile the synthesis programs before accepting "
                          "traffic (remote compilation takes minutes cold; "
@@ -348,7 +378,7 @@ def main():
         api.model.llm_params = tpmod.shard_params(mesh, api.model.llm_params)
         print(f"LLM tensor-parallel over {args.tp} devices "
               f"({tpmod.count_sharded(api.model.llm_params)} split params)")
-    server = TTSServer(api)
+    server = TTSServer(api, engine_slots=args.engine_slots)
     if args.warmup:
         import time as _time
 
@@ -362,8 +392,12 @@ def main():
         # segmented batch decode + fused batch token2wav too, or the first
         # live concurrent-stream batch pays the minutes-long cold compile
         def _drain():
-            for _ in server.synthesize_stream_batched("warmup cohort."):
-                pass
+            if server.engine is not None:
+                for _ in server.synthesize_stream_engine("warmup cohort."):
+                    pass
+            else:
+                for _ in server.synthesize_stream_batched("warmup cohort."):
+                    pass
         cohort = [threading.Thread(target=_drain) for _ in range(2)]
         for t in cohort:
             t.start()

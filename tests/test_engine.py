@@ -1,0 +1,295 @@
+"""Continuous-batching engine: token-level slot scheduling (infer/engine.py).
+
+The core property — a request ADMITTED into a running decode batch
+(llm_admit_slot + births) produces a token stream bit-identical to a solo
+llm_decode with the request's own key — is asserted at the model level under
+f64 (same rationale as test_batch_decode.py), then the engine itself is
+driven end-to-end on the tiny pipeline: mid-flight admission, slot reuse
+beyond the slot count, runway deferral, and error isolation.
+"""
+
+import queue
+import threading
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cosy_tpu.config import EncoderConfig, LLMConfig, replace
+from cosy_tpu.models import llm as L
+from cosy_tpu.params import P
+
+from test_api import _make_api
+
+
+def _cfg():
+    enc = EncoderConfig(input_size=16, output_size=16, attention_heads=2,
+                        linear_units=24, num_blocks=2)
+    return LLMConfig(
+        text_encoder_input_size=16, llm_input_size=16, llm_output_size=16,
+        text_token_size=40, speech_token_size=30, spk_embed_dim=12,
+        text_encoder=replace(enc, static_chunk_size=1),
+        llm=replace(enc, static_chunk_size=1, input_layer="linear_legacy"))
+
+
+def test_admit_slot_mid_flight_matches_solo():
+    """A newcomer spliced into a paused cohort at shared step i decodes
+    bit-identically to a solo run with its own key, and the running slot's
+    stream is untouched by the admission."""
+    with jax.enable_x64(True):
+        cfg = _cfg()
+        p = L.init_llm_params(jax.random.PRNGKey(0), cfg)
+        p = {k: v.astype(jnp.float64) for k, v in p.items()}
+        rng = jax.random.PRNGKey(7)
+        pe1 = jax.random.normal(jax.random.PRNGKey(1), (1, 7, 16), jnp.float64)
+        pe2 = jax.random.normal(jax.random.PRNGKey(2), (1, 5, 16), jnp.float64)
+        MAXL = 16
+
+        # slot0 active (cap 12), slot1 parked (cap 1 -> done at prefill)
+        pb = jnp.concatenate([pe1, jnp.zeros((1, 7, 16))], axis=0)
+        res, st = L.llm_decode_batch(
+            P(p), cfg, rng, pb, jnp.asarray([7, 1]), jnp.asarray([2, 0]),
+            MAXL, max_lens=jnp.asarray([12, 1]), stop_at=jnp.asarray(4),
+            state=None, return_state=True)
+        assert int(st.i) == 4 and bool(st.done[1])
+
+        # admit the newcomer into slot1 with ITS OWN key, mid-flight
+        k_new = jax.random.PRNGKey(11)
+        pe_new = jnp.pad(pe2, ((0, 0), (2, 0), (0, 0)))  # left-pad to L0
+        st2 = L.llm_admit_slot(P(p), cfg, st, pe_new, jnp.asarray(5), k_new,
+                               jnp.asarray(1), jnp.asarray(6))
+        births = jnp.asarray([0, int(st.i) - 1])
+        res2, _ = L.llm_decode_batch(
+            P(p), cfg, rng, pb, jnp.asarray([7, 5]), jnp.asarray([2, 3]),
+            MAXL, max_lens=jnp.asarray([12, 6]), stop_at=jnp.asarray(MAXL),
+            state=st2, return_state=True, births=births)
+
+        rn = L.llm_decode(P(p), cfg, k_new, pe2, 5, jnp.asarray(3), 6)
+        np.testing.assert_array_equal(np.asarray(res2.tokens[1])[:6],
+                                      np.asarray(rn.tokens))
+        assert int(res2.lengths[1]) == int(rn.length)
+
+        r1 = L.llm_decode(P(p), cfg, jax.random.fold_in(rng, 0), pe1, 7,
+                          jnp.asarray(2), 12)
+        np.testing.assert_array_equal(np.asarray(res2.tokens[0])[:12],
+                                      np.asarray(r1.tokens))
+
+
+def _engine(api, **kw):
+    from cosy_tpu.infer.engine import ContinuousBatchEngine
+
+    kw.setdefault("slots", 2)
+    kw.setdefault("prefix_len", 32)
+    kw.setdefault("max_len", 64)
+    return ContinuousBatchEngine(api.model, **kw)
+
+
+def _ids(api, text):
+    return api.frontend.extract_text_token(text) % 40
+
+
+def test_engine_single_request_end_to_end():
+    api = _make_api()
+    eng = _engine(api)
+    try:
+        req = eng.submit(jax.random.PRNGKey(0), _ids(api, "hello there."))
+        chunks = list(req.chunks())
+        assert len(chunks) >= 1
+        wav = np.concatenate([c[0] for c in chunks])
+        assert wav.size > 0 and np.isfinite(wav).all()
+        assert req.tokens is not None and len(req.tokens) >= 1
+    finally:
+        eng.stop()
+
+
+def test_engine_tokens_match_solo_decode():
+    """The engine-side stream equals a solo llm_decode with the request's
+    k_llm (the submit split) — continuous batching changes scheduling, not
+    tokens."""
+    api = _make_api()
+    eng = _engine(api)
+    try:
+        key = jax.random.PRNGKey(3)
+        req = eng.submit(key, _ids(api, "one two three."))
+        for _ in req.chunks():
+            pass
+        pl = api.model
+        prefix, min_len, max_len = pl._build_prefix(
+            req.text_tokens, None, None, None, eng.max_len)
+        res = L.llm_decode(P(pl.llm_params), pl.cfg.llm, req.k_llm, prefix,
+                           prefix.shape[1], jnp.asarray(min_len),
+                           min(max_len, eng.max_len))
+        n = int(res.length)
+        sol = np.asarray(res.tokens)[:n]
+        # CPU bf16-fastpath noise can flip a near-tie sample late in the
+        # stream; the prefix must agree (identical rng stream + same math)
+        m = min(len(sol), len(req.tokens))
+        agree = int((sol[:m] == req.tokens[:m]).sum())
+        assert agree >= max(1, m - 1), (sol, req.tokens)
+    finally:
+        eng.stop()
+
+
+def test_engine_mid_flight_admission_and_slot_reuse():
+    """3 requests through 2 slots: the 3rd is admitted only after a slot
+    frees (continuous batching), all finish, and token streams are
+    independent per request key."""
+    api = _make_api()
+    eng = _engine(api)
+    try:
+        reqs = [eng.submit(jax.random.PRNGKey(10 + i),
+                           _ids(api, t))
+                for i, t in enumerate(["first request.",
+                                       "the second one is a bit longer.",
+                                       "third."])]
+        outs = []
+        for r in reqs:
+            outs.append(np.concatenate([c[0] for c in r.chunks()]))
+        assert all(o.size > 0 for o in outs)
+        assert all(r.tokens is not None for r in reqs)
+        assert eng.segments_run >= 1
+        # slots all freed after completion
+        assert not eng._active()
+    finally:
+        eng.stop()
+
+
+def test_engine_concurrent_consumers():
+    """Requests submitted from concurrent threads (the serving pattern) all
+    complete; a request arriving mid-decode joins without waiting for the
+    running request to finish first (admission happens between segments)."""
+    api = _make_api()
+    eng = _engine(api, seg_tokens=4)
+    try:
+        results = {}
+
+        def one(i, text):
+            req = eng.submit(jax.random.PRNGKey(100 + i), _ids(api, text))
+            results[i] = np.concatenate([c[0] for c in req.chunks()])
+
+        t1 = threading.Thread(target=one, args=(0, "a slow long first sentence here."))
+        t1.start()
+        time.sleep(0.05)
+        t2 = threading.Thread(target=one, args=(1, "quick."))
+        t2.start()
+        t1.join(timeout=600)
+        t2.join(timeout=600)
+        assert set(results) == {0, 1}
+        assert all(v.size > 0 for v in results.values())
+    finally:
+        eng.stop()
+
+
+def test_engine_prefix_too_long_fails_only_that_request():
+    api = _make_api()
+    eng = _engine(api, prefix_len=16)  # tiny bucket
+    try:
+        # long text -> prefix over the bucket -> clean per-request error
+        long_req = eng.submit(jax.random.PRNGKey(0),
+                              _ids(api, "x" * 400))
+        ok_req = eng.submit(jax.random.PRNGKey(1), _ids(api, "hi."))
+        with pytest.raises(ValueError):
+            list(long_req.chunks())
+        out = np.concatenate([c[0] for c in ok_req.chunks()])
+        assert out.size > 0
+    finally:
+        eng.stop()
+
+
+def test_qwen2lm_admit_slot_mid_flight_matches_solo():
+    """CV2 admission: RoPE keys are rotated at cohort-shifted positions, so
+    the joiner's stream still equals a solo qwen2lm_decode with its own key
+    (relative rotation differences are preserved)."""
+    from cosy_tpu.layers.qwen2 import Qwen2Config
+    from cosy_tpu.models.qwen2lm import (
+        Qwen2LMConfig, init_qwen2lm_params, qwen2lm_decode,
+        qwen2lm_decode_batch, qwen2lm_admit_slot)
+
+    with jax.enable_x64(True):
+        cfg = Qwen2LMConfig(
+            llm_input_size=32, llm_output_size=32, speech_token_size=30,
+            qwen=Qwen2Config(hidden_size=32, intermediate_size=64,
+                             num_hidden_layers=2, num_attention_heads=4,
+                             num_key_value_heads=2, head_dim=8, vocab_size=50))
+        p = init_qwen2lm_params(jax.random.PRNGKey(0), cfg)
+        p = {k: v.astype(jnp.float64) for k, v in p.items()}
+        rng = jax.random.PRNGKey(9)
+        pe1 = jax.random.normal(jax.random.PRNGKey(1), (1, 6, 32), jnp.float64)
+        pe2 = jax.random.normal(jax.random.PRNGKey(2), (1, 4, 32), jnp.float64)
+        MAXL = 18
+
+        pb = jnp.concatenate([pe1, jnp.zeros((1, 6, 32))], axis=0)
+        res, st = qwen2lm_decode_batch(
+            P(p), cfg, rng, pb, jnp.asarray([6, 1]), jnp.asarray([2, 0]),
+            MAXL, max_lens=jnp.asarray([12, 1]), stop_at=jnp.asarray(4),
+            state=None, return_state=True)
+        assert int(st.i) == 4 and bool(st.done[1])
+
+        k_new = jax.random.PRNGKey(21)
+        pe_new = jnp.pad(pe2, ((0, 0), (2, 0), (0, 0)))
+        st2 = qwen2lm_admit_slot(P(p), cfg, st, pe_new, jnp.asarray(4), k_new,
+                                 jnp.asarray(1), jnp.asarray(6), jnp.asarray(3))
+        births = jnp.asarray([0, int(st.i) - 1])
+        res2, _ = qwen2lm_decode_batch(
+            P(p), cfg, rng, pb, jnp.asarray([6, 4]), jnp.asarray([2, 3]),
+            MAXL, max_lens=jnp.asarray([12, 6]), stop_at=jnp.asarray(MAXL),
+            state=st2, return_state=True, births=births)
+
+        rn = qwen2lm_decode(P(p), cfg, k_new, pe2, jnp.asarray(3), 12)
+        n_solo = int(rn.length)
+        n_eng = int(res2.lengths[1])
+        # the joiner's attempt budget in the cohort (MAXL - birth) may be
+        # smaller than the solo run's; compare the common prefix
+        m = min(n_solo, n_eng, 6)
+        assert m >= 1
+        np.testing.assert_array_equal(np.asarray(res2.tokens[1])[:m],
+                                      np.asarray(rn.tokens)[:m])
+
+        r1 = qwen2lm_decode(P(p), cfg, jax.random.fold_in(rng, 0), pe1,
+                            jnp.asarray(2), MAXL)
+        m0 = min(int(r1.length), int(res2.lengths[0]), 12)
+        np.testing.assert_array_equal(np.asarray(res2.tokens[0])[:m0],
+                                      np.asarray(r1.tokens)[:m0])
+
+
+def test_engine_cv2_end_to_end():
+    """The engine drives the CosyVoice2 family too (cumulative windows +
+    token offsets + Stream2State)."""
+    from test_pipeline2 import _pipe
+
+    from cosy_tpu.infer.engine import ContinuousBatchEngine
+
+    pipe = _pipe()
+    eng = ContinuousBatchEngine(pipe, slots=2, prefix_len=16, max_len=64)
+    try:
+        r = np.random.default_rng(0)
+        reqs = [eng.submit(jax.random.PRNGKey(40 + i),
+                           r.integers(0, 50, (1, 4 + i)).astype(np.int32))
+                for i in range(2)]
+        for req in reqs:
+            wav = np.concatenate([c[0] for c in req.chunks()])
+            assert wav.size > 0 and np.isfinite(wav).all()
+            assert req.tokens is not None
+    finally:
+        eng.stop()
+
+
+def test_engine_runway_defer_and_repark():
+    """A request whose cap exceeds the remaining KV runway defers until the
+    engine drains, then a re-park restores full runway and it completes."""
+    api = _make_api()
+    eng = _engine(api, max_len=32, seg_tokens=8)
+    try:
+        a = eng.submit(jax.random.PRNGKey(0), _ids(api, "first one."))
+        # wait until A is mid-flight so B's admission sees reduced runway
+        deadline = time.time() + 300
+        while eng.segments_run < 1 and time.time() < deadline:
+            time.sleep(0.01)
+        b = eng.submit(jax.random.PRNGKey(1), _ids(api, "second one."))
+        wa = np.concatenate([c[0] for c in a.chunks()])
+        wb = np.concatenate([c[0] for c in b.chunks()])
+        assert wa.size > 0 and wb.size > 0
+    finally:
+        eng.stop()

@@ -227,6 +227,51 @@ def test_stream_worker_respawns_after_death():
     assert not t.is_alive(), "client stranded behind a dead worker"
 
 
+def test_http_streaming_via_engine():
+    """--engine-slots routes stream=true requests through the continuous-
+    batching engine (infer/engine.py): two overlapping requests both receive
+    valid chunked WAV from the ONE persistent decode batch, and the cohort
+    worker path stays unused."""
+    api = _make_api()
+    orig = api.frontend.extract_text_token
+    api.frontend.extract_text_token = lambda text: orig(text) % 40
+    server = TTSServer(api, engine_slots=2)
+    assert server.engine is not None
+    # keep the tiny-model decode bounded (the default 512-token runway is
+    # sized for the 300M production model)
+    server.engine.max_len = 64
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(server, 22050))
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    results = {}
+
+    def one(i):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/tts",
+            data=json.dumps({"text": f"hello number {i}.", "stream": True}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=900) as r:
+            assert r.headers.get("Transfer-Encoding") == "chunked"
+            results[i] = r.read()
+
+    try:
+        threads = [threading.Thread(target=one, args=(i,)) for i in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert set(results) == {0, 1}
+        for body in results.values():
+            assert body[:4] == b"RIFF" and len(body) > 44
+            assert (len(body) - 44) % 2 == 0
+        assert server.engine.segments_run >= 1
+        assert server.batches_run == 0  # engine, not the cohort worker
+    finally:
+        httpd.shutdown()
+        server.engine.stop()
+
+
 def test_cohorts_interleave_at_segment_boundaries():
     """A stream arriving mid-cohort gets its first chunk while the first
     cohort is still decoding: cohort threads hold the device lock per
