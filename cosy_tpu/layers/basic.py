@@ -254,27 +254,54 @@ def layer_norm(p: P, name: str, x: jax.Array, eps: float = 1e-5) -> jax.Array:
     return y.astype(x.dtype)
 
 
-def group_norm(p: P, name: str, x: jax.Array, num_groups: int, eps: float = 1e-5) -> jax.Array:
-    """torch nn.GroupNorm over (B, C, T)."""
+def group_norm(p: P, name: str, x: jax.Array, num_groups: int, eps: float = 1e-5,
+               frames_valid=None) -> jax.Array:
+    """torch nn.GroupNorm over (B, C, T).
+
+    ``frames_valid`` (traced (B,) or scalar): statistics over the first
+    ``frames_valid`` frames only — the bucket-padded serving programs must
+    reproduce the unpadded computation exactly, and GroupNorm reduces over T
+    (pad frames would shift mean/var).  Requires x already zeroed beyond the
+    valid region; pad frames of the OUTPUT are not re-zeroed (callers
+    re-mask)."""
     B, C, T = x.shape
     xf = x.astype(jnp.float32).reshape(B, num_groups, C // num_groups, T)
-    mean = jnp.mean(xf, axis=(2, 3), keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=(2, 3), keepdims=True)
+    if frames_valid is None:
+        mean = jnp.mean(xf, axis=(2, 3), keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=(2, 3), keepdims=True)
+    else:
+        n = (jnp.reshape(frames_valid, (-1, 1, 1, 1)).astype(jnp.float32)
+             * (C // num_groups))
+        mean = jnp.sum(xf, axis=(2, 3), keepdims=True) / n
+        # E[x^2] - mean^2 over the valid region (x is zero beyond it, so the
+        # plain sum of squares is already the valid-region sum)
+        var = jnp.sum(jnp.square(xf), axis=(2, 3), keepdims=True) / n - jnp.square(mean)
     y = ((xf - mean) * lax.rsqrt(var + eps)).reshape(B, C, T)
     y = y * p[name + ".weight"].astype(jnp.float32)[None, :, None]
     y = y + p[name + ".bias"].astype(jnp.float32)[None, :, None]
     return y.astype(x.dtype)
 
 
-def group_norm_nwc(p: P, name: str, x: jax.Array, num_groups: int, eps: float = 1e-5) -> jax.Array:
+def group_norm_nwc(p: P, name: str, x: jax.Array, num_groups: int, eps: float = 1e-5,
+                   frames_valid=None) -> jax.Array:
     """torch nn.GroupNorm semantics on a channels-last (B, T, C) activation.
 
     torch groups channels contiguously: group g covers channels
-    [g*C/G, (g+1)*C/G); statistics reduce over (T, group channels)."""
+    [g*C/G, (g+1)*C/G); statistics reduce over (T, group channels).
+
+    ``frames_valid`` (traced (B,) or scalar): valid-frames-only statistics for
+    bucket-padded inputs (see group_norm); x must already be zero beyond the
+    valid frames, and callers re-mask the output."""
     B, T, C = x.shape
     xf = x.astype(jnp.float32).reshape(B, T, num_groups, C // num_groups)
-    mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=(1, 3), keepdims=True)
+    if frames_valid is not None:
+        n = (jnp.reshape(frames_valid, (-1, 1, 1, 1)).astype(jnp.float32)
+             * (C // num_groups))
+        mean = jnp.sum(xf, axis=(1, 3), keepdims=True) / n
+        var = jnp.sum(jnp.square(xf), axis=(1, 3), keepdims=True) / n - jnp.square(mean)
+    else:
+        mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=(1, 3), keepdims=True)
     y = ((xf - mean) * lax.rsqrt(var + eps)).reshape(B, T, C)
     y = y * p[name + ".weight"].astype(jnp.float32)
     y = y + p[name + ".bias"].astype(jnp.float32)

@@ -49,10 +49,15 @@ def _mul_mask(x: jax.Array, mask) -> jax.Array:
 
 
 def block1d(p: P, name: str, x: jax.Array, mask, ctx: Ctx,
-            causal: bool = False) -> jax.Array:
+            causal: bool = False, frames_valid=None) -> jax.Array:
     """Conv3 + GroupNorm(8) + Mish, masked before and after (modules.py:60-73).
 
     Channels-last throughout: x is (B, T, C), mask (B, T, 1) or None.
+
+    ``frames_valid`` (traced (B,)): valid-frames-only GroupNorm statistics —
+    required for the length-masked serving buckets, where pad frames would
+    otherwise shift the (C, T)-wide statistics (see flow.flow_inference
+    token_valid).
 
     Causal variant (CosyVoice2): left-padded conv + LayerNorm over channels
     (state-dict index block.2) + Mish (decoder.py:65-78)."""
@@ -63,18 +68,21 @@ def block1d(p: P, name: str, x: jax.Array, mask, ctx: Ctx,
         h = layer_norm(sp, "block.2", h)
     else:
         h = conv1d_nwc(sp, "block.0", _mul_mask(x, mask), padding=1, ctx=ctx)
-        h = group_norm_nwc(sp, "block.1", h, num_groups=8)
+        h = group_norm_nwc(sp, "block.1", _mul_mask(h, mask), num_groups=8,
+                           frames_valid=frames_valid) \
+            if frames_valid is not None else \
+            group_norm_nwc(sp, "block.1", h, num_groups=8)
     return _mul_mask(mish(h), mask)
 
 
 def resnet_block1d(p: P, name: str, x: jax.Array, mask, t: jax.Array,
-                   ctx: Ctx, causal: bool = False) -> jax.Array:
+                   ctx: Ctx, causal: bool = False, frames_valid=None) -> jax.Array:
     """ResNet block with timestep conditioning (modules.py:76-94).
     Channels-last: x (B, T, C), t (B, time_embed_dim)."""
     sp = p.sub(name)
-    h = block1d(sp, "block1", x, mask, ctx, causal)
+    h = block1d(sp, "block1", x, mask, ctx, causal, frames_valid)
     h = h + dense(sp, "mlp.1", mish(t), ctx)[:, None, :]
-    h = block1d(sp, "block2", h, mask, ctx, causal)
+    h = block1d(sp, "block2", h, mask, ctx, causal, frames_valid)
     return h + conv1d_nwc(sp, "res_conv", _mul_mask(x, mask), ctx=ctx)
 
 
@@ -191,6 +199,7 @@ def conditional_decoder(
     causal: bool = False,
     streaming: bool = False,
     static_chunk_size: int = 50,
+    frames_valid: Optional[jax.Array] = None,  # (B,) traced true frame counts
 ) -> jax.Array:
     """Velocity field estimate (B, 80, T) (reference: modules.py:998-1106;
     causal/streaming variant: cosyvoice/flow/decoder.py:294-494).
@@ -234,6 +243,14 @@ def conditional_decoder(
         level_masks = [mask]
         for _ in range(n_levels - 1):
             level_masks.append(level_masks[-1][:, ::2, :])
+    # per-level valid counts for masked GroupNorm statistics (the [::2] mask
+    # subsampling keeps ceil(v/2) of a v-frame valid prefix)
+    if frames_valid is None:
+        level_valid = [None] * n_levels
+    else:
+        level_valid = [jnp.reshape(frames_valid, (-1,))]
+        for _ in range(n_levels - 1):
+            level_valid.append((level_valid[-1] + 1) // 2)
     if streaming:
         # static chunk attention at every level (decoder.py:439-443)
         def _stream_bias(m, T_l):
@@ -263,7 +280,8 @@ def conditional_decoder(
     for i in range(n_levels):
         lvl = min(i, n_levels - 1)
         m = level_masks[lvl]
-        h = resnet_block1d(p, f"down_blocks.{i}.0", h, m, temb, ctx, causal)
+        h = resnet_block1d(p, f"down_blocks.{i}.0", h, m, temb, ctx, causal,
+                           level_valid[lvl])
         h = run_transformers(f"down_blocks.{i}.1", h, lvl)
         hiddens.append(h)
         if i < n_levels - 1:
@@ -276,7 +294,8 @@ def conditional_decoder(
     mid_lvl = n_levels - 1
     m = level_masks[mid_lvl]
     for i in range(cfg.num_mid_blocks):
-        h = resnet_block1d(p, f"mid_blocks.{i}.0", h, m, temb, ctx, causal)
+        h = resnet_block1d(p, f"mid_blocks.{i}.0", h, m, temb, ctx, causal,
+                           level_valid[mid_lvl])
         h = run_transformers(f"mid_blocks.{i}.1", h, mid_lvl)
 
     for i in range(n_levels):
@@ -284,7 +303,8 @@ def conditional_decoder(
         m = level_masks[lvl]
         skip = hiddens.pop()
         h = jnp.concatenate([h[:, : skip.shape[1], :], skip], axis=-1)
-        h = resnet_block1d(p, f"up_blocks.{i}.0", h, m, temb, ctx, causal)
+        h = resnet_block1d(p, f"up_blocks.{i}.0", h, m, temb, ctx, causal,
+                           level_valid[lvl])
         h = run_transformers(f"up_blocks.{i}.1", h, lvl)
         if i < n_levels - 1:
             h = conv_transpose1d_nwc(p, f"up_blocks.{i}.2.conv", _mul_mask(h, m), stride=2, padding=1)
@@ -294,7 +314,7 @@ def conditional_decoder(
             h = conv1d_nwc(p, f"up_blocks.{i}.2", _mul_mask(h, m), padding=1, ctx=ctx)
 
     m = level_masks[0]
-    h = block1d(p, "final_block", h, m, ctx, causal)
+    h = block1d(p, "final_block", h, m, ctx, causal, level_valid[0])
     out = conv1d_nwc(p, "final_proj", _mul_mask(h, m), ctx=ctx)
     return _mul_mask(out, mask).transpose(0, 2, 1)  # back to (B, 80, T)
 

@@ -51,18 +51,63 @@ def interpolate_linear(x: jax.Array, out_len: int) -> jax.Array:
     return x[..., lo] * (1.0 - w) + x[..., hi] * w
 
 
+def interpolate_linear_valid(
+    x: jax.Array,  # (B, C, T) with only x[..., :in_valid] meaningful
+    out_len: int,
+    in_valid: jax.Array,  # traced scalar <= T
+    out_valid: jax.Array,  # traced scalar <= out_len
+) -> jax.Array:
+    """Length-masked :func:`interpolate_linear`: interpolates the first
+    ``in_valid`` input frames onto the first ``out_valid`` output frames of a
+    static (B, C, out_len) buffer; frames beyond ``out_valid`` are zero.
+
+    The valid region matches ``interpolate_linear(x[..., :in_valid],
+    out_valid)`` to f32 rounding (the scale is computed in one division
+    either way) — this is what makes ONE compiled serving program exact for
+    every length in the bucket (see flow_inference token_valid)."""
+    iv = in_valid.astype(jnp.float32)
+    ov = jnp.maximum(out_valid.astype(jnp.float32), 1.0)
+    pos = (jnp.arange(out_len, dtype=jnp.float32) + 0.5) * (iv / ov) - 0.5
+    pos = jnp.clip(pos, 0.0, iv - 1.0)
+    lo = jnp.floor(pos).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, in_valid.astype(jnp.int32) - 1)
+    w = (pos - lo).astype(x.dtype)
+    out = x[..., lo] * (1.0 - w) + x[..., hi] * w
+    mask = (jnp.arange(out_len) < out_valid).astype(x.dtype)
+    return out * mask
+
+
 # ---------------------------------------------------------------------------
 # InterpolateRegulator (reference: modules.py:800-837)
 # ---------------------------------------------------------------------------
 
 
-def regulator_stack(p: P, x: jax.Array, stages: int, ctx: Ctx) -> jax.Array:
-    """Conv3+GroupNorm(1)+Mish x stages, then 1x1 conv.  x: (B, C, T)."""
+def regulator_stack(p: P, x: jax.Array, stages: int, ctx: Ctx,
+                    frames_valid: Optional[jax.Array] = None) -> jax.Array:
+    """Conv3+GroupNorm(1)+Mish x stages, then 1x1 conv.  x: (B, C, T).
+
+    ``frames_valid`` (traced (B,) or scalar): length-masked exact variant for
+    bucket-padded inputs — pad frames are re-zeroed after every conv and the
+    GroupNorm statistics run over the valid frames only, so the valid region
+    equals the unpadded computation (serving buckets, see flow_inference
+    token_valid)."""
+    mask = None
+    if frames_valid is not None:
+        T = x.shape[-1]
+        mask = (jnp.arange(T)[None, None, :]
+                < jnp.reshape(frames_valid, (-1, 1, 1))).astype(x.dtype)
+        x = x * mask
     for s in range(stages):
         x = conv1d(p, f"model.{3 * s}", x, padding=1, ctx=ctx)
-        x = group_norm(p, f"model.{3 * s + 1}", x, num_groups=1)
+        if mask is not None:
+            x = x * mask
+        x = group_norm(p, f"model.{3 * s + 1}", x, num_groups=1,
+                       frames_valid=frames_valid)
         x = mish(x)
-    return conv1d(p, f"model.{3 * stages}", x, ctx=ctx)
+        if mask is not None:
+            x = x * mask
+    out = conv1d(p, f"model.{3 * stages}", x, ctx=ctx)
+    return out if mask is None else out * mask
 
 
 def length_regulator(
@@ -102,6 +147,51 @@ def length_regulator_inference(
     return regulator_stack(p, h, stages, ctx).transpose(0, 2, 1)
 
 
+def length_regulator_inference_valid(
+    p: P,
+    x2: jax.Array,  # (1, T_tok, C) target tokens' encodings, bucket-padded
+    tok_valid: jax.Array,  # traced scalar: true token count <= T_tok
+    mel_len2: int,  # static mel bucket length
+    mel_valid: jax.Array,  # traced scalar: true mel frames <= mel_len2
+    stages: int,
+    input_frame_rate: int = 50,
+) -> jax.Array:
+    """Length-masked :func:`length_regulator_inference` (prompt-free): one
+    compiled program serves every (tok_valid, mel_valid) in the bucket; the
+    valid mel region equals the unpadded program's output and pad frames are
+    zero.  The reference's >40-token 3-segment seam split becomes a traced
+    select between both formulations (modules.py:823-837)."""
+    ctx = EVAL
+    xt = x2.transpose(0, 2, 1)  # (1, C, T_tok)
+    T_tok = xt.shape[-1]
+    edge = int(20 / input_frame_rate * 22050 / 256)
+
+    # path B: plain interpolation (tok_valid <= 40)
+    buf_b = interpolate_linear_valid(xt, mel_len2, tok_valid, mel_valid)
+
+    if T_tok <= 40:  # bucket too small for the 3-segment split — B only
+        h = buf_b
+    else:
+        # path A: 3-segment seam-preserving split (tok_valid > 40)
+        h_head = interpolate_linear(xt[:, :, :20], edge)  # static head
+        h_mid = interpolate_linear_valid(
+            xt[:, :, 20:], mel_len2 - 2 * edge, tok_valid - 40, mel_valid - 2 * edge)
+        tail_tok = jax.lax.dynamic_slice_in_dim(
+            xt, jnp.maximum(tok_valid - 20, 0), 20, axis=2)
+        h_tail = interpolate_linear(tail_tok, edge)
+        buf_a = jnp.zeros((xt.shape[0], xt.shape[1], mel_len2), xt.dtype)
+        buf_a = buf_a.at[:, :, :edge].set(h_head)
+        buf_a = jax.lax.dynamic_update_slice_in_dim(
+            buf_a, h_mid[:, :, : mel_len2 - 2 * edge], edge, axis=2)
+        buf_a = jax.lax.dynamic_update_slice_in_dim(
+            buf_a, h_tail, jnp.maximum(mel_valid - edge, 0), axis=2)
+        h = jnp.where(tok_valid > 40, buf_a, buf_b)
+    mask = (jnp.arange(mel_len2)[None, None, :] < mel_valid).astype(h.dtype)
+    h = h * mask
+    return regulator_stack(p, h, stages, ctx,
+                           frames_valid=mel_valid).transpose(0, 2, 1)
+
+
 # ---------------------------------------------------------------------------
 # ConditionalCFM
 # ---------------------------------------------------------------------------
@@ -124,8 +214,12 @@ def cfm_solve_euler(
     cond: jax.Array,  # (B, 80, T)
     n_timesteps: int,
     ctx: Ctx = EVAL,
+    frames_valid: Optional[jax.Array] = None,  # traced (B,) or scalar
 ) -> jax.Array:
-    """Fixed-step Euler ODE solve with CFG batching (flow_model.py:94-125)."""
+    """Fixed-step Euler ODE solve with CFG batching (flow_model.py:94-125).
+
+    ``frames_valid``: length-masked exact estimator statistics for
+    bucket-padded serving programs (see conditional_decoder)."""
     B = z.shape[0]
     r = cfg.cfm.inference_cfg_rate
     t_span = cfm_t_span(n_timesteps, cfg.cfm.t_scheduler)
@@ -136,12 +230,15 @@ def cfm_solve_euler(
     mu2 = jnp.concatenate([mu, jnp.zeros_like(mu)], axis=0)
     spks2 = jnp.concatenate([spks, jnp.zeros_like(spks)], axis=0)
     cond2 = jnp.concatenate([cond, jnp.zeros_like(cond)], axis=0)
+    fv2 = None if frames_valid is None else \
+        jnp.tile(jnp.broadcast_to(jnp.reshape(frames_valid, (-1,)), (B,)), 2)
 
     def step(x, t_dt):
         t, dt = t_dt
         x2 = jnp.concatenate([x, x], axis=0)
         t2 = jnp.full((2 * B,), t, x.dtype)
-        dphi = conditional_decoder(p, cfg.estimator, x2, mask2, mu2, t2, spks2, cond2, ctx)
+        dphi = conditional_decoder(p, cfg.estimator, x2, mask2, mu2, t2, spks2,
+                                   cond2, ctx, frames_valid=fv2)
         d_cond, d_uncond = dphi[:B], dphi[B:]
         dphi = (1.0 + r) * d_cond - r * d_uncond
         return (x + dt * dphi).astype(x.dtype), None
@@ -401,6 +498,8 @@ def flow_inference(
     mel_norm: Tuple[float, float] = (-6.0, 2.0),
     flow_cache: Optional[jax.Array] = None,  # (1, 80, C, 2) z/mu carry
     return_cache: bool = False,
+    token_valid: Optional[jax.Array] = None,  # traced: true token count
+    mel_valid: Optional[jax.Array] = None,  # traced: true mel frames
 ):
     """Prompted inference (flow_model.py:475-551).  Python-int lengths -> one
     compiled program per (T_tok, T_ptok, T_pmel) bucket.
@@ -411,7 +510,17 @@ def flow_inference(
     ``flow_cache`` carries the prompt-region + last-34-frame z/mu across
     streamed chunks so consecutive windows share noise (flow_model.py:74-92).
     With return_cache=True returns (mel, new_cache).
-    """
+
+    ``token_valid``/``mel_valid`` (traced scalars, prompt-free only): the
+    length-masked serving bucket — ``token`` is padded to a static bucket and
+    ONE compiled program serves every true length in it (every per-length
+    program otherwise costs a fresh XLA compile in serving, minutes through a
+    remote runtime).  The first ``mel_valid`` output frames equal the
+    unpadded program's output (masked convs/statistics throughout; the z
+    noise draw differs in shape, which is distribution-preserving — the
+    reference draws its own rng anyway).  Callers slice
+    ``feat[:, :, :mel_valid]`` and should pass ``n_timesteps`` computed from
+    the TRUE length."""
     ctx = EVAL
     mean, std = mel_norm
     T_ptok = prompt_token.shape[1]
@@ -419,18 +528,31 @@ def flow_inference(
 
     spk = dense(p, "spk_embed_affine_layer", _l2_normalize(spk_embedding, axis=1), ctx)
 
+    if token_valid is not None:
+        assert T_ptok == 0 and prompt_feat.shape[1] == 0, \
+            "length-masked bucket path is prompt-free"
+        assert not return_cache, "bucketed (final) chunks do not emit a cache"
+        assert mel_valid is not None and n_timesteps is not None
+
     full_token = jnp.concatenate([prompt_token, token], axis=1)
-    token_len = jnp.asarray([T_ptok + T_tok], jnp.int32)
+    token_len = (jnp.asarray([T_ptok + T_tok], jnp.int32) if token_valid is None
+                 else jnp.reshape(token_valid, (1,)).astype(jnp.int32))
     h = flow_encode(p, cfg, full_token, token_len, ctx)
 
     mel_len1 = prompt_feat.shape[1]
     mel_len2 = int(T_tok / cfg.input_frame_rate * 22050 / 256)
     T = mel_len1 + mel_len2
 
-    h = length_regulator_inference(
-        p.sub("length_regulator"), h[:, :T_ptok], h[:, T_ptok:],
-        mel_len1, mel_len2, cfg.regulator_stages, cfg.input_frame_rate,
-    )
+    if token_valid is not None:
+        h = length_regulator_inference_valid(
+            p.sub("length_regulator"), h, token_valid, mel_len2, mel_valid,
+            cfg.regulator_stages, cfg.input_frame_rate,
+        )
+    else:
+        h = length_regulator_inference(
+            p.sub("length_regulator"), h[:, :T_ptok], h[:, T_ptok:],
+            mel_len1, mel_len2, cfg.regulator_stages, cfg.input_frame_rate,
+        )
 
     if finetuned_norm:
         prompt_feat = (prompt_feat - mean) / std
@@ -446,8 +568,11 @@ def flow_inference(
     # pad to even length for the U-Net; masked region is dropped afterwards.
     # Even T needs no padding — take the mask-free dense fast path.
     T_pad = T + (T % 2)
-    mask = None if T_pad == T else \
-        jnp.zeros((1, 1, T_pad), h.dtype).at[:, :, :T].set(1.0)
+    if token_valid is not None:
+        mask = (jnp.arange(T_pad)[None, None, :] < mel_valid).astype(h.dtype)
+    else:
+        mask = None if T_pad == T else \
+            jnp.zeros((1, 1, T_pad), h.dtype).at[:, :, :T].set(1.0)
     mu = jnp.pad(h.transpose(0, 2, 1), ((0, 0), (0, 0), (0, T_pad - T)))
     conds = jnp.pad(conds, ((0, 0), (0, 0), (0, T_pad - T)))
     z = jax.random.normal(rng, (1, cfg.output_size, T_pad), h.dtype)
@@ -465,7 +590,10 @@ def flow_inference(
             if mel_len1 > 0 else mu[:, :, T - 34 : T]
         new_cache = jnp.stack([z_cache, mu_cache], axis=-1)
 
-    feat = cfm_solve_euler(p.sub("decoder.estimator"), cfg, z, mask, mu, spk, conds, n_timesteps, ctx)
+    feat = cfm_solve_euler(p.sub("decoder.estimator"), cfg, z, mask, mu, spk,
+                           conds, n_timesteps, ctx,
+                           frames_valid=(None if token_valid is None
+                                         else mel_valid))
     feat = feat[:, :, mel_len1:T]
     if finetuned_norm:
         feat = feat * std + mean

@@ -168,14 +168,26 @@ def istft(
     imag: jax.Array,
     n_fft: int,
     hop: int,
+    valid_frames=None,  # traced scalar: only the first N frames are real
 ) -> jax.Array:
     """Inverse STFT with hann window and center=True semantics, matching
     torch.istft as used by HiFT (generator.py:512-518).
 
     Overlap-add with window-square normalization, then center-crop n_fft//2.
+
+    ``valid_frames`` (traced): the length-masked serving variant — spectrum
+    frames beyond it are zeroed and the window-square normalizer is built
+    from the valid frames only, so samples < hop*(valid_frames-1) equal an
+    unpadded istft over exactly ``valid_frames`` frames (the bucket-padded
+    HiFT program needs this; see models.hift.hift_inference mel_valid).
     """
     B, F, T = real.shape
     window = jnp.asarray(np.hanning(n_fft + 1)[:-1], jnp.float32)
+    fmask = None
+    if valid_frames is not None:
+        fmask = (jnp.arange(T) < valid_frames).astype(jnp.float32)
+        real = real * fmask[None, None, :]
+        imag = imag * fmask[None, None, :]
     # irfft as a real matmul (n_fft is 16 — two tiny constant DFT matrices);
     # complex dtypes are UNIMPLEMENTED on some TPU runtimes and the matmul
     # form is MXU-native anyway:
@@ -205,13 +217,23 @@ def istft(
         for r in range(R):
             sig = sig + jnp.pad(fr[:, :, r], ((0, 0), (r, R - 1 - r), (0, 0)))
         sig = sig.reshape(B, (T + R - 1) * hop)
-        # window-square normalizer: constant for given (T, n_fft, hop)
-        w2 = np.square(np.hanning(n_fft + 1)[:-1]).reshape(R, hop)
-        ws = np.zeros((T + R - 1, hop), np.float64)
-        for r in range(R):
-            ws[r : r + T] += w2[r]
-        wsum = jnp.asarray(ws.reshape(-1), jnp.float32)
+        # window-square normalizer: constant for given (T, n_fft, hop) — or
+        # built from the valid-frame mask on-device (tiny: (T+R-1, hop))
+        w2np = np.square(np.hanning(n_fft + 1)[:-1]).reshape(R, hop)
+        if fmask is None:
+            ws = np.zeros((T + R - 1, hop), np.float64)
+            for r in range(R):
+                ws[r : r + T] += w2np[r]
+            wsum = jnp.asarray(ws.reshape(-1), jnp.float32)
+        else:
+            w2 = jnp.asarray(w2np, jnp.float32)
+            wsd = jnp.zeros((T + R - 1, hop), jnp.float32)
+            for r in range(R):
+                wsd = wsd + jnp.pad(fmask[:, None] * w2[r][None, :],
+                                    ((r, R - 1 - r), (0, 0)))
+            wsum = wsd.reshape(-1)
     else:
+        assert fmask is None, "valid_frames requires n_fft % hop == 0"
         idx = (jnp.arange(T) * hop)[:, None] + jnp.arange(n_fft)[None, :]
         sig = jnp.zeros((B, out_len), jnp.float32)
         sig = sig.at[:, idx.reshape(-1)].add(frames.reshape(B, -1))

@@ -1,0 +1,174 @@
+"""Length-masked serving buckets: bucket-padded programs must reproduce the
+unpadded computation exactly (up to f32 reassociation noise) in the valid
+region.
+
+This is the TPU answer to per-length program compilation in serving: the
+reference (torch, dynamic shapes) runs every utterance length through one
+graph; XLA compiles one program PER SHAPE, so a serving path that sees
+arbitrary final-chunk lengths would pay a fresh compile per novel length
+(minutes through a remote runtime).  The bucketed programs take padded
+inputs + a traced true length and mask every length-sensitive op:
+convolutions (re-zeroed pads), GroupNorm statistics (valid-frames-only),
+attention (key bias), interpolation (traced scale), and the iSTFT
+window-square envelope.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cosy_tpu.config import replace
+from cosy_tpu.ctx import EVAL
+from cosy_tpu.params import P
+from cosy_tpu.models import flow as F
+from cosy_tpu.models.hift import hift_decode, hift_inference, f0_predict, init_hift_params
+
+from test_pipeline import MODEL_CFG
+
+FLOW_CFG = MODEL_CFG.flow
+HIFT_CFG = MODEL_CFG.hift
+
+
+def _close(a, b, name, atol=2e-4, rtol=2e-4):
+    a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+    assert a.shape == b.shape, (name, a.shape, b.shape)
+    err = np.max(np.abs(a - b) / (np.abs(b).max() + 1e-6))
+    assert err < atol + rtol, f"{name}: rel err {err:.2e}"
+
+
+@pytest.mark.parametrize("v,ov", [(7, 12), (20, 34), (40, 69), (64, 110)])
+def test_interpolate_linear_valid_matches_unpadded(v, ov):
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 5, 64))
+    ref = F.interpolate_linear(x[..., :v], ov)
+    got = F.interpolate_linear_valid(x, 128, jnp.asarray(v), jnp.asarray(ov))
+    _close(got[..., :ov], ref, "interp", atol=1e-5)
+    assert np.all(np.asarray(got[..., ov:]) == 0)
+
+
+@pytest.mark.parametrize("v", [12, 41, 64, 96])
+def test_length_regulator_valid_matches_unpadded(v):
+    cfg = FLOW_CFG
+    p = P(F.init_flow_params(jax.random.PRNGKey(1), cfg))
+    x2 = jax.random.normal(jax.random.PRNGKey(2), (1, 128, cfg.output_size))
+    mel_v = int(v / cfg.input_frame_rate * 22050 / 256)
+    mel_b = int(128 / cfg.input_frame_rate * 22050 / 256)
+    ref = F.length_regulator_inference(
+        p.sub("length_regulator"), x2[:, :0], x2[:, :v], 0, mel_v,
+        cfg.regulator_stages, cfg.input_frame_rate)
+    got = F.length_regulator_inference_valid(
+        p.sub("length_regulator"), x2, jnp.asarray(v), mel_b,
+        jnp.asarray(mel_v), cfg.regulator_stages, cfg.input_frame_rate)
+    _close(got[:, :mel_v], ref, f"regulator v={v}")
+    assert np.all(np.asarray(got[:, mel_v:]) == 0)
+
+
+@pytest.mark.parametrize("v", [30, 57])
+def test_flow_encode_masked_matches_unpadded(v):
+    cfg = FLOW_CFG
+    p = P(F.init_flow_params(jax.random.PRNGKey(3), cfg))
+    tok = jax.random.randint(jax.random.PRNGKey(4), (1, 96), 0, cfg.vocab_size)
+    ref = F.flow_encode(p, cfg, tok[:, :v], jnp.asarray([v]), EVAL)
+    got = F.flow_encode(p, cfg, tok, jnp.asarray([v]), EVAL)
+    _close(got[:, :v], ref, f"flow_encode v={v}")
+
+
+@pytest.mark.parametrize("v", [40, 62])
+def test_cfm_solve_masked_matches_unpadded(v):
+    """Bucket-padded Euler solve (mask + frames_valid GroupNorm statistics)
+    equals the unpadded dense solve in the valid region, with GARBAGE in the
+    pad region of every input."""
+    cfg = FLOW_CFG
+    p = P(F.init_flow_params(jax.random.PRNGKey(5), cfg)).sub("decoder.estimator")
+    T, Tb = v, 96
+    k = jax.random.PRNGKey(6)
+    z = jax.random.normal(k, (1, 80, Tb))
+    mu = jax.random.normal(jax.random.fold_in(k, 1), (1, 80, Tb))
+    spk = jax.random.normal(jax.random.fold_in(k, 2), (1, 80))
+    cond = jnp.zeros((1, 80, Tb))
+    vmask = (jnp.arange(Tb) < v).astype(jnp.float32)[None, None, :]
+    # unpadded reference: exact-length dense fast path (even T only)
+    assert T % 2 == 0
+    ref = F.cfm_solve_euler(p, cfg, z[:, :, :T], None, mu[:, :, :T], spk,
+                            cond[:, :, :T], 4, EVAL)
+    got = F.cfm_solve_euler(p, cfg, z, vmask, mu * vmask, spk, cond, 4, EVAL,
+                            frames_valid=jnp.asarray(v))
+    _close(got[:, :, :T], ref, f"cfm_solve v={v}")
+
+
+@pytest.mark.parametrize("v", [10, 17])
+def test_f0_predict_masked_matches_unpadded(v):
+    p = P(init_hift_params(jax.random.PRNGKey(7), HIFT_CFG)).sub("f0_predictor")
+    mel = jax.random.normal(jax.random.PRNGKey(8), (1, 80, 24))
+    mel_m = mel * (jnp.arange(24) < v)[None, None, :]
+    ref = f0_predict(p, mel[:, :, :v])
+    got = f0_predict(p, mel_m, mel_valid=jnp.asarray(v))
+    _close(got[:, :v], ref, f"f0 v={v}")
+
+
+@pytest.mark.parametrize("v", [9, 16])
+def test_hift_decode_masked_matches_unpadded(v):
+    """Bucket-padded HiFT decode (masked convs, reflected source boundary,
+    masked iSTFT envelope) equals the unpadded decode on the first
+    v*256 samples."""
+    cfg = HIFT_CFG
+    p = P(init_hift_params(jax.random.PRNGKey(9), cfg))
+    Tb = 24
+    up_total = int(np.prod(cfg.upsample_rates)) * cfg.istft_hop_len
+    mel = jax.random.normal(jax.random.PRNGKey(10), (1, 80, Tb))
+    mel_m = mel * (jnp.arange(Tb) < v)[None, None, :]
+    # deterministic comparison: take the source from an unpadded
+    # hift_inference, then bucket-pad it with the reflected boundary the
+    # masked program expects
+    _, s_u = hift_inference(p, cfg, jax.random.PRNGKey(11), mel[:, :, :v])
+    ref = hift_decode(p, cfg, mel[:, :, :v], s_u)
+    Lv = v * up_total
+    pad = cfg.istft_n_fft // 2
+    s_pad = jnp.zeros((1, 1, Tb * up_total))
+    s_pad = s_pad.at[:, :, :Lv].set(s_u)
+    s_pad = s_pad.at[:, :, Lv:Lv + pad].set(jnp.flip(s_u[:, :, Lv - pad - 1:Lv - 1], axis=2))
+    got = hift_decode(p, cfg, mel_m, s_pad, mel_valid=jnp.asarray(v))
+    _close(got[:, :Lv], ref, f"hift v={v}")
+
+
+@pytest.mark.parametrize("v", [9, 16])
+def test_hift_inference_masked_runs_and_prefix_finite(v):
+    """hift_inference(mel_valid=...) end-to-end: the noise draw shape differs
+    from the unpadded program (distribution-preserving), so assert structure:
+    finite valid region, exact-zero source beyond the reflected boundary."""
+    cfg = HIFT_CFG
+    p = P(init_hift_params(jax.random.PRNGKey(12), cfg))
+    Tb, up_total = 24, int(np.prod(cfg.upsample_rates)) * cfg.istft_hop_len
+    mel = jax.random.normal(jax.random.PRNGKey(13), (1, 80, Tb))
+    mel_m = mel * (jnp.arange(Tb) < v)[None, None, :]
+    wav, s = hift_inference(p, cfg, jax.random.PRNGKey(14), mel_m,
+                            mel_valid=jnp.asarray(v))
+    Lv = v * up_total
+    pad = cfg.istft_n_fft // 2
+    assert np.isfinite(np.asarray(wav[:, :Lv])).all()
+    s = np.asarray(s)
+    assert np.all(s[:, :, Lv + pad:] == 0)
+    np.testing.assert_allclose(s[0, 0, Lv:Lv + pad],
+                               s[0, 0, Lv - 2:Lv - pad - 2:-1], rtol=1e-6)
+
+
+@pytest.mark.parametrize("v_tok", [4, 11])
+def test_flow_inference_bucketed_prompt_free(v_tok):
+    """flow_inference(token_valid=...): one program per bucket; valid mel is
+    finite and the pad region is dropped by the caller.  Exactness of every
+    masked stage is pinned by the tests above; the full program differs from
+    the unpadded one only in the z-noise draw shape (distributional)."""
+    cfg = FLOW_CFG
+    p = P(F.init_flow_params(jax.random.PRNGKey(15), cfg))
+    Tb = 16
+    tok = jax.random.randint(jax.random.PRNGKey(16), (1, Tb), 0, cfg.vocab_size)
+    tok = tok * (jnp.arange(Tb) < v_tok)[None, :]
+    mel_v = int(v_tok / cfg.input_frame_rate * 22050 / 256)
+    spk = jax.random.normal(jax.random.PRNGKey(17), (1, cfg.spk_embed_dim))
+    feat = F.flow_inference(
+        p, cfg, jax.random.PRNGKey(18), tok,
+        jnp.zeros((1, 0), jnp.int32), jnp.zeros((1, 0, 80)), spk,
+        n_timesteps=4, finetuned_norm=True,
+        token_valid=jnp.asarray(v_tok), mel_valid=jnp.asarray(mel_v))
+    assert feat.shape[2] == int(Tb / cfg.input_frame_rate * 22050 / 256)
+    assert np.isfinite(np.asarray(feat[:, :, :mel_v])).all()
