@@ -379,6 +379,13 @@ class InferenceConfig:
     # ~1.24x tokens/s measured, PERF.md).  Off by default: it perturbs the
     # sampled token distribution slightly vs the bf16 reference path.
     int8_decode: bool = False
+    # bucketed final streaming chunk: pad the final token window to a static
+    # bucket + traced true length so ONE compiled program serves every
+    # final-window length (each novel length otherwise compiles a fresh
+    # program mid-stream — minutes through a remote runtime).  The valid
+    # region is exactly the unpadded computation (test_bucket_masking); only
+    # the noise draw shapes differ (distribution-preserving).
+    bucket_final: bool = True
 
 
 def replace(cfg, **kw):

@@ -57,6 +57,30 @@ def fade_in_out_jnp(fade_in: jax.Array, fade_out: jax.Array, window) -> jax.Arra
     return jnp.concatenate([head, fade_in[..., n:]], axis=-1)
 
 
+def fade_in_out_valid_jnp(fade_in: jax.Array, fade_out: jax.Array, window,
+                          valid: jax.Array) -> jax.Array:
+    """fade_in_out with the clamp length TRACED: the bucketed final-chunk
+    program carries fade_in at a static bucket width, so the host-side clamp
+    ``n = min(half, len(fade_in), len(fade_out))`` must use the TRUE length
+    (``valid``) instead of the bucket — the unpadded program crossfades only
+    min(half, true_len) frames when the final chunk is shorter than the
+    overlap window."""
+    ov = int(fade_out.shape[-1])
+    half = int(window.shape[0]) // 2
+    n_static = min(half, int(fade_in.shape[-1]), ov)
+    if n_static == 0:
+        return fade_in
+    n = jnp.minimum(jnp.asarray(n_static), valid)
+    win = jnp.asarray(window, fade_in.dtype)
+    j = jnp.arange(n_static)
+    # fade_out[..., -n:][j] with traced n: index ov - n + j, clamped
+    idx = jnp.clip(ov - n + j, 0, ov - 1)
+    tail = jnp.take(fade_out, idx, axis=-1)
+    mixed = fade_in[..., :n_static] * win[:n_static] + tail * win[half:half + n_static]
+    head = jnp.where(j < n, mixed, fade_in[..., :n_static])
+    return jnp.concatenate([head, fade_in[..., n_static:]], axis=-1)
+
+
 def _batch_prefixes(built):
     """LEFT-pad per-request prefixes into one batch (shared absolute
     positions/cache slots; see llm_decode_batch).  ``built`` is a list of
@@ -168,6 +192,43 @@ class TTSPipeline:
                     new_hift_mel, new_source, new_speech, new_cache)
 
         self._t2w_stream_jit = jax.jit(_t2w_stream_fn, static_argnames=("trim",))
+
+        # bucketed FINAL chunk (prompt-free): token window padded to a static
+        # bucket + traced true lengths — ONE compiled program serves every
+        # final-window length (each distinct length otherwise costs a fresh
+        # XLA compile in serving: the stream stalls minutes through a remote
+        # runtime the first time a novel length appears).  The valid region
+        # is exactly the unpadded program's output (tests/test_bucket_masking
+        # pins every masked stage); only the z / sine-noise draw shapes
+        # differ, which is distribution-preserving.
+        def _t2w_final_fn(flow_p, hift_p, rng, token, tok_valid, mel_valid,
+                          spk, mel_overlap, hift_mel, hift_source,
+                          hift_speech, flow_cache, *, n_timesteps):
+            k_flow, k_hift = jax.random.split(rng)  # matches token2wav
+            mel = F.flow_inference(
+                P(flow_p), self.cfg.flow, k_flow, token,
+                jnp.zeros((1, 0), jnp.int32), jnp.zeros((1, 0, 80)), spk,
+                n_timesteps=n_timesteps, finetuned_norm=self.finetuned_norm,
+                mel_norm=(self.cfg.mel_mean, self.cfg.mel_std),
+                flow_cache=flow_cache if flow_cache.shape[2] else None,
+                token_valid=tok_valid, mel_valid=mel_valid)
+            hift_valid = mel_valid
+            if mel_overlap.shape[2]:
+                mel = fade_in_out_valid_jnp(mel, mel_overlap, self.mel_window,
+                                            mel_valid)
+            if hift_mel.shape[2]:
+                mel = jnp.concatenate([hift_mel, mel], axis=2)
+                hift_valid = hift_valid + hift_mel.shape[2]
+            wav, _ = H.hift_inference(
+                P(hift_p), self.cfg.hift, k_hift, mel,
+                hift_source if hift_source.shape[2] else None,
+                mel_valid=hift_valid)
+            if hift_speech.shape[1]:
+                wav = fade_in_out_jnp(wav, hift_speech, self.speech_window)
+            return wav  # callers slice [:, :(hift_valid)*256]
+
+        self._t2w_final_jit = jax.jit(_t2w_final_fn,
+                                      static_argnames=("n_timesteps",))
 
         # fused non-streaming token2wav: flow solve + boundary trim + HiFT in
         # ONE program — through the remote-TPU runtime each extra program
@@ -515,6 +576,15 @@ class TTSPipeline:
         if sres is not None:
             return sres
 
+        # bucketed FINAL chunk: one program per (bucket, state-shape) serves
+        # every final-window length — the per-length staged programs below
+        # would cost a fresh XLA compile for each novel length in serving
+        if (self.icfg.bucket_final and stream_state is not None and finalize
+                and speed == 1.0 and prompt_token.shape[1] == 0
+                and prompt_feat.shape[1] == 0 and token.shape[1] > 0):
+            return self._token2wav_final_bucketed(rng, token, spk_embedding,
+                                                  stream_state, sync)
+
         carry = stream_state.flow_cache if stream_state is not None else None
         mel, new_flow_cache = self._flow_jit(
             self.flow_params, k_flow,
@@ -560,6 +630,39 @@ class TTSPipeline:
         if stream_state.hift_speech is not None:
             wav = fade_in_out(wav, stream_state.hift_speech, self.speech_window)
         return wav, None
+
+    def _token2wav_final_bucketed(self, rng, token, spk_embedding,
+                                  stream_state, sync=True):
+        """Host wrapper for the bucketed final-chunk program (_t2w_final_jit):
+        pad the token window to the bucket, pass the traced true lengths,
+        slice the wav back to the true length.  n_timesteps is chosen from
+        the TRUE length, matching flow_inference's own selection."""
+        n = int(token.shape[1])
+        BKT = 32
+        tb = max(BKT, -(-n // BKT) * BKT)
+        mel2 = int(n / self.cfg.flow.input_frame_rate * 22050 / 256)
+        nfe = (self.icfg.nfe_long if mel2 > self.icfg.nfe_long_threshold else
+               self.icfg.nfe_mid if mel2 > self.icfg.nfe_mid_threshold else
+               self.icfg.nfe_short)
+        tok_pad = np.pad(np.asarray(token, np.int32), ((0, 0), (0, tb - n)))
+
+        def _z(x, *shape):
+            return np.asarray(x) if x is not None else np.zeros(shape, np.float32)
+
+        st = stream_state
+        hift_mel_w = 0 if st.hift_mel is None else int(st.hift_mel.shape[2])
+        wav = self._t2w_final_jit(
+            self.flow_params, self.hift_params, rng, jnp.asarray(tok_pad),
+            jnp.asarray(n), jnp.asarray(mel2),
+            jnp.asarray(np.asarray(spk_embedding)),
+            jnp.asarray(np.asarray(st.mel_overlap)),
+            jnp.asarray(_z(st.hift_mel, 1, 80, 0)),
+            jnp.asarray(_z(st.hift_source, 1, 1, 0)),
+            jnp.asarray(_z(st.hift_speech, 1, 0)),
+            jnp.asarray(_z(st.flow_cache, 1, 80, 0, 2)),
+            n_timesteps=nfe)
+        wav = wav[:, : (hift_mel_w + mel2) * 256]
+        return (wav if not sync else np.asarray(wav)), None
 
     def _token2wav_fused(self, rng, token, prompt_token, prompt_feat,
                          spk_embedding, stream_state, finalize, speed):

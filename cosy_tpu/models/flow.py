@@ -597,6 +597,10 @@ def flow_inference(
     feat = feat[:, :, mel_len1:T]
     if finetuned_norm:
         feat = feat * std + mean
+    if token_valid is not None:
+        # pad region still carries z-noise (the solve only writes masked
+        # velocity); downstream masked HiFT requires exact zeros there
+        feat = feat * (jnp.arange(feat.shape[2])[None, None, :] < mel_valid)
     if return_cache:
         return feat, new_cache
     return feat

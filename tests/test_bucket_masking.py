@@ -152,6 +152,52 @@ def test_hift_inference_masked_runs_and_prefix_finite(v):
                                s[0, 0, Lv - 2:Lv - pad - 2:-1], rtol=1e-6)
 
 
+def test_pipeline_final_chunk_bucketed_one_program():
+    """Streaming finals of DIFFERENT lengths share one compiled program
+    (the whole point: no per-length compile stalls mid-stream), and the
+    audio stays finite with the right length."""
+    from test_pipeline import _build_pipeline
+    from cosy_tpu.infer.pipeline import StreamState
+
+    pipe = _build_pipeline()
+    fr = pipe.cfg.flow.input_frame_rate
+    spk = np.zeros((1, pipe.cfg.llm.spk_embed_dim), np.float32)
+    r = np.random.default_rng(0)
+    outs = []
+    for i, n in enumerate([3, 5, 9]):  # three distinct final-window lengths
+        st = StreamState(mel_overlap=np.zeros((1, 80, 0), np.float32))
+        tok = r.integers(0, pipe.cfg.flow.vocab_size, (1, n)).astype(np.int32)
+        wav, _ = pipe.token2wav(jax.random.PRNGKey(30 + i), tok, None, None,
+                                spk, stream_state=st, finalize=True)
+        mel2 = int(n / fr * 22050 / 256)
+        assert wav.shape[1] == mel2 * 256
+        assert np.isfinite(wav).all()
+        outs.append(wav)
+    # one (bucket, state-shape) program served all three lengths
+    assert pipe._t2w_final_jit._cache_size() == 1
+
+
+def test_pipeline_streaming_with_bucketed_final_matches_structure():
+    """Full streaming synthesis with bucket_final on: same chunk count and
+    chunk lengths as with it off (the final chunk's audio differs only by
+    the noise draw, which is distribution-preserving)."""
+    from test_pipeline import _build_pipeline
+    from cosy_tpu.config import replace as cfg_replace
+
+    pipe = _build_pipeline()
+    text = np.random.default_rng(3).integers(0, 40, (1, 12)).astype(np.int32)
+    on = list(pipe.synthesize(jax.random.PRNGKey(9), text, stream=True))
+    pipe_off = _build_pipeline()
+    pipe_off.icfg = cfg_replace(pipe_off.icfg, bucket_final=False)
+    off = list(pipe_off.synthesize(jax.random.PRNGKey(9), text, stream=True))
+    assert len(on) == len(off)
+    for a, b in zip(on, off):
+        assert a["tts_speech"].shape == b["tts_speech"].shape
+    # non-final chunks ride the exact fused-stream path — identical audio
+    for a, b in zip(on[:-1], off[:-1]):
+        np.testing.assert_allclose(a["tts_speech"], b["tts_speech"], atol=1e-5)
+
+
 @pytest.mark.parametrize("v_tok", [4, 11])
 def test_flow_inference_bucketed_prompt_free(v_tok):
     """flow_inference(token_valid=...): one program per bucket; valid mel is
