@@ -139,6 +139,10 @@ class TTSPipeline:
         self.mel_cache_len = 20
         self.source_cache_len = self.mel_cache_len * 256
         self.speech_window = np.hamming(2 * self.source_cache_len)
+        # bucketed final chunk: single static token bucket (final windows are
+        # < hop + overlap by the streaming loops' construction)
+        self._final_tok_bucket = -(-(self.token_min_hop_len +
+                                     self.token_overlap_len) // 32) * 32
 
         # jitted stages — eager execution through a remote-TPU runtime is
         # per-op RPC (seconds per stage); jit makes each stage one program
@@ -581,7 +585,8 @@ class TTSPipeline:
         # would cost a fresh XLA compile for each novel length in serving
         if (self.icfg.bucket_final and stream_state is not None and finalize
                 and speed == 1.0 and prompt_token.shape[1] == 0
-                and prompt_feat.shape[1] == 0 and token.shape[1] > 0):
+                and prompt_feat.shape[1] == 0
+                and 0 < token.shape[1] <= self._final_tok_bucket):
             return self._token2wav_final_bucketed(rng, token, spk_embedding,
                                                   stream_state, sync)
 
@@ -638,8 +643,11 @@ class TTSPipeline:
         slice the wav back to the true length.  n_timesteps is chosen from
         the TRUE length, matching flow_inference's own selection."""
         n = int(token.shape[1])
-        BKT = 32
-        tb = max(BKT, -(-n // BKT) * BKT)
+        # ONE fixed bucket (the final window is < hop + overlap tokens by the
+        # streaming loops' construction): a granularity ladder would still
+        # compile a novel program the first time a new rung appears
+        # mid-serving — measured as a ~90 s stream stall through the tunnel
+        tb = self._final_tok_bucket
         mel2 = int(n / self.cfg.flow.input_frame_rate * 22050 / 256)
         nfe = (self.icfg.nfe_long if mel2 > self.icfg.nfe_long_threshold else
                self.icfg.nfe_mid if mel2 > self.icfg.nfe_mid_threshold else

@@ -64,8 +64,13 @@ class TTS2Pipeline:
         self.icfg = infer_cfg
         self.token_hop_len = 25  # model.py:307 — must match training chunks
         self.mel_cache_len = 8
+        self.hop_samples = hop_samples
         self.source_cache_len = self.mel_cache_len * hop_samples
         self.speech_window = np.hamming(2 * self.source_cache_len)
+        # bucketed final chunk: static un-emitted window width (the streaming
+        # loops leave < hop + lookahead un-emitted tokens for the final)
+        self._final_out_tokens = -(-(self.token_hop_len +
+                                     flow_cfg.pre_lookahead_len) // 32) * 32
 
         # jitted stages (eager = per-op RPC on remote TPU runtimes; one
         # program per shape bucket instead — see pipeline.py)
@@ -124,6 +129,42 @@ class TTS2Pipeline:
 
         self._t2w_stream_jit = jax.jit(
             _t2w_stream_fn, static_argnames=("offset", "streaming", "n_timesteps"))
+
+        # bucketed FINAL chunk (prompt-free): the final window is the FULL
+        # cumulative token stream at a data-dependent length and offset, so
+        # the staged path compiles one program per (length, offset) pair —
+        # unbounded in serving.  This program pads tokens to a static bucket,
+        # takes the true length and emitted-offset as traced scalars, and
+        # dynamic-slices the un-emitted mel window (static out_tokens width).
+        # BIT-exact vs the unpadded program: causal estimator + fixed seeded
+        # noise (see flow2_inference token_valid).
+        def _t2w_final_fn(flow_p, hift_p, rng, token, tok_valid, off_tok, spk,
+                          hift_mel, hift_source, hift_speech, *, out_tokens,
+                          n_timesteps):
+            r = self.fcfg.token_mel_ratio
+            mel = flow2_inference(
+                P(flow_p), self.fcfg, token, jnp.zeros((1, 0), jnp.int32),
+                jnp.zeros((1, 0, 80)), spk, streaming=False, finalize=True,
+                n_timesteps=n_timesteps, token_valid=tok_valid)
+            # un-emitted window [off*r, off*r + out_tokens*r) — pad so the
+            # traced start never clamps
+            mel = jnp.pad(mel, ((0, 0), (0, 0), (0, out_tokens * r)))
+            melw = jax.lax.dynamic_slice_in_dim(mel, off_tok * r,
+                                                out_tokens * r, axis=2)
+            hift_valid = (tok_valid - off_tok) * r
+            if hift_mel.shape[2]:
+                melw = jnp.concatenate([hift_mel, melw], axis=2)
+                hift_valid = hift_valid + hift_mel.shape[2]
+            wav, _ = H.hift_inference(
+                P(hift_p), self.hcfg, rng, melw,
+                hift_source if hift_source.shape[2] else None,
+                mel_valid=hift_valid)
+            if hift_speech.shape[1]:
+                wav = fade_in_out_jnp(wav, hift_speech, self.speech_window)
+            return wav  # callers slice [:, :hift_valid * hop_samples]
+
+        self._t2w_final_jit = jax.jit(
+            _t2w_final_fn, static_argnames=("out_tokens", "n_timesteps"))
 
         def _decode_fn(params, rng, prefix, min_len, *, max_len, top_p, top_k,
                        win_size, tau_r):
@@ -443,6 +484,17 @@ class TTS2Pipeline:
         prompt_token = prompt_token if prompt_token is not None else np.zeros((1, 0), np.int32)
         prompt_feat = prompt_feat if prompt_feat is not None else np.zeros((1, 0, 80), np.float32)
 
+        # bucketed FINAL chunk (streaming context, state given): one program
+        # per token bucket serves every (length, offset) pair — the fused and
+        # staged paths below compile one program per pair, which is unbounded
+        # in serving
+        if (self.icfg.bucket_final and state is not None and finalize
+                and speed == 1.0 and prompt_token.shape[1] == 0
+                and prompt_feat.shape[1] == 0
+                and 0 < token.shape[1] - token_offset <= self._final_out_tokens):
+            return self._token2wav_final_bucketed(
+                rng, token, spk_embedding, token_offset, state, sync)
+
         fut = self._token2wav_fused(rng, token, prompt_token, prompt_feat,
                                     spk_embedding, token_offset, state,
                                     stream, finalize, speed)
@@ -462,6 +514,42 @@ class TTS2Pipeline:
             streaming=stream, finalize=finalize,
             n_timesteps=self.icfg.nfe_short,
         )
+        return self._token2wav_staged_tail(rng, mel, token_offset, state,
+                                           finalize, speed)
+
+    def _token2wav_final_bucketed(self, rng, token, spk_embedding,
+                                  token_offset, state, sync=True):
+        """Host wrapper for the bucketed final-chunk program (_t2w_final_jit):
+        pad the cumulative token stream to a 64-token bucket, pass the true
+        length and emitted offset as traced scalars, slice the wav to the
+        true un-emitted length."""
+        n = int(token.shape[1])
+        # the CV2 final runs the FULL cumulative stream through the flow, so
+        # a single bucket is impossible — coarse 128-token rungs keep the
+        # program count at max_len/128 (each warmable; the extra masked
+        # compute per final is ~1 ms)
+        BKT = 128
+        tb = max(BKT, -(-n // BKT) * BKT)
+        tok_pad = np.pad(np.asarray(token, np.int32), ((0, 0), (0, tb - n)))
+
+        def _z(x, *shape):
+            return np.asarray(x) if x is not None else np.zeros(shape, np.float32)
+
+        hift_mel_w = 0 if state.hift_mel is None else int(state.hift_mel.shape[2])
+        wav = self._t2w_final_jit(
+            self.flow_params, self.hift_params, rng, jnp.asarray(tok_pad),
+            jnp.asarray(n), jnp.asarray(int(token_offset)),
+            jnp.asarray(np.asarray(spk_embedding)),
+            jnp.asarray(_z(state.hift_mel, 1, 80, 0)),
+            jnp.asarray(_z(state.hift_source, 1, 1, 0)),
+            jnp.asarray(_z(state.hift_speech, 1, 0)),
+            out_tokens=self._final_out_tokens, n_timesteps=self.icfg.nfe_short)
+        hift_valid = hift_mel_w + (n - int(token_offset)) * self.fcfg.token_mel_ratio
+        wav = wav[:, : hift_valid * self.hop_samples]
+        return (wav if not sync else np.asarray(wav)), None
+
+    def _token2wav_staged_tail(self, rng, mel, token_offset, state, finalize,
+                               speed):
         mel = np.asarray(mel)[:, :, token_offset * self.fcfg.token_mel_ratio :]
 
         if state is None:

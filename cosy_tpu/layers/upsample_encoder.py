@@ -60,11 +60,22 @@ def upsample_encoder_forward(
     up_stride: int = 2,
     pre_lookahead_len: int = 3,
     token_chunk_size: int = 25,
+    mask_pads_exact: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Returns (xs (B, T*stride, D), pad_mask at token rate)."""
+    """Returns (xs (B, T*stride, D), pad_mask at token rate).
+
+    ``mask_pads_exact``: the length-masked serving buckets (see
+    flow2_inference token_valid) need pad positions re-zeroed after the
+    embed projection and the lookahead layer — both are bias-producing, and
+    the lookahead conv looks RIGHT into the pad region, so a bucket-padded
+    input would otherwise differ from the unpadded program near the valid
+    boundary.  Off for training: the reference feeds padded batches through
+    these layers unmasked, and parity requires matching that."""
     B, T, _ = xs.shape
     pad_mask = M.make_non_pad_mask(xs_lens, T)[:, None, :]
     xs, pos_emb = embed_input(p, cfg, xs, ctx, xscale=True)
+    if mask_pads_exact:
+        xs = xs * pad_mask.transpose(0, 2, 1).astype(xs.dtype)
     ctx_emb = None
     if context is not None and context.shape[1] != 0:
         c, _ = embed_input(p, cfg, context, ctx, xscale=True)
@@ -74,6 +85,8 @@ def upsample_encoder_forward(
     attn_bias = M.mask_to_bias(chunk_masks, xs.dtype)
 
     xs = pre_lookahead(p.sub("pre_lookahead_layer"), xs, pre_lookahead_len, ctx, ctx_emb)
+    if mask_pads_exact:
+        xs = xs * pad_mask.transpose(0, 2, 1).astype(xs.dtype)
     for i in range(cfg.num_blocks):
         xs = conformer_layer(p, f"encoders.{i}", cfg, xs, attn_bias, pos_emb, pad_mask, ctx)
 

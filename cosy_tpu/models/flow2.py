@@ -73,7 +73,8 @@ def fixed_noise(n_mels: int = 80, length: int = 50 * 300) -> np.ndarray:
 
 
 def flow2_encode(p: P, cfg: Flow2Config, token, token_len, ctx: Ctx,
-                 streaming: bool = False, context=None):
+                 streaming: bool = False, context=None,
+                 mask_pads_exact: bool = False):
     T_tok = token.shape[1]
     tok_mask = M.make_non_pad_mask(token_len, T_tok)[:, :, None]
     emb = embedding(p, "input_embedding", token, clamp_min=0)
@@ -87,6 +88,7 @@ def flow2_encode(p: P, cfg: Flow2Config, token, token_len, ctx: Ctx,
         num_up_blocks=cfg.num_up_blocks, up_stride=cfg.token_mel_ratio,
         pre_lookahead_len=cfg.pre_lookahead_len,
         token_chunk_size=cfg.encoder.static_chunk_size,
+        mask_pads_exact=mask_pads_exact,
     )
     return dense(p, "encoder_proj", h, ctx)
 
@@ -169,24 +171,39 @@ def flow2_inference(
     streaming: bool = False,
     finalize: bool = True,
     n_timesteps: int = 10,
+    token_valid: Optional[jax.Array] = None,  # traced: true token count
 ) -> jax.Array:
     """Chunked/streaming inference (flow.py:235-281).  Returns (1, 80, T_out)
     where T_out = token_mel_ratio * target token count (minus lookahead when
-    finalize=False)."""
+    finalize=False).
+
+    ``token_valid`` (traced, finalize + prompt-free only): the length-masked
+    serving bucket — ``token`` is padded to a static bucket and ONE compiled
+    program serves every true length in it (see flow.flow_inference).  The
+    first ``token_valid * token_mel_ratio`` mel frames are BIT-exact vs the
+    unpadded program: the causal estimator's convs cannot leak pads, the
+    attention key-masks them, LayerNorms are per-position, and the noise is
+    the fixed seeded buffer (same prefix at every length)."""
     ctx = EVAL
     spk = dense(p, "spk_embed_affine_layer", _l2_normalize(spk_embedding, axis=1), ctx)
 
     full = jnp.concatenate([prompt_token, token], axis=1)
     T_all = full.shape[1]
+    if token_valid is not None:
+        assert finalize and prompt_token.shape[1] == 0 \
+            and prompt_feat.shape[1] == 0, \
+            "length-masked bucket path is finalize-only and prompt-free"
     if finalize:
         token_in, context = full, None
         n_in = T_all
     else:
         token_in, context = full[:, : -cfg.pre_lookahead_len], full[:, -cfg.pre_lookahead_len:]
         n_in = T_all - cfg.pre_lookahead_len
-    token_len = jnp.asarray([n_in], jnp.int32)
+    token_len = (jnp.asarray([n_in], jnp.int32) if token_valid is None
+                 else jnp.reshape(token_valid, (1,)).astype(jnp.int32))
 
-    h = flow2_encode(p, cfg, token_in, token_len, ctx, streaming=streaming, context=context)
+    h = flow2_encode(p, cfg, token_in, token_len, ctx, streaming=streaming,
+                     context=context, mask_pads_exact=token_valid is not None)
     mel_len1 = prompt_feat.shape[1]
     T = h.shape[1]
     mel_len2 = T - mel_len1
@@ -200,8 +217,12 @@ def flow2_inference(
     # even T (token_mel_ratio=2 guarantees it when mel_len1 is even) takes the
     # mask-free dense fast path (see unet.py _mul_mask)
     T_pad = T + (T % 2)
-    mask = None if T_pad == T else \
-        jnp.zeros((1, 1, T_pad), h.dtype).at[:, :, :T].set(1.0)
+    if token_valid is not None:
+        mel_valid = token_valid * cfg.token_mel_ratio
+        mask = (jnp.arange(T_pad)[None, None, :] < mel_valid).astype(h.dtype)
+    else:
+        mask = None if T_pad == T else \
+            jnp.zeros((1, 1, T_pad), h.dtype).at[:, :, :T].set(1.0)
     mu = jnp.pad(h.transpose(0, 2, 1), ((0, 0), (0, 0), (0, T_pad - T)))
     conds = jnp.pad(conds, ((0, 0), (0, 0), (0, T_pad - T)))
 
@@ -232,7 +253,12 @@ def flow2_inference(
         return (x + dt * d).astype(x.dtype), None
 
     x, _ = jax.lax.scan(step, noise, (ts, dts))
-    return x[:, :, mel_len1:T].astype(jnp.float32)
+    out = x[:, :, mel_len1:T].astype(jnp.float32)
+    if token_valid is not None:
+        # pad region still carries the fixed noise (the solve only writes
+        # masked velocity); downstream masked HiFT requires exact zeros
+        out = out * (jnp.arange(out.shape[2])[None, None, :] < mel_valid)
+    return out
 
 
 def init_flow2_params(key: jax.Array, cfg: Flow2Config) -> Params:

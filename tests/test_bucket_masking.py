@@ -198,6 +198,61 @@ def test_pipeline_streaming_with_bucketed_final_matches_structure():
         np.testing.assert_allclose(a["tts_speech"], b["tts_speech"], atol=1e-5)
 
 
+@pytest.mark.parametrize("v_tok", [5, 14])
+def test_flow2_inference_bucketed_matches_unpadded(v_tok):
+    """CosyVoice2 bucketed flow (token_valid): EXACT vs the unpadded program
+    including the noise — the fixed seeded buffer has the same prefix at
+    every length (flow2 fixed_noise), the causal estimator's convs cannot
+    leak pads, and attention key-masks them."""
+    from test_pipeline2 import FCFG
+    from cosy_tpu.models.flow2 import flow2_inference, init_flow2_params
+
+    cfg = FCFG
+    p = P(init_flow2_params(jax.random.PRNGKey(20), cfg))
+    Tb = 32
+    tok = jax.random.randint(jax.random.PRNGKey(21), (1, Tb), 0, cfg.vocab_size)
+    spk = jax.random.normal(jax.random.PRNGKey(22), (1, cfg.spk_embed_dim))
+    zt = jnp.zeros((1, 0), jnp.int32)
+    zf = jnp.zeros((1, 0, 80))
+    ref = flow2_inference(p, cfg, tok[:, :v_tok], zt, zf, spk,
+                          streaming=False, finalize=True, n_timesteps=2)
+    got = flow2_inference(p, cfg, tok, zt, zf, spk, streaming=False,
+                          finalize=True, n_timesteps=2,
+                          token_valid=jnp.asarray(v_tok))
+    r = cfg.token_mel_ratio
+    _close(got[:, :, :v_tok * r], ref[:, :, :v_tok * r], f"flow2 v={v_tok}")
+    assert np.all(np.asarray(got[:, :, v_tok * r:]) == 0)
+
+
+def test_pipeline2_final_chunk_bucketed_one_program():
+    """CV2 streaming finals at different (length, offset) pairs share one
+    compiled program.  The mel is bit-exact vs the unpadded program (fixed
+    flow noise — pinned by test_flow2_inference_bucketed_matches_unpadded);
+    the wav differs only by HiFT's shape-dependent sine/noise draw
+    (distribution-preserving), so compare at noise tolerance."""
+    from test_pipeline2 import _pipe
+    from cosy_tpu.infer.pipeline2 import Stream2State
+    from cosy_tpu.config import replace as cfg_replace
+
+    pipe = _pipe()
+    pipe_off = _pipe()
+    pipe_off.icfg = cfg_replace(pipe_off.icfg, bucket_final=False)
+    spk = np.zeros((1, pipe.fcfg.spk_embed_dim), np.float32)
+    r = np.random.default_rng(7)
+    for i, (n, off) in enumerate([(6, 4), (9, 4), (11, 8)]):
+        tok = r.integers(0, pipe.fcfg.vocab_size, (1, n)).astype(np.int32)
+        k = jax.random.PRNGKey(50 + i)
+        wav_b, _ = pipe.token2wav(k, tok, None, None, spk, token_offset=off,
+                                  state=Stream2State(), finalize=True)
+        wav_s, _ = pipe_off.token2wav(k, tok, None, None, spk,
+                                      token_offset=off, state=Stream2State(),
+                                      finalize=True)
+        assert wav_b.shape == wav_s.shape, (n, off)
+        np.testing.assert_allclose(wav_b, wav_s, atol=0.05,
+                                   err_msg=f"n={n} off={off}")
+    assert pipe._t2w_final_jit._cache_size() == 1
+
+
 @pytest.mark.parametrize("v_tok", [4, 11])
 def test_flow_inference_bucketed_prompt_free(v_tok):
     """flow_inference(token_valid=...): one program per bucket; valid mel is

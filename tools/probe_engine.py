@@ -82,6 +82,7 @@ def run_requests(eng, cfg, n_req, text_len, stagger_s):
 
 
 def main():
+    jax.config.update("jax_log_compiles", True)  # show mid-run cold compiles
     cfg, pipe = make_pipeline()
     print(f"devices: {jax.devices()}", flush=True)
     eng = ContinuousBatchEngine(pipe, slots=4, prefix_len=64, max_len=512)
@@ -105,30 +106,34 @@ def main():
         print(f"    submit {s[0]:5.2f}  ttfa {s[1]:5.2f}  done {s[2]:6.2f}  "
               f"audio {s[3]:5.2f}s", flush=True)
 
-    # B: mid-flight join — long request decoding, newcomer joins
+    # B: mid-flight join — long request decoding, newcomer joins.  Run
+    # twice: the first pass eats any shapes scenario A didn't compile (the
+    # engine loop is single-threaded, so ONE cold compile stalls every
+    # stream in flight); the second pass is the steady-state number.
     import threading
     rng = np.random.default_rng(1)
     ids_long = rng.integers(0, cfg.llm.text_token_size, (1, 24)).astype(np.int32)
     ids_short = rng.integers(0, cfg.llm.text_token_size, (1, 8)).astype(np.int32)
-    r1 = eng.submit(jax.random.PRNGKey(7), ids_long)
-    t_done1 = []
-    th = threading.Thread(target=lambda: (
-        [None for _ in r1.chunks()], t_done1.append(time.perf_counter())))
-    th.start()
-    base_seg = eng.segments_run
-    while eng.segments_run < base_seg + 2:  # r1 is mid-decode
-        time.sleep(0.01)
-    t_sub = time.perf_counter()
-    r2 = eng.submit(jax.random.PRNGKey(8), ids_short)
-    ttfa2 = None
-    for c in r2.chunks():
-        if ttfa2 is None:
-            ttfa2 = time.perf_counter() - t_sub
-    th.join(timeout=1800)
-    drain_left = t_done1[0] - t_sub if t_done1 else float("nan")
-    print(f"[B join] newcomer TTFA {ttfa2:.2f}s while the running request "
-          f"still had {drain_left:.2f}s of decode left "
-          f"(cohort lock-step would have waited for it)", flush=True)
+    for label in ("cold", "warm"):
+        r1 = eng.submit(jax.random.PRNGKey(7), ids_long)
+        t_done1 = []
+        th = threading.Thread(target=lambda: (
+            [None for _ in r1.chunks()], t_done1.append(time.perf_counter())))
+        th.start()
+        base_seg = eng.segments_run
+        while eng.segments_run < base_seg + 2:  # r1 is mid-decode
+            time.sleep(0.01)
+        t_sub = time.perf_counter()
+        r2 = eng.submit(jax.random.PRNGKey(8), ids_short)
+        ttfa2 = None
+        for c in r2.chunks():
+            if ttfa2 is None:
+                ttfa2 = time.perf_counter() - t_sub
+        th.join(timeout=1800)
+        drain_left = t_done1[0] - t_sub if t_done1 else float("nan")
+        print(f"[B join {label}] newcomer TTFA {ttfa2:.2f}s while the "
+              f"running request still had {drain_left:.2f}s of decode left "
+              f"(cohort lock-step would have waited for it)", flush=True)
     eng.stop()
     os._exit(0)
 
