@@ -43,7 +43,7 @@ from typing import List, Optional
 import jax
 import numpy as np
 
-from .pipeline import StreamState
+from .pipeline import StreamState, attend_rung
 
 
 def _canon_key(rng):
@@ -173,7 +173,8 @@ class ContinuousBatchEngine:
             self.pl.llm_params, self._dummy_rng, self._zero_prefix,
             ones, jnp.zeros(self.B, jnp.int32), ones,
             jnp.asarray(1), None, max_len=self.max_len,
-            births=jnp.zeros(self.B, jnp.int32))
+            births=jnp.zeros(self.B, jnp.int32),
+            attend_width=attend_rung(self.L0, 1, self.max_len))
         self._state = st
         self._i = 1
         self._births[:] = 0
@@ -264,7 +265,8 @@ class ContinuousBatchEngine:
                 pl.llm_params, self._dummy_rng, self._zero_prefix,
                 jnp.asarray(self._valid), jnp.asarray(self._min_lens),
                 jnp.asarray(self._caps), jnp.asarray(target), self._state,
-                max_len=self.max_len, births=jnp.asarray(self._births))
+                max_len=self.max_len, births=jnp.asarray(self._births),
+                attend_width=attend_rung(self.L0, target, self.max_len))
         lengths = np.asarray(res.lengths)
         done_dev = np.asarray(self._state.done)
         all_tokens = np.asarray(res.tokens)

@@ -81,6 +81,21 @@ def fade_in_out_valid_jnp(fade_in: jax.Array, fade_out: jax.Array, window,
     return jnp.concatenate([head, fade_in[..., n_static:]], axis=-1)
 
 
+# Segmented cohort decodes read only cache columns [0, W) with the W rung
+# chosen per segment: W = ceil((L0 + stop) / ATTEND_RUNG) * ATTEND_RUNG,
+# clamped to S.  Exact (every key written by the segment lives below W —
+# models.llm.llm_decode_batch), and per-token HBM traffic scales with how
+# much cache is actually live instead of the worst-case S.  Coarse rungs
+# bound the program count at S / ATTEND_RUNG compiles per cohort shape.
+ATTEND_RUNG = 256
+
+
+def attend_rung(L0: int, stop: int, max_len: int) -> int:
+    """Static attend_width rung covering cache columns [0, L0 + stop)."""
+    S = L0 + max_len
+    return min(S, -((L0 + stop) // -ATTEND_RUNG) * ATTEND_RUNG)
+
+
 def _batch_prefixes(built):
     """LEFT-pad per-request prefixes into one batch (shared absolute
     positions/cache slots; see llm_decode_batch).  ``built`` is a list of
@@ -293,16 +308,18 @@ class TTSPipeline:
         # stop_at + resumable state; bit-identical to the uninterrupted run)
         def _decode_batch_seg_fn(params, rng, prefix, valid, min_lens,
                                  max_lens, stop_at, state, *, max_len,
-                                 births=None):
+                                 births=None, attend_width=None):
             return L.llm_decode_batch(
                 P(params), self.cfg.llm, rng, prefix, valid, min_lens, max_len,
                 top_p=self.icfg.sampling_top_p, top_k=self.icfg.sampling_top_k,
                 win_size=self.icfg.ras_win_size, tau_r=self.icfg.ras_tau_r,
                 int8_weights=self.icfg.int8_decode, max_lens=max_lens,
-                stop_at=stop_at, state=state, return_state=True, births=births)
+                stop_at=stop_at, state=state, return_state=True, births=births,
+                attend_width=attend_width)
 
-        self._decode_batch_seg_jit = jax.jit(_decode_batch_seg_fn,
-                                             static_argnames=("max_len",))
+        self._decode_batch_seg_jit = jax.jit(
+            _decode_batch_seg_fn,
+            static_argnames=("max_len", "attend_width"))
 
         # continuous-batching slot admission (infer/engine.py): prefill one
         # newcomer and splice it into a paused BatchDecodeState
@@ -511,7 +528,8 @@ class TTSPipeline:
         while not all(finished):
             res, dstate = self._decode_batch_seg_jit(
                 self.llm_params, k_llm, prefix, valid, min_lens, max_lens,
-                jnp.asarray(target), dstate, max_len=max_len)
+                jnp.asarray(target), dstate, max_len=max_len,
+                attend_width=attend_rung(prefix.shape[1], target, max_len))
             lengths = np.asarray(res.lengths)
             done_dev = np.asarray(dstate.done)
             all_tokens = np.asarray(res.tokens)

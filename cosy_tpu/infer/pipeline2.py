@@ -27,7 +27,8 @@ from ..models.qwen2lm import (Qwen2LMConfig, qwen2lm_decode,
                               qwen2lm_decode_batch)
 from ..models import hift as H
 from ..config import HiFTConfig
-from .pipeline import _batch_prefixes, fade_in_out, fade_in_out_jnp
+from .pipeline import (_batch_prefixes, attend_rung, fade_in_out,
+                       fade_in_out_jnp)
 
 
 @dataclasses.dataclass
@@ -202,16 +203,17 @@ class TTS2Pipeline:
         # segment-wise batched decode for streaming cohorts
         def _decode_batch_seg_fn(params, rng, prefix, valid, min_lens,
                                  max_lens, stop_at, state, *, max_len,
-                                 births=None):
+                                 births=None, attend_width=None):
             return qwen2lm_decode_batch(
                 P(params), self.lcfg, rng, prefix, valid, min_lens, max_len,
                 top_p=self.icfg.sampling_top_p, top_k=self.icfg.sampling_top_k,
                 win_size=self.icfg.ras_win_size, tau_r=self.icfg.ras_tau_r,
                 max_lens=max_lens, stop_at=stop_at, state=state,
-                return_state=True, births=births)
+                return_state=True, births=births, attend_width=attend_width)
 
-        self._decode_batch_seg_jit = jax.jit(_decode_batch_seg_fn,
-                                             static_argnames=("max_len",))
+        self._decode_batch_seg_jit = jax.jit(
+            _decode_batch_seg_fn,
+            static_argnames=("max_len", "attend_width"))
 
         # continuous-batching slot admission (infer/engine.py)
         def _admit_fn(params, state, prefix, valid, rng_req, slot, cap,
@@ -406,7 +408,8 @@ class TTS2Pipeline:
         while not all(finished):
             res, dstate = self._decode_batch_seg_jit(
                 self.llm_params, k_llm, prefix, valid, min_lens, max_lens,
-                jnp.asarray(target), dstate, max_len=max_len)
+                jnp.asarray(target), dstate, max_len=max_len,
+                attend_width=attend_rung(prefix.shape[1], target, max_len))
             lengths = np.asarray(res.lengths)
             done_dev = np.asarray(dstate.done)
             all_tokens = np.asarray(res.tokens)

@@ -343,13 +343,22 @@ def llm_decode(
     inv_sqrt_dk = 1.0 / _math.sqrt(dk)
     _ln = _ln_f32
 
-    def run_layers(x, kvbuf, cache_index, attn_bias, pos_win):
+    def run_layers(x, kvbuf, cache_index, attn_bias, pos_start):
         """x: (1, 1, D).  kvbuf: (nl, 2, H, S, dk).  attn_bias: (1, 1, S).
-        pos_win: (nl, H, S, dk) positional keys for this step."""
+        pos_start: scalar offset into the (2S-1) positional-key table.
+
+        The KV buffer rides the layer scan as CARRY and is updated in place
+        (one dynamic_update_slice per layer).  Carrying it as scan xs/ys
+        instead materializes full per-layer cache copies every token — the
+        S-dependence probe (tools/probe_kvscan.py) measured 3.2x per-token
+        cost at S=576 vs S=128 from exactly that.  The positional window is
+        likewise sliced per layer here rather than pre-gathered (the old
+        (nl, H, S, dk) copy was another full-table read per token)."""
         bias_row = attn_bias[0, 0].astype(jnp.float32)  # (S,)
 
-        def body(h, xs):
-            ld, kv_i, pk_i = xs
+        def body(carry, xs):
+            h, kvb = carry
+            ld, l = xs
             w = {k_: v_.astype(h.dtype) for k_, v_ in ld.items()
                  if v_.dtype != jnp.int8 and not k_.endswith("@scale")}
             hn = _ln(h, ld["norm1.weight"], ld["norm1.bias"], eps_l)
@@ -357,10 +366,14 @@ def llm_decode(
             q = qkv[:D].reshape(H, 1, dk)
             k = qkv[D:2 * D].reshape(H, dk)
             v = qkv[2 * D:].reshape(H, dk)
-            kv_i = jax.lax.dynamic_update_slice(
-                kv_i, jnp.stack([k, v])[:, :, None, :].astype(kv_i.dtype),
-                (0, 0, cache_index, 0))
+            kvb = jax.lax.dynamic_update_slice(
+                kvb, jnp.stack([k, v])[None, :, :, None, :].astype(kvb.dtype),
+                (l, 0, 0, cache_index, 0))
+            kv_i = jax.lax.dynamic_slice(
+                kvb, (l, 0, 0, 0, 0), (1, 2, H, S, dk))[0]
             kc, vc = kv_i[0], kv_i[1]  # (H, S, dk)
+            pk_i = jax.lax.dynamic_slice(
+                pos_ks, (l, 0, pos_start, 0), (1, H, S, dk))[0]
             q_cat = jnp.concatenate(
                 [q + w["self_attn.pos_bias_u"][:, None, :],
                  q + w["self_attn.pos_bias_v"][:, None, :]], axis=-1)  # (H,1,2dk)
@@ -379,16 +392,12 @@ def llm_decode(
                     + w["feed_forward.w_1.bias"])
             f = _matmul_q(f, ld, "feed_forward.w_2.weight") \
                 + w["feed_forward.w_2.bias"]
-            return h + f, kv_i
+            return (h + f, kvb), None
 
-        x, new_kv = jax.lax.scan(body, x, (stacked, kvbuf, pos_win))
+        (x, kvbuf), _ = jax.lax.scan(
+            body, (x, kvbuf), (stacked, jnp.arange(nl)))
         x = layer_norm(sp_llm, "after_norm", x, eps=1e-5)
-        return x, new_kv
-
-    # ---- decode loop helpers ----
-    def pos_window_at(L):
-        return jax.lax.dynamic_slice(
-            pos_ks, (0, 0, S - 1 - L, 0), (nl, H, S, dk))
+        return x, kvbuf
 
     def sample(rng_i, logits, step_i, tokens, ntok):
         logp = jax.nn.log_softmax(logits.astype(jnp.float32))
@@ -440,7 +449,7 @@ def llm_decode(
         x = embed_tokens(x)
         kpos = jnp.arange(S)[None, None, :]
         bias = jnp.where(kpos <= L, 0.0, M.NEG_BIAS).astype(dt)  # (1, 1, S)
-        h, kvb = run_layers(x, kvb, L, bias, pos_window_at(L))
+        h, kvb = run_layers(x, kvb, L, bias, S - 1 - L)
         logits = dense(p, "llm_decoder", h[:, -1])[0]
         k_i, rng = jax.random.split(rng)
         tok = sample(k_i, logits, i, tokens, i).astype(jnp.int32)
@@ -507,6 +516,7 @@ def llm_decode_batch(
     state: Optional[BatchDecodeState] = None,
     return_state: bool = False,
     births: Optional[jax.Array] = None,  # (B,) shared step of slot's token 0
+    attend_width: Optional[int] = None,  # static: read only this many cache cols
 ):
     """Batched AR decode for serving throughput.
 
@@ -547,6 +557,13 @@ def llm_decode_batch(
     # just "more left padding" in its own cache rows, so the rel-pos /
     # masking math is identical to a birth-0 slot
     start = (L0 + births_ - prefix_valid.astype(jnp.int32))  # (B,) first valid key slot
+    # attend_width W: the decode step reads only cache columns [0, W) — EXACT
+    # (not an approximation) as long as every key written during this call
+    # lives below W, i.e. W >= L0 + stop_at.  The cache is allocated at the
+    # full S, but per-token HBM traffic is W-proportional; segmented serving
+    # picks a W rung per segment (one program per rung) instead of streaming
+    # all S columns for every token of every segment.
+    W = S if attend_width is None else max(L0 + 1, min(attend_width, S))
 
     def embed_tokens(x):
         sp = sp_llm.sub("embed")
@@ -574,10 +591,6 @@ def llm_decode_batch(
     caps_ = (jnp.full((B,), max_len, jnp.int32) if max_lens is None
              else jnp.minimum(jnp.asarray(max_lens, jnp.int32), max_len))
 
-    def pos_window_at(L):
-        return jax.lax.dynamic_slice(
-            pos_ks, (0, 0, S - 1 - L, 0), (nl, H, S, dk))
-
     def sample_one(rng_i, logits, step_i, tokens_b, ntok, min_b):
         logp = jax.nn.log_softmax(logits.astype(jnp.float32))
         mask_eos = (step_i == 0) | (step_i < min_b)
@@ -587,12 +600,19 @@ def llm_decode_batch(
 
     sample_vec = jax.vmap(sample_one, in_axes=(0, 0, 0, 0, 0, 0))
 
-    def run_layers(x, kvbuf, L, attn_bias, pos_win):
-        """x: (B, 1, D). kvbuf: (nl, 2, B, H, S, dk). attn_bias: (B, 1, 1, S)."""
+    def run_layers(x, kvbuf, L, attn_bias, pos_start):
+        """x: (B, 1, D). kvbuf: (nl, 2, B, H, S, dk). attn_bias: (B, 1, 1, W).
+
+        The KV buffer rides the layer scan as CARRY and is updated in place;
+        the positional window is sliced per layer (see the single-sample
+        run_layers above — scan xs/ys carried full cache copies per token,
+        3.2x per-token cost at S=576 vs S=128, tools/probe_kvscan.py).  Only
+        cache columns [0, W) are read (attend_width)."""
         bias_f = attn_bias.astype(jnp.float32)
 
-        def body(hc, xs):
-            ld, kv_i, pk_i = xs
+        def body(carry, xs):
+            hc, kvb = carry
+            ld, l = xs
             w = {k_: v_.astype(hc.dtype) for k_, v_ in ld.items()
                  if v_.dtype != jnp.int8 and not k_.endswith("@scale")}
             hn = _ln(hc, ld["norm1.weight"], ld["norm1.bias"], eps_l)
@@ -600,10 +620,14 @@ def llm_decode_batch(
             q = qkv[:, :D].reshape(B, H, 1, dk)
             k = qkv[:, D:2 * D].reshape(B, H, dk)
             v = qkv[:, 2 * D:].reshape(B, H, dk)
-            kv_i = jax.lax.dynamic_update_slice(
-                kv_i, jnp.stack([k, v])[:, :, :, None, :].astype(kv_i.dtype),
-                (0, 0, 0, L, 0))
-            kc, vc = kv_i[0], kv_i[1]  # (B, H, S, dk)
+            kvb = jax.lax.dynamic_update_slice(
+                kvb, jnp.stack([k, v])[None, :, :, :, None, :].astype(kvb.dtype),
+                (l, 0, 0, 0, L, 0))
+            kv_i = jax.lax.dynamic_slice(
+                kvb, (l, 0, 0, 0, 0, 0), (1, 2, B, H, W, dk))[0]
+            kc, vc = kv_i[0], kv_i[1]  # (B, H, W, dk)
+            pk_i = jax.lax.dynamic_slice(
+                pos_ks, (l, 0, pos_start, 0), (1, H, W, dk))[0]
             q_u = q + w["self_attn.pos_bias_u"][None, :, None, :]
             q_v = q + w["self_attn.pos_bias_v"][None, :, None, :]
             scores = (jnp.einsum("bhtd,bhsd->bhts", q_u, kc.astype(hc.dtype))
@@ -620,11 +644,12 @@ def llm_decode_batch(
             f = act(_mm(hn2, ld, "feed_forward.w_1.weight")
                     + w["feed_forward.w_1.bias"])
             f = _mm(f, ld, "feed_forward.w_2.weight") + w["feed_forward.w_2.bias"]
-            return hc + f, kv_i
+            return (hc + f, kvb), None
 
-        x, new_kv = jax.lax.scan(body, x, (stacked, kvbuf, pos_win))
+        (x, kvbuf), _ = jax.lax.scan(
+            body, (x, kvbuf), (stacked, jnp.arange(nl)))
         x = layer_norm(sp_llm, "after_norm", x, eps=1e-5)
-        return x, new_kv
+        return x, kvbuf
 
     split2 = jax.vmap(jax.random.split)
     if state is None:
@@ -674,10 +699,10 @@ def llm_decode_batch(
         L = L0 + i - 1
         x = embedding(p, "speech_embedding", jnp.maximum(last, 0)[:, None])
         x = embed_tokens(x)
-        kpos = jnp.arange(S)[None, :]
+        kpos = jnp.arange(W)[None, :]
         bias = jnp.where((kpos <= L) & (kpos >= start[:, None]), 0.0,
-                         M.NEG_BIAS).astype(dt)[:, None, None, :]  # (B,1,1,S)
-        h, kvb = run_layers(x, kvb, L, bias, pos_window_at(L))
+                         M.NEG_BIAS).astype(dt)[:, None, None, :]  # (B,1,1,W)
+        h, kvb = run_layers(x, kvb, L, bias, S - 1 - L)
         logits = dense(p, "llm_decoder", h[:, -1])  # (B, V)
         ks = split2(rngs)
         k_i, rngs = ks[:, 0], ks[:, 1]

@@ -604,6 +604,7 @@ def qwen2lm_decode_batch(
     state: Optional["BatchDecodeState"] = None,
     return_state: bool = False,
     births: Optional[jax.Array] = None,  # (B,) shared step of slot's attempt 0
+    attend_width: Optional[int] = None,  # static: read only this many cache cols
 ):
     """Batched CosyVoice2 decode (see models.llm.llm_decode_batch for the
     left-padding/rng contract).  GQA caches; fill tokens (> eos) are skipped
@@ -630,6 +631,11 @@ def qwen2lm_decode_batch(
     births_ = (jnp.zeros((B,), jnp.int32) if births is None
                else jnp.asarray(births, jnp.int32))
     start = (L0 + births_ - prefix_valid.astype(jnp.int32))  # (B,)
+    # attend_width W: decode steps read only cache columns [0, W) — EXACT as
+    # long as every key written this call lives below W (W >= L0 + stop_at);
+    # see models.llm.llm_decode_batch.  Per-token HBM traffic is then
+    # W-proportional instead of S-proportional.
+    W = S if attend_width is None else max(L0 + 1, min(attend_width, S))
 
     def sample_one(rng_i, logits, step_i, tokens_b, ntok, min_b):
         logp = jax.nn.log_softmax(logits.astype(jnp.float32))
@@ -689,18 +695,19 @@ def qwen2lm_decode_batch(
         L = L0 + i - 1
         x = embedding(p, "speech_embedding",
                       jnp.maximum(last, 0)[:, None]).astype(dt)  # (B, 1, D)
-        kpos = jnp.arange(S)[None, :]
+        kpos = jnp.arange(W)[None, :]
         bias = jnp.where((kpos <= L) & (kpos >= start[:, None]), 0.0,
-                         M.NEG_BIAS).astype(dt)[:, None, :]  # (B, 1, S)
+                         M.NEG_BIAS).astype(dt)[:, None, :]  # (B, 1, W)
         positions = jnp.full((1,), L)
         h = x
         new_kb, new_vb = kb, vb
         for li in range(nl):
             h, (kli, vli) = qwen2_layer(
                 qp.sub(f"layers.{li}"), q, h, positions, bias, EVAL,
-                kv_cache=(new_kb[li], new_vb[li]), cache_index=L)
-            new_kb = new_kb.at[li].set(kli)
-            new_vb = new_vb.at[li].set(vli)
+                kv_cache=(new_kb[li, :, :, :W], new_vb[li, :, :, :W]),
+                cache_index=L)
+            new_kb = new_kb.at[li, :, :, :W].set(kli)
+            new_vb = new_vb.at[li, :, :, :W].set(vli)
         h = rms_norm(qp, "norm", h, q.rms_norm_eps)
         logits = dense(p, "llm_decoder", h[:, -1])  # (B, V)
         ks = split2(rngs)

@@ -2,12 +2,17 @@
 
 Reference behavior: cosyvoice/dataset/processor.py compute_f0 (pyworld
 harvest/dio at the mel frame period, interpolated to the mel length).
-pyworld is unavailable in this image; this is a self-contained normalized-
-autocorrelation tracker with the same output contract: (T_mel,) Hz values,
-0 for unvoiced frames.
+pyworld is a C++ library and unavailable in this image; the tracker here is
+a normalized-autocorrelation design with the same output contract: (T_mel,)
+Hz values, 0 for unvoiced frames.  The hot path is the native C++ kernel
+(native/f0.cpp, OpenMP over frames, ~100x the numpy loop); the numpy
+implementation below is the exact-contract fallback and the parity oracle
+(tests/test_f0.py).  Set COSY_TPU_NATIVE_F0=0 to force the fallback.
 """
 
 from __future__ import annotations
+
+import os
 
 import numpy as np
 
@@ -21,6 +26,28 @@ def extract_f0(
     threshold: float = 0.3,
 ) -> np.ndarray:
     """(n_frames,) f0 in Hz, n_frames = ceil(len(wav)/hop)."""
+    if os.environ.get("COSY_TPU_NATIVE_F0", "1") != "0":
+        from .. import native
+
+        mod = native.f0_module()
+        if mod is not None:
+            n_frames = int(np.ceil(len(wav) / hop))
+            out = np.zeros(n_frames, np.float32)
+            mod.extract_f0(
+                np.ascontiguousarray(wav, np.float32), out,
+                int(sr), int(hop), float(fmin), float(fmax), float(threshold))
+            return out
+    return _extract_f0_numpy(wav, sr, hop, fmin, fmax, threshold)
+
+
+def _extract_f0_numpy(
+    wav: np.ndarray,
+    sr: int = 22050,
+    hop: int = 256,
+    fmin: float = 60.0,
+    fmax: float = 500.0,
+    threshold: float = 0.3,
+) -> np.ndarray:
     n_frames = int(np.ceil(len(wav) / hop))
     win = int(sr / fmin * 2)  # two periods of the lowest pitch
     pad = win // 2

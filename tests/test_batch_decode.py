@@ -102,6 +102,36 @@ def test_qwen2lm_batch_decode_matches_singles():
         assert int(rb.lengths[1]) == int(r2.length)
 
 
+def test_batch_decode_attend_width_exact():
+    """attend_width W >= L0 + stop reads a narrower cache window but must be
+    bit-identical to the full-width run — both one-shot and per-segment rungs."""
+    with jax.enable_x64(True):
+        cfg = _cfg()
+        p = L.init_llm_params(jax.random.PRNGKey(0), cfg)
+        p = {k: v.astype(jnp.float64) for k, v in p.items()}
+        rng = jax.random.PRNGKey(11)
+        pb = jax.random.normal(jax.random.PRNGKey(5), (2, 6, 16), jnp.float64)
+        valid = jnp.asarray([6, 4])
+        mins = jnp.asarray([2, 2])
+        full = L.llm_decode_batch(P(p), cfg, rng, pb, valid, mins, 12)
+
+        # one-shot with W = L0 + max_len - 2 < S (exact: every key < W)
+        narrow = L.llm_decode_batch(P(p), cfg, rng, pb, valid, mins, 12,
+                                    stop_at=jnp.asarray(10), attend_width=16)
+        np.testing.assert_array_equal(
+            np.asarray(narrow.tokens[:, :10]), np.asarray(full.tokens[:, :10]))
+
+        # segmented, one W rung per segment (W = L0 + stop of that segment)
+        state = None
+        for stop in (3, 7, 12):
+            seg, state = L.llm_decode_batch(
+                P(p), cfg, rng, pb, valid, mins, 12,
+                stop_at=jnp.asarray(stop), state=state, return_state=True,
+                attend_width=6 + stop)
+        np.testing.assert_array_equal(np.asarray(seg.tokens), np.asarray(full.tokens))
+        np.testing.assert_array_equal(np.asarray(seg.lengths), np.asarray(full.lengths))
+
+
 def test_batch_decode_segments_match_uninterrupted():
     """Segment-wise batched decode (stop_at + state round-trip) must be
     bit-identical to one uninterrupted llm_decode_batch run."""

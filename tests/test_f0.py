@@ -11,7 +11,8 @@ noise/silence.  Tolerances reflect what HiFiGAN's f0 L1 loss needs
 import numpy as np
 import pytest
 
-from cosy_tpu.ops.f0 import extract_f0, interpolate_f0
+from cosy_tpu import native
+from cosy_tpu.ops.f0 import _extract_f0_numpy, extract_f0, interpolate_f0
 
 SR, HOP = 22050, 256
 
@@ -93,6 +94,29 @@ def test_voiced_unvoiced_segmentation():
     assert (mid > 0).mean() > 0.9
     assert (f0[: n - 4] == 0).mean() > 0.7
     assert (f0[2 * n + 4 :] == 0).mean() > 0.7
+
+
+def test_native_kernel_matches_numpy_oracle():
+    """native/f0.cpp computes the same linear autocorrelation as the numpy
+    rfft formulation; parity is tolerance-level (summation order differs)."""
+    if native.f0_module() is None:
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(7)
+    # voiced glide + noise floor + unvoiced noise + silence, 4 s total
+    wav = np.concatenate([
+        harmonic(np.linspace(100, 300, 2 * SR), 2.0) +
+        0.01 * rng.standard_normal(2 * SR).astype(np.float32),
+        (0.1 * rng.standard_normal(SR)).astype(np.float32),
+        np.zeros(SR, np.float32),
+    ])
+    ref = _extract_f0_numpy(wav, SR, HOP)
+    got = extract_f0(wav, SR, HOP)
+    assert got.shape == ref.shape
+    # voiced/unvoiced decisions may flip only on threshold-knife-edge frames
+    assert ((got > 0) == (ref > 0)).mean() > 0.99
+    both = (got > 0) & (ref > 0)
+    rel = np.abs(got[both] - ref[both]) / ref[both]
+    assert np.median(rel) < 1e-6 and (rel < 0.03).mean() > 0.99
 
 
 def test_interpolate_fills_gaps_preserves_voiced():
