@@ -375,6 +375,19 @@ def main():
     model_cfg = ModelConfig()
     train_cfg = TrainConfig()
     log(f"devices: {jax.devices()}")
+    # Host contention invalidates steady-state enqueue timings: a saturated
+    # CPU starves the dispatch threads, so programs stop pipelining and the
+    # measured "device time" balloons (observed: a concurrent pytest suite
+    # turned the 1.05x fused-block win into an apparent 0.53x loss and cut
+    # the CFM headline 10%).  Flag it so a polluted run is identifiable.
+    try:
+        load1 = os.getloadavg()[0]
+        if load1 > 1.5:
+            log(f"[warn] host 1-min loadavg {load1:.1f} — another CPU-heavy "
+                f"process is running; steady-state timings will read slow. "
+                f"Re-run on an idle host before trusting deltas.")
+    except OSError:
+        pass
 
     fps = 0.0
     try:
