@@ -283,7 +283,10 @@ def use_flash(T: int, d: int) -> bool:
     T1280, 1.26x at T2048, 1.49x at T2560 (the 30 s-audio production
     maximum); default ON through MAX_QBLOCK_S on that trend.  Beyond it the
     streaming kernel would engage and lose — stay with XLA.
-    COSY_TPU_FLASH=1 forces on (gate shapes only), =0 forces off."""
+    COSY_TPU_FLASH=1 forces on (gate shapes only), =0 forces off;
+    COSY_TPU_FLASH_MIN_T overrides just the band's lower edge (used by
+    tools/probe_flash_band.py to A/B candidate band extensions without
+    force-flashing the U-Net's T/2 mid-blocks into a known-loss regime)."""
     import os
 
     env = os.environ.get("COSY_TPU_FLASH", "")
@@ -296,4 +299,5 @@ def use_flash(T: int, d: int) -> bool:
     shape_ok = on_tpu and d % 8 == 0 and d <= 256
     if env:  # forced on: any gate-compatible shape
         return shape_ok and T >= 256
-    return shape_ok and 1024 <= T <= MAX_QBLOCK_S
+    min_t = int(os.environ.get("COSY_TPU_FLASH_MIN_T", "1024"))
+    return shape_ok and min_t <= T <= MAX_QBLOCK_S

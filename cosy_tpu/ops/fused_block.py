@@ -169,9 +169,11 @@ def use_fused_block(T: int, C: int, inner: int, ff_inner: int, act_fn: str,
     # T512 1.10x, T384 1.05x, T256 0.98x — XLA keeps short sequences).
     # T=1024 needs ~31 MB VMEM > the 16 MB limit (measured OOM, PERF.md);
     # that regime is covered by the one-tile flash-attention kernel instead
-    # (ops/flash_attention.use_flash).
+    # (ops/flash_attention.use_flash).  COSY_TPU_FUSED_MAX_T overrides just
+    # the band's upper edge (band-extension probes, tools/probe_fused.py).
+    max_t = int(os.environ.get("COSY_TPU_FUSED_MAX_T", "512"))
     shape_ok = (C % 128 == 0 and inner % 128 == 0 and ff_inner % 128 == 0
-                and T % 8 == 0 and 384 <= T <= 512)
+                and T % 8 == 0 and 384 <= T <= max_t)
     if env:
         return shape_ok and bool(on_tpu or env == "1")
     return on_tpu and shape_ok
