@@ -99,12 +99,19 @@ def bench_cfm(model_cfg: ModelConfig, dtype=jnp.bfloat16, B=4, T=512, nfe=10,
 
 
 def bench_joint_step(model_cfg: ModelConfig, train_cfg: TrainConfig, dtype=jnp.bfloat16,
-                     B=None, accum=None, params=None):
+                     B=None, accum=None, params=None, depth=6):
     """Joint LLM+Flow LoRA train step, loss+grad only (optimizer cost is
     negligible for LoRA params).  Default shape is the reference config
     (bs1 x accum16, seq 250 — config.py:219-224); the b8 x accum2 variant is
     the same effective batch folded into the batch dim (dp8-equivalent
-    per-chip load — the north-star v5e-8 projection, BASELINE.md)."""
+    per-chip load — the north-star v5e-8 projection, BASELINE.md).
+
+    Returns (steady, latency) seconds/step.  Steady-state = ``depth`` steps
+    enqueued, synced once — how the trainer actually runs (it batches metric
+    fetches per log interval, `train/trainer.py:274-297`), so per-step
+    dispatch and the ~30 ms tunnel round-trip overlap device execution.
+    The sync-every-step latency is reported alongside (it bounded this
+    metric at 116 ms vs 80 ms steady in r7 — PERF.md)."""
     key = jax.random.PRNGKey(0)
     if params is None:
         llm_params = jax.jit(lambda k: L.init_llm_params(k, model_cfg.llm))(key)
@@ -153,13 +160,22 @@ def bench_joint_step(model_cfg: ModelConfig, train_cfg: TrainConfig, dtype=jnp.b
     # dropout bit-stream is real step work and the bench must measure what
     # training runs (threefry is ~40% of this step — PERF.md)
     step_key = jax.random.key(3, impl=train_cfg.prng_impl)
-    t = timed(fn, loras, llm_params, flow_params, super_batch, step_key,
-              warmup=1, iters=3)
+    t_lat = timed(fn, loras, llm_params, flow_params, super_batch, step_key,
+                  warmup=1, iters=3)
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        outs = [fn(loras, llm_params, flow_params, super_batch, step_key)
+                for _ in range(depth)]
+        _sync(outs[-1])
+        ts.append((time.perf_counter() - t0) / depth)
+    t = float(np.median(ts))
     n_samples = B * accum
     log(f"[joint] bs{B} x accum{accum}, seq {Tm} ({train_cfg.prng_impl}): "
-        f"{t*1e3:.1f} ms/optimizer-step "
+        f"{t*1e3:.1f} ms/optimizer-step steady-state (depth {depth}), "
+        f"{t_lat*1e3:.1f} ms sync-per-step "
         f"({t*1e3/accum:.1f} ms/micro-batch, {t*1e3/n_samples:.1f} ms/sample)")
-    return t
+    return t, t_lat
 
 
 def bench_ar_decode(model_cfg: ModelConfig, dtype=jnp.bfloat16, prefix_len=64,
@@ -396,15 +412,17 @@ def main():
         log(f"[cfm] bench failed: {e}")
     secondary = {}
     try:
-        secondary["joint_step_ms"] = round(
-            bench_joint_step(model_cfg, train_cfg) * 1e3, 1)
+        t_j, t_j_lat = bench_joint_step(model_cfg, train_cfg)
+        secondary["joint_step_ms"] = round(t_j * 1e3, 1)
+        secondary["joint_step_ms_latency"] = round(t_j_lat * 1e3, 1)
     except Exception as e:  # noqa: BLE001
         log(f"[joint] bench failed: {e}")
     try:
         # dp8-equivalent per-chip load: same effective batch 16 folded as
         # micro bs8 x accum2 (north-star v5e-8 projection, VERDICT r1 #2)
-        t_b8 = bench_joint_step(model_cfg, train_cfg, B=8, accum=2)
+        t_b8, t_b8_lat = bench_joint_step(model_cfg, train_cfg, B=8, accum=2)
         secondary["joint_step_ms_b8"] = round(t_b8 * 1e3, 1)
+        secondary["joint_step_ms_b8_latency"] = round(t_b8_lat * 1e3, 1)
         secondary["joint_per_sample_ms_b8"] = round(t_b8 * 1e3 / 16, 2)
     except Exception as e:  # noqa: BLE001
         log(f"[joint b8] bench failed: {e}")

@@ -76,20 +76,22 @@ def step_ms(model_cfg, train_cfg, B, accum, grad=True, depth=6):
         "embedding": jnp.asarray(rng.standard_normal((accum, B, 192)), jnp.float32),
     }
 
-    def loss_fn(lo, r, micro):
-        return joint_forward_train(llm_params, flow_params, lo, model_cfg,
+    # params as explicit jit args (closing over them embeds the 420M-param
+    # trees as consts in the serialized remote-compile payload -> HTTP 413)
+    def loss_fn(lo, llm_p, flow_p, r, micro):
+        return joint_forward_train(llm_p, flow_p, lo, model_cfg,
                                    train_cfg, r, micro, train=True)["loss"]
 
-    def step(lo, batch, r):
+    def step(lo, llm_p, flow_p, batch, r):
         rngs = jax.random.split(r, accum)
 
         def body(acc_g, xs):
             micro, ri = xs
             if grad:
-                g = jax.grad(loss_fn)(lo, ri, micro)
+                g = jax.grad(loss_fn)(lo, llm_p, flow_p, ri, micro)
                 return jax.tree.map(jnp.add, acc_g, g), None
             return jax.tree.map(jnp.add, acc_g,
-                                {"l": loss_fn(lo, ri, micro)}), None
+                                {"l": loss_fn(lo, llm_p, flow_p, ri, micro)}), None
 
         init = (jax.tree.map(jnp.zeros_like, lo) if grad
                 else {"l": jnp.zeros((), jnp.float32)})
@@ -98,12 +100,13 @@ def step_ms(model_cfg, train_cfg, B, accum, grad=True, depth=6):
 
     fn = jax.jit(step)
     r = jax.random.key(0, impl=train_cfg.prng_impl)
-    out = fn(loras, super_batch, r)
+    out = fn(loras, llm_params, flow_params, super_batch, r)
     _sync(out)
     ts = []
     for _ in range(3):
         t0 = time.perf_counter()
-        outs = [fn(loras, super_batch, r) for _ in range(depth)]
+        outs = [fn(loras, llm_params, flow_params, super_batch, r)
+                for _ in range(depth)]
         _sync(outs[-1])
         ts.append((time.perf_counter() - t0) / depth)
     return float(np.median(ts)) * 1e3
