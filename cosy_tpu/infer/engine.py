@@ -7,7 +7,7 @@ token granularity instead of waiting for a whole cohort to drain.  This is
 the TPU-native equivalent, built on static shapes:
 
 - ONE persistent segmented decode program with ``slots`` fixed batch rows
-  (``llm_decode_batch`` + per-slot ``births``), compiled once;
+  (``llm_decode_batch`` with slot-local cache columns), compiled once;
 - a newcomer is prefilled and spliced into a free slot at the next segment
   boundary (``llm_admit_slot``) — its time-to-first-audio is one segment
   (~``seg_tokens`` tokens of device time), not the running cohort's longest
@@ -19,12 +19,12 @@ the TPU-native equivalent, built on static shapes:
   measured B=slots amortization point (PERF.md: 2.5x at B=8) while
   per-request latency stays one-segment-bounded.
 
-Capacity model: the shared KV ring has ``max_len`` decode columns.  A
-request admitted at shared step ``i`` needs ``i - 1 + its token cap`` to fit
-in ``max_len``; if it doesn't, admission defers until the cohort drains
-(worst case ``max_len - i`` further tokens) — when the engine goes idle it
-re-parks (resets the shared step to 1), restoring full runway.  No request
-is ever truncated by another's position.
+Capacity model: every slot owns cache columns ``[0, L0 + max_len)`` of its
+own batch row (``BatchDecodeState.lens``), so a free slot can admit ANY
+pending request immediately — there is no shared runway and admission never
+waits for the running cohort to drain.  (The pre-r7 design kept one shared
+column counter; under a 24-request load on 16 slots its runway deferral
+collapsed TTFA to ~26 s mean — PERF.md "continuous batching v2".)
 
 Usage::
 
@@ -110,12 +110,12 @@ class ContinuousBatchEngine:
         self.lock = device_lock or threading.Lock()
 
         self._slots: List[Optional[EngineRequest]] = [None] * slots
-        self._births = np.zeros(slots, np.int32)
+        self._lens = np.zeros(slots, np.int32)  # host copy of per-slot lens
         self._valid = np.ones(slots, np.int32)
         self._min_lens = np.zeros(slots, np.int32)
         self._caps = np.ones(slots, np.int32)
         self._state = None
-        self._i = 1  # host copy of the shared step
+        self._i = 1  # host copy of the loop-step counter
         self._pending: List[EngineRequest] = []
         self._cv = threading.Condition()
         self._thread: Optional[threading.Thread] = None
@@ -163,9 +163,10 @@ class ContinuousBatchEngine:
         return any(r is not None for r in self._slots)
 
     def _park(self):
-        """(Re)initialize the decode state with all slots empty: one prefill
-        with caps=1 marks every slot done instantly and resets the shared
-        step to 1, restoring full KV runway."""
+        """Initialize the decode state with all slots empty: one prefill
+        with caps=1 marks every slot done instantly.  Only needed to create
+        the state — admission is runway-free, so there is nothing to reset
+        mid-flight."""
         import jax.numpy as jnp
 
         ones = jnp.ones(self.B, jnp.int32)
@@ -173,11 +174,10 @@ class ContinuousBatchEngine:
             self.pl.llm_params, self._dummy_rng, self._zero_prefix,
             ones, jnp.zeros(self.B, jnp.int32), ones,
             jnp.asarray(1), None, max_len=self.max_len,
-            births=jnp.zeros(self.B, jnp.int32),
             attend_width=attend_rung(self.L0, 1, self.max_len))
         self._state = st
         self._i = 1
-        self._births[:] = 0
+        self._lens[:] = 1
         self._valid[:] = 1
         self._min_lens[:] = 0
         self._caps[:] = 1
@@ -214,7 +214,8 @@ class ContinuousBatchEngine:
         return True
 
     def _try_admit(self):
-        """Admit pending requests into free slots while runway allows."""
+        """Admit pending requests into free slots (runway-free: a free slot
+        always fits any buildable request — slot-local cache columns)."""
         import jax.numpy as jnp
 
         while self._pending:
@@ -226,12 +227,6 @@ class ContinuousBatchEngine:
                 b = self._slots.index(None)
             except ValueError:
                 return  # no free slot
-            runway = self.max_len - (self._i - 1)
-            if runway < req.cap:
-                if not self._active():
-                    self._park()  # idle: reset the shared step for full runway
-                else:
-                    return  # defer until the cohort drains
             if self._state is None:
                 self._park()
             self._pending.pop(0)
@@ -247,7 +242,7 @@ class ContinuousBatchEngine:
                         jnp.asarray(req.valid), req.k_llm, jnp.asarray(b),
                         jnp.asarray(req.cap))
             self._slots[b] = req
-            self._births[b] = self._i - 1
+            self._lens[b] = 1  # admit prefilled token 0
             self._valid[b] = req.valid
             self._min_lens[b] = req.min_len
             self._caps[b] = req.cap
@@ -259,28 +254,34 @@ class ContinuousBatchEngine:
         pl = self.pl
         hop = self.hop
         ov = 0 if self.is_cv2 else pl.token_overlap_len
-        target = min(self._i + self.seg, self.max_len)
+        # loop-step target: every live slot advances <= seg tokens; i is a
+        # pure step counter (cache columns are slot-local), so no max_len
+        # clamp — slots bound themselves via caps/attempt limits
+        target = self._i + self.seg
+        # attend width: cover the highest cache column any live slot can
+        # write this segment (done slots re-write their frozen column, which
+        # is below their lens)
+        live_lens = [int(self._lens[b]) for b, r in enumerate(self._slots)
+                     if r is not None]
+        w_tokens = min(max(live_lens, default=1) + self.seg, self.max_len)
         with self.lock:
             res, self._state = pl._decode_batch_seg_jit(
                 pl.llm_params, self._dummy_rng, self._zero_prefix,
                 jnp.asarray(self._valid), jnp.asarray(self._min_lens),
                 jnp.asarray(self._caps), jnp.asarray(target), self._state,
-                max_len=self.max_len, births=jnp.asarray(self._births),
-                attend_width=attend_rung(self.L0, target, self.max_len))
+                max_len=self.max_len,
+                attend_width=attend_rung(self.L0, w_tokens, self.max_len))
         lengths = np.asarray(res.lengths)
         done_dev = np.asarray(self._state.done)
         all_tokens = np.asarray(res.tokens)
         self._i = int(self._state.i)
+        self._lens[:] = np.asarray(self._state.lens)
         self.segments_run += 1
-        # attempts exhausted: CV2 fill-token skips can leave emitted counts
-        # below cap when the shared counter hits max_len — finalize with
-        # what each slot has (same escape as synthesize_stream_batch)
-        exhausted = self._i >= self.max_len
         for b, req in enumerate(self._slots):
             if req is None:
                 continue
             n = int(lengths[b])
-            sdone = bool(done_dev[b]) or exhausted
+            sdone = bool(done_dev[b])
             try:
                 self._emit(b, req, all_tokens[b], n, sdone, hop, ov)
                 if sdone:
@@ -343,7 +344,7 @@ class ContinuousBatchEngine:
         self._slots[b] = None
         self._caps[b] = 1
         self._min_lens[b] = 0
-        # done[b] stays True on device; births/valid are don't-cares
+        # done[b] stays True on device; lens/valid are don't-cares
 
     def _fail_all(self, e: BaseException):
         for b, req in enumerate(self._slots):

@@ -308,13 +308,13 @@ class TTSPipeline:
         # stop_at + resumable state; bit-identical to the uninterrupted run)
         def _decode_batch_seg_fn(params, rng, prefix, valid, min_lens,
                                  max_lens, stop_at, state, *, max_len,
-                                 births=None, attend_width=None):
+                                 attend_width=None):
             return L.llm_decode_batch(
                 P(params), self.cfg.llm, rng, prefix, valid, min_lens, max_len,
                 top_p=self.icfg.sampling_top_p, top_k=self.icfg.sampling_top_k,
                 win_size=self.icfg.ras_win_size, tau_r=self.icfg.ras_tau_r,
                 int8_weights=self.icfg.int8_decode, max_lens=max_lens,
-                stop_at=stop_at, state=state, return_state=True, births=births,
+                stop_at=stop_at, state=state, return_state=True,
                 attend_width=attend_width)
 
         self._decode_batch_seg_jit = jax.jit(

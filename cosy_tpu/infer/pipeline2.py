@@ -203,13 +203,13 @@ class TTS2Pipeline:
         # segment-wise batched decode for streaming cohorts
         def _decode_batch_seg_fn(params, rng, prefix, valid, min_lens,
                                  max_lens, stop_at, state, *, max_len,
-                                 births=None, attend_width=None):
+                                 attend_width=None):
             return qwen2lm_decode_batch(
                 P(params), self.lcfg, rng, prefix, valid, min_lens, max_len,
                 top_p=self.icfg.sampling_top_p, top_k=self.icfg.sampling_top_k,
                 win_size=self.icfg.ras_win_size, tau_r=self.icfg.ras_tau_r,
                 max_lens=max_lens, stop_at=stop_at, state=state,
-                return_state=True, births=births, attend_width=attend_width)
+                return_state=True, attend_width=attend_width)
 
         self._decode_batch_seg_jit = jax.jit(
             _decode_batch_seg_fn,

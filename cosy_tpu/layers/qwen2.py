@@ -49,30 +49,37 @@ def rms_norm(p: P, name: str, x: jax.Array, eps: float) -> jax.Array:
 
 
 def rope_cos_sin(positions: jax.Array, head_dim: int, theta: float):
-    """(T,) -> cos/sin (T, head_dim) with HF half-rotation layout."""
+    """(T,) -> cos/sin (T, head_dim); (B, T) -> (B, T, head_dim) for
+    per-sample positions (slot-local continuous-batching decode).  HF
+    half-rotation layout."""
     inv = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
-    ang = positions.astype(jnp.float32)[:, None] * inv[None, :]  # (T, hd/2)
+    ang = positions.astype(jnp.float32)[..., None] * inv  # (..., T, hd/2)
     emb = jnp.concatenate([ang, ang], axis=-1)
     return jnp.cos(emb), jnp.sin(emb)
 
 
 def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
-    """x: (B, H, T, d); cos/sin: (T, d).  HF rotate_half convention."""
+    """x: (B, H, T, d); cos/sin: (T, d) shared or (B, T, d) per-sample.
+    HF rotate_half convention."""
     d = x.shape[-1]
     x1, x2 = x[..., : d // 2], x[..., d // 2 :]
     rotated = jnp.concatenate([-x2, x1], axis=-1)
-    return x * cos[None, None] + rotated * sin[None, None]
+    if cos.ndim == 3:
+        cos, sin = cos[:, None], sin[:, None]  # (B, 1, T, d)
+    else:
+        cos, sin = cos[None, None], sin[None, None]
+    return x * cos + rotated * sin
 
 
 def qwen2_attention(
     p: P,
     cfg: Qwen2Config,
     x: jax.Array,  # (B, T, D)
-    positions: jax.Array,  # (T,)
+    positions: jax.Array,  # (T,) shared or (B, T) per-sample (slot-local)
     bias: Optional[jax.Array],  # additive (B, 1|T, S) or None
     ctx: Ctx = EVAL,
     kv_cache: Optional[Tuple[jax.Array, jax.Array]] = None,
-    cache_index=None,
+    cache_index=None,  # scalar, or (B,) per-sample columns (requires T == 1)
 ) -> jax.Array | Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
     B, T, D = x.shape
     H, KV, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
@@ -87,8 +94,14 @@ def qwen2_attention(
 
     if kv_cache is not None:
         k_buf, v_buf = kv_cache
-        k_buf = jax.lax.dynamic_update_slice(k_buf, k.astype(k_buf.dtype), (0, 0, cache_index, 0))
-        v_buf = jax.lax.dynamic_update_slice(v_buf, v.astype(v_buf.dtype), (0, 0, cache_index, 0))
+        ci = jnp.asarray(cache_index)
+        if ci.ndim == 1:  # per-sample column: one B-row scatter (decode T=1)
+            iota_b = jnp.arange(B)
+            k_buf = k_buf.at[iota_b, :, ci, :].set(k[:, :, 0].astype(k_buf.dtype))
+            v_buf = v_buf.at[iota_b, :, ci, :].set(v[:, :, 0].astype(v_buf.dtype))
+        else:
+            k_buf = jax.lax.dynamic_update_slice(k_buf, k.astype(k_buf.dtype), (0, 0, cache_index, 0))
+            v_buf = jax.lax.dynamic_update_slice(v_buf, v.astype(v_buf.dtype), (0, 0, cache_index, 0))
         k, v = k_buf, v_buf
 
     rep = H // KV

@@ -489,13 +489,21 @@ class BatchDecodeResult(NamedTuple):
 
 
 class BatchDecodeState(NamedTuple):
-    """Resumable lock-step state for segment-wise batched (streaming) decode."""
-    i: jax.Array  # next token index (shared across the batch)
+    """Resumable lock-step state for segment-wise batched (streaming) decode.
+
+    Cache columns are SLOT-LOCAL: slot ``b``'s prefix always occupies
+    columns ``[0, L0)`` of its own batch row and its generated-token keys
+    follow at ``[L0, L0 + lens_b)`` — exactly the solo :func:`llm_decode`
+    layout vmapped over slots.  ``i`` only counts loop steps (segment
+    scheduling); it never bounds cache placement, so a continuous-batching
+    admission (:func:`llm_admit_slot`) needs no runway and never stalls."""
+    i: jax.Array  # loop-step counter (segment scheduling only)
     tokens: jax.Array  # (B, max_len)
     last: jax.Array  # (B,) previous token ids
     kv_buf: jax.Array  # (nl, 2, B, H, S, dk)
     rngs: jax.Array  # (B, 2) per-sample streams
     done: jax.Array  # (B,) bool
+    lens: jax.Array  # (B,) generated-token counts (slot-local steps)
 
 
 def llm_decode_batch(
@@ -515,7 +523,6 @@ def llm_decode_batch(
     stop_at: Optional[jax.Array] = None,  # scalar — pause the cohort here
     state: Optional[BatchDecodeState] = None,
     return_state: bool = False,
-    births: Optional[jax.Array] = None,  # (B,) shared step of slot's token 0
     attend_width: Optional[int] = None,  # static: read only this many cache cols
 ):
     """Batched AR decode for serving throughput.
@@ -523,10 +530,10 @@ def llm_decode_batch(
     bs=1 decode is weight-bandwidth-bound (PERF.md): every token reads the
     whole LLM.  Batching B requests amortizes that read, so aggregate tok/s
     scales nearly with B.  Prefixes are LEFT-padded so every sample shares
-    absolute positions and cache slots (padding keys are masked out, which
-    makes each sample's logits exactly those of an unpadded run); sample
-    ``b``'s rng stream is ``fold_in(rng, b)``, so its tokens equal a
-    ``llm_decode`` call with that key.
+    a common L0 (padding keys are masked out, which makes each sample's
+    logits exactly those of an unpadded run); sample ``b``'s rng stream is
+    ``fold_in(rng, b)``, so its tokens equal a ``llm_decode`` call with
+    that key.
 
     Segment-wise streaming (batched llm_job cohorts): pass ``stop_at`` to
     pause the lock-step loop at a token boundary and ``return_state=True``
@@ -534,14 +541,16 @@ def llm_decode_batch(
     ``state`` (prefill is skipped).  Token streams are bit-identical to an
     uninterrupted run.
 
-    Continuous batching (:mod:`cosy_tpu.infer.engine`): ``births[b]`` is the
-    shared loop step at which slot ``b``'s first generated token lives — a
-    request ADMITTED into a paused state (see :func:`llm_admit_slot`) at
-    shared step ``i`` has ``births[b] = i - 1``, and all of its per-token
-    bookkeeping (RAS window, min/max-length, EOS masking, token columns)
-    runs on its LOCAL step ``i - births[b]``, so its token stream is
-    bit-identical to a solo ``llm_decode`` with its own key.  Slots admitted
-    at birth 0 (the plain cohort case, ``births=None``) are unchanged.
+    Continuous batching (:mod:`cosy_tpu.infer.engine`): cache columns,
+    positions, and per-token bookkeeping (RAS window, min/max-length, EOS
+    masking, token columns) are all SLOT-LOCAL (``state.lens``), so every
+    slot runs exactly the solo ``llm_decode`` program vmapped — a request
+    admitted into a paused state (:func:`llm_admit_slot`) starts at its own
+    column 0 regardless of how long its batchmates have been decoding.
+    There is no shared-runway constraint and admission never waits for a
+    cohort drain (the pre-r7 design kept one shared column counter, which
+    deferred admissions whose cap exceeded ``max_len - i`` — measured TTFA
+    collapse under load, PERF.md "continuous batching v2").
     """
     ecfg = cfg.llm
     D, H, dk, nl = (ecfg.output_size, ecfg.attention_heads, ecfg.head_dim,
@@ -551,18 +560,14 @@ def llm_decode_batch(
     dt = prefix_emb.dtype
     eos = cfg.speech_token_size
     sp_llm = p.sub("llm")
-    births_ = (jnp.zeros((B,), jnp.int32) if births is None
-               else jnp.asarray(births, jnp.int32))
-    # slot b's prefix keys occupy [start_b, L0 + births_b): a late joiner is
-    # just "more left padding" in its own cache rows, so the rel-pos /
-    # masking math is identical to a birth-0 slot
-    start = (L0 + births_ - prefix_valid.astype(jnp.int32))  # (B,) first valid key slot
+    # slot b's valid prefix keys occupy [start_b, L0) of its OWN cache row
+    start = (L0 - prefix_valid.astype(jnp.int32))  # (B,) first valid key col
     # attend_width W: the decode step reads only cache columns [0, W) — EXACT
     # (not an approximation) as long as every key written during this call
-    # lives below W, i.e. W >= L0 + stop_at.  The cache is allocated at the
-    # full S, but per-token HBM traffic is W-proportional; segmented serving
-    # picks a W rung per segment (one program per rung) instead of streaming
-    # all S columns for every token of every segment.
+    # lives below W, i.e. W >= L0 + max(lens) reached within the call.  The
+    # cache is allocated at the full S, but per-token HBM traffic is
+    # W-proportional; segmented serving picks a W rung per segment (one
+    # program per rung) instead of streaming all S columns for every token.
     W = S if attend_width is None else max(L0 + 1, min(attend_width, S))
 
     def embed_tokens(x):
@@ -600,15 +605,22 @@ def llm_decode_batch(
 
     sample_vec = jax.vmap(sample_one, in_axes=(0, 0, 0, 0, 0, 0))
 
-    def run_layers(x, kvbuf, L, attn_bias, pos_start):
+    def run_layers(x, kvbuf, L_vec, attn_bias, pos_start):
         """x: (B, 1, D). kvbuf: (nl, 2, B, H, S, dk). attn_bias: (B, 1, 1, W).
+        L_vec: (B,) per-slot key-write column.  pos_start: (B,) per-slot
+        offset into the (2S-1) positional-key table (= S - 1 - L_b, the
+        same formula the solo decode uses with its own L).
 
         The KV buffer rides the layer scan as CARRY and is updated in place;
         the positional window is sliced per layer (see the single-sample
         run_layers above — scan xs/ys carried full cache copies per token,
         3.2x per-token cost at S=576 vs S=128, tools/probe_kvscan.py).  Only
-        cache columns [0, W) are read (attend_width)."""
+        cache columns [0, W) are read (attend_width).  Per-slot columns make
+        the write a B-row scatter and the positional window a B-row gather
+        instead of one dynamic slice — measured cost below 2% of the B=16
+        step (the step is weight/cache-bandwidth-bound)."""
         bias_f = attn_bias.astype(jnp.float32)
+        iota_b = jnp.arange(B)
 
         def body(carry, xs):
             hc, kvb = carry
@@ -620,18 +632,19 @@ def llm_decode_batch(
             q = qkv[:, :D].reshape(B, H, 1, dk)
             k = qkv[:, D:2 * D].reshape(B, H, dk)
             v = qkv[:, 2 * D:].reshape(B, H, dk)
-            kvb = jax.lax.dynamic_update_slice(
-                kvb, jnp.stack([k, v])[None, :, :, :, None, :].astype(kvb.dtype),
-                (l, 0, 0, 0, L, 0))
+            # per-slot column write: one scatter of B (2, H, dk) rows
+            kvb = kvb.at[l, :, iota_b, :, L_vec, :].set(
+                jnp.stack([k, v], axis=1).astype(kvb.dtype))
             kv_i = jax.lax.dynamic_slice(
                 kvb, (l, 0, 0, 0, 0, 0), (1, 2, B, H, W, dk))[0]
             kc, vc = kv_i[0], kv_i[1]  # (B, H, W, dk)
-            pk_i = jax.lax.dynamic_slice(
-                pos_ks, (l, 0, pos_start, 0), (1, H, W, dk))[0]
+            pk_i = jax.vmap(lambda ps: jax.lax.dynamic_slice(
+                pos_ks, (l.astype(ps.dtype), jnp.zeros((), ps.dtype), ps,
+                         jnp.zeros((), ps.dtype)), (1, H, W, dk))[0])(pos_start)
             q_u = q + w["self_attn.pos_bias_u"][None, :, None, :]
             q_v = q + w["self_attn.pos_bias_v"][None, :, None, :]
             scores = (jnp.einsum("bhtd,bhsd->bhts", q_u, kc.astype(hc.dtype))
-                      + jnp.einsum("bhtd,hsd->bhts", q_v, pk_i.astype(hc.dtype)))
+                      + jnp.einsum("bhtd,bhsd->bhts", q_v, pk_i.astype(hc.dtype)))
             scores = scores * inv_sqrt_dk
             attn = jax.nn.softmax(scores.astype(jnp.float32) + bias_f,
                                   axis=-1).astype(hc.dtype)
@@ -684,35 +697,40 @@ def llm_decode_batch(
         tokens = tokens.at[:, 0].set(first)
         state = BatchDecodeState(i=jnp.asarray(1), tokens=tokens,
                                  last=jnp.maximum(first, 0), kv_buf=kv_buf,
-                                 rngs=rngs, done=caps_ <= 1)
+                                 rngs=rngs, done=caps_ <= 1,
+                                 lens=jnp.ones((B,), jnp.int32))
 
     caps = caps_
-    stop = jnp.asarray(max_len) if stop_at is None else jnp.minimum(
-        jnp.asarray(stop_at), max_len)
+    # stop bounds LOOP STEPS (segment scheduling), not cache placement —
+    # per-slot columns are bounded by caps <= max_len, so i may exceed
+    # max_len across a long-lived engine state
+    stop = jnp.asarray(max_len) if stop_at is None else jnp.asarray(stop_at)
 
     def cond(st):
-        i, tokens, last, kvb, rngs, done = st
-        return jnp.any(~done) & (i < stop)
+        return jnp.any(~st.done) & (st.i < stop)
 
     def body(st):
-        i, tokens, last, kvb, rngs, done = st
-        L = L0 + i - 1
+        i, tokens, last, kvb, rngs, done, lens = st
+        L_vec = L0 + lens - 1  # (B,) this step's key column, slot-local
         x = embedding(p, "speech_embedding", jnp.maximum(last, 0)[:, None])
         x = embed_tokens(x)
         kpos = jnp.arange(W)[None, :]
-        bias = jnp.where((kpos <= L) & (kpos >= start[:, None]), 0.0,
-                         M.NEG_BIAS).astype(dt)[:, None, None, :]  # (B,1,1,W)
-        h, kvb = run_layers(x, kvb, L, bias, S - 1 - L)
+        bias = jnp.where((kpos <= L_vec[:, None]) & (kpos >= start[:, None]),
+                         0.0, M.NEG_BIAS).astype(dt)[:, None, None, :]  # (B,1,1,W)
+        h, kvb = run_layers(x, kvb, L_vec, bias, S - 1 - L_vec)
         logits = dense(p, "llm_decoder", h[:, -1])  # (B, V)
         ks = split2(rngs)
         k_i, rngs = ks[:, 0], ks[:, 1]
-        li = i - births_  # (B,) per-slot LOCAL step (== i when births=0)
+        li = lens  # (B,) per-slot LOCAL step
         tok = sample_vec(k_i, logits, li, tokens, li, min_len).astype(jnp.int32)
         is_eos = tok == eos
         freeze = done | is_eos
         # slot b's token for local step li_b lives at column li_b (token
         # columns are LOCAL, so lengths/RAS windows match a solo run); a
-        # frozen slot's column is simply not written
+        # frozen slot's column is simply not written.  A frozen slot keeps
+        # re-writing its own key column with a constant value — harmless,
+        # since only slot b's queries ever read slot b's cache row and its
+        # outputs are discarded once frozen.
         write = (~freeze)[:, None] & (
             jnp.arange(max_len)[None, :] == li[:, None])
         tokens = jnp.where(write, tok[:, None], tokens)
@@ -720,7 +738,8 @@ def llm_decode_batch(
         # per-sample cap: sample b stops after caps[b] tokens even while
         # longer batchmates continue
         done = done | is_eos | (li + 1 >= caps)
-        return BatchDecodeState(i + 1, tokens, last, kvb, rngs, done)
+        lens = lens + jnp.where(freeze, 0, 1)
+        return BatchDecodeState(i + 1, tokens, last, kvb, rngs, done, lens)
 
     out = jax.lax.while_loop(cond, body, state)
     result = BatchDecodeResult(tokens=out.tokens,
@@ -751,13 +770,10 @@ def llm_admit_slot(
     OWN rng stream (``split(rng_req)`` — the same stream a solo
     :func:`llm_decode` with ``rng_req`` uses, so the continued batch decode
     is bit-identical to that solo run), and splices kv/tokens/rng/done into
-    slot ``slot``.  The newcomer's prefix keys are placed ending at cache
-    column ``L0 + birth`` with ``birth = state.i - 1``, which is exactly the
-    "more left padding" layout :func:`llm_decode_batch` masks correctly when
-    the caller passes ``births[slot] = birth`` on subsequent segment calls.
-
-    Placement always fits: ``birth <= max_len - 1`` so
-    ``birth + L0 <= S - 1 < S`` (no dynamic_update_slice clamping).
+    slot ``slot``.  Cache columns are slot-local (:class:`BatchDecodeState`),
+    so the prefix keys go to columns ``[0, L0)`` of the slot's own cache row
+    and ``lens[slot]`` resets to 1 — admission is runway-free regardless of
+    how far the running batchmates have decoded.
     """
     ecfg = cfg.llm
     D, H, nl = ecfg.output_size, ecfg.attention_heads, ecfg.num_blocks
@@ -767,7 +783,6 @@ def llm_admit_slot(
     dt = prefix_emb.dtype
     eos = cfg.speech_token_size
     sp_llm = p.sub("llm")
-    birth = state.i - 1
 
     def embed_tokens(x):
         sp = sp_llm.sub("embed")
@@ -804,13 +819,13 @@ def llm_admit_slot(
 
     # ---- splice into the cohort state (state.i untouched) ----
     slot = jnp.asarray(slot, jnp.int32)
-    birth32 = jnp.asarray(birth, jnp.int32)
     z = jnp.int32(0)
     kv_buf = jax.lax.dynamic_update_slice(
         state.kv_buf, newkv.astype(state.kv_buf.dtype),
-        (z, z, slot, z, birth32, z))
+        (z, z, slot, z, z, z))
     tokens = jax.lax.dynamic_update_slice(state.tokens, row[None], (slot, z))
     last = state.last.at[slot].set(jnp.maximum(first, 0))
     rngs = state.rngs.at[slot].set(k_rest)
     done = state.done.at[slot].set(jnp.asarray(cap) <= 1)
-    return BatchDecodeState(state.i, tokens, last, kv_buf, rngs, done)
+    lens = state.lens.at[slot].set(1)
+    return BatchDecodeState(state.i, tokens, last, kv_buf, rngs, done, lens)

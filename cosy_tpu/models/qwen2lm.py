@@ -571,8 +571,15 @@ def init_qwen2lm_params(key: jax.Array, cfg: Qwen2LMConfig) -> Params:
 
 
 class BatchDecodeState(NamedTuple):
-    """Resumable lock-step state for segment-wise batched CosyVoice2 decode."""
-    i: jax.Array  # next attempt index (shared across the batch)
+    """Resumable lock-step state for segment-wise batched CosyVoice2 decode.
+
+    Cache columns and RoPE positions are SLOT-LOCAL (``lens`` counts a
+    slot's own decode attempts): slot ``b``'s prefix occupies columns
+    ``[0, L0)`` of its own batch row and attempt ``a``'s key goes to column
+    ``L0 + a`` — the solo decode layout vmapped.  ``i`` only counts loop
+    steps (segment scheduling), so continuous-batching admission is
+    runway-free (see models.llm.BatchDecodeState)."""
+    i: jax.Array  # loop-step counter (segment scheduling only)
     n: jax.Array  # (B,) emitted token counts (fill tokens skipped)
     tokens: jax.Array  # (B, max_len)
     last: jax.Array  # (B,) previous token ids
@@ -580,6 +587,7 @@ class BatchDecodeState(NamedTuple):
     v_buf: jax.Array
     rngs: jax.Array  # (B, 2)
     done: jax.Array  # (B,) bool
+    lens: jax.Array  # (B,) slot-local attempt counts (drive cache columns)
 
 
 class BatchDecodeResult(NamedTuple):
@@ -603,24 +611,22 @@ def qwen2lm_decode_batch(
     stop_at: Optional[jax.Array] = None,  # scalar — pause the cohort here
     state: Optional["BatchDecodeState"] = None,
     return_state: bool = False,
-    births: Optional[jax.Array] = None,  # (B,) shared step of slot's attempt 0
     attend_width: Optional[int] = None,  # static: read only this many cache cols
 ):
     """Batched CosyVoice2 decode (see models.llm.llm_decode_batch for the
     left-padding/rng contract).  GQA caches; fill tokens (> eos) are skipped
     per sample (not stored, not fed back — llm.py:506-507), so per-sample
-    output counts advance independently of the shared attempt counter.
+    output counts advance independently of attempt counts.
 
-    Segment-wise streaming cohorts: ``stop_at`` bounds decode *attempts*
-    (the shared counter), ``return_state=True`` yields a resumable
-    :class:`BatchDecodeState`; token streams are bit-identical to an
-    uninterrupted run.
+    Segment-wise streaming cohorts: ``stop_at`` bounds LOOP STEPS,
+    ``return_state=True`` yields a resumable :class:`BatchDecodeState`;
+    token streams are bit-identical to an uninterrupted run.
 
-    Continuous batching: ``births[b]`` is the shared attempt step of slot
-    b's first token (see llm.llm_decode_batch / qwen2lm_admit_slot); the
-    slot's min-length masking runs on its LOCAL attempt count
-    ``i - births[b]``.  Token columns are already per-slot (the fill-skip
-    ``n`` counter), so only the step bookkeeping changes."""
+    Continuous batching: cache columns, RoPE positions, attempt counters,
+    and min-length masking are all SLOT-LOCAL (``state.lens``), so an
+    admitted slot (:func:`qwen2lm_admit_slot`) runs exactly the solo decode
+    vmapped — no shared-runway constraint, and every slot gets the solo
+    run's full ``max_len`` attempt budget regardless of when it joined."""
     q = cfg.qwen
     B, L0 = prefix_emb.shape[0], prefix_emb.shape[1]
     S = L0 + max_len
@@ -628,13 +634,11 @@ def qwen2lm_decode_batch(
     eos = cfg.speech_token_size
     nl = q.num_hidden_layers
     qp = p.sub("llm.model.model")
-    births_ = (jnp.zeros((B,), jnp.int32) if births is None
-               else jnp.asarray(births, jnp.int32))
-    start = (L0 + births_ - prefix_valid.astype(jnp.int32))  # (B,)
+    start = (L0 - prefix_valid.astype(jnp.int32))  # (B,) first valid key col
     # attend_width W: decode steps read only cache columns [0, W) — EXACT as
-    # long as every key written this call lives below W (W >= L0 + stop_at);
-    # see models.llm.llm_decode_batch.  Per-token HBM traffic is then
-    # W-proportional instead of S-proportional.
+    # long as every key written this call lives below W (W >= L0 + max(lens)
+    # reached within the call); see models.llm.llm_decode_batch.  Per-token
+    # HBM traffic is then W-proportional instead of S-proportional.
     W = S if attend_width is None else max(L0 + 1, min(attend_width, S))
 
     def sample_one(rng_i, logits, step_i, tokens_b, ntok, min_b):
@@ -681,38 +685,40 @@ def qwen2lm_decode_batch(
         done0 = (first == eos) | (caps <= 1)
         state = BatchDecodeState(
             i=jnp.asarray(1), n=n0, tokens=tokens, last=jnp.maximum(first, 0),
-            k_buf=k_buf, v_buf=v_buf, rngs=rngs, done=done0)
+            k_buf=k_buf, v_buf=v_buf, rngs=rngs, done=done0,
+            lens=jnp.ones((B,), jnp.int32))
 
-    stop = jnp.asarray(max_len) if stop_at is None else jnp.minimum(
-        jnp.asarray(stop_at), max_len)
+    # stop bounds LOOP STEPS (segment scheduling); per-slot attempts are
+    # bounded below by lens >= max_len, so i may exceed max_len across a
+    # long-lived engine state
+    stop = jnp.asarray(max_len) if stop_at is None else jnp.asarray(stop_at)
 
     def cond(st):
-        i, n, tokens, last, kb, vb, rngs, done = st
-        return jnp.any(~done) & (i < stop)
+        return jnp.any(~st.done) & (st.i < stop)
 
     def body(st):
-        i, n, tokens, last, kb, vb, rngs, done = st
-        L = L0 + i - 1
+        i, n, tokens, last, kb, vb, rngs, done, lens = st
+        L_vec = L0 + lens - 1  # (B,) this attempt's key column, slot-local
         x = embedding(p, "speech_embedding",
                       jnp.maximum(last, 0)[:, None]).astype(dt)  # (B, 1, D)
         kpos = jnp.arange(W)[None, :]
-        bias = jnp.where((kpos <= L) & (kpos >= start[:, None]), 0.0,
-                         M.NEG_BIAS).astype(dt)[:, None, :]  # (B, 1, W)
-        positions = jnp.full((1,), L)
+        bias = jnp.where((kpos <= L_vec[:, None]) & (kpos >= start[:, None]),
+                         0.0, M.NEG_BIAS).astype(dt)[:, None, :]  # (B, 1, W)
+        positions = L_vec[:, None]  # (B, 1) per-slot RoPE positions
         h = x
         new_kb, new_vb = kb, vb
         for li in range(nl):
             h, (kli, vli) = qwen2_layer(
                 qp.sub(f"layers.{li}"), q, h, positions, bias, EVAL,
                 kv_cache=(new_kb[li, :, :, :W], new_vb[li, :, :, :W]),
-                cache_index=L)
+                cache_index=L_vec)
             new_kb = new_kb.at[li, :, :, :W].set(kli)
             new_vb = new_vb.at[li, :, :, :W].set(vli)
         h = rms_norm(qp, "norm", h, q.rms_norm_eps)
         logits = dense(p, "llm_decoder", h[:, -1])  # (B, V)
         ks = split2(rngs)
         k_i, rngs = ks[:, 0], ks[:, 1]
-        li = i - births_  # (B,) per-slot LOCAL attempt step
+        li = lens  # (B,) per-slot LOCAL attempt step
         tok = sample_vec(k_i, logits, li, tokens, n, min_len).astype(jnp.int32)
         is_eos = tok == eos
         is_skip = tok > eos
@@ -721,8 +727,14 @@ def qwen2lm_decode_batch(
         tokens = tokens.at[jnp.arange(B), n].set(jnp.where(write, tok, cur))
         n = jnp.where(write, n + 1, n)
         last = jnp.where(is_skip | done, last, tok)
-        done = done | is_eos | (n >= caps)
-        return BatchDecodeState(i + 1, n, tokens, last, new_kb, new_vb, rngs, done)
+        lens = lens + jnp.where(done, 0, 1)
+        # a slot's attempt budget is the solo run's max_len; exhausting it
+        # finalizes the slot with whatever it has emitted (the old shared
+        # counter cut EVERY slot at max_len total steps since park, giving
+        # late joiners a truncated budget)
+        done = done | is_eos | (n >= caps) | (lens >= max_len)
+        return BatchDecodeState(i + 1, n, tokens, last, new_kb, new_vb, rngs,
+                                done, lens)
 
     out = jax.lax.while_loop(cond, body, state)
     result = BatchDecodeResult(tokens=out.tokens, lengths=out.n)
@@ -747,12 +759,11 @@ def qwen2lm_admit_slot(
     tau_r: float = 0.1,
 ):
     """Admit one request into a paused CosyVoice2 cohort (continuous
-    batching — see llm.llm_admit_slot for the design).  The CV2-specific
-    wrinkle is RoPE: cached keys are rotated with their ABSOLUTE position at
-    write time, so the newcomer's prefill rotates at ``arange(L0) + birth``
-    — placing its keys in the cohort's shared coordinate system, where the
-    score's rotation difference (query at L0+i-1) reproduces the solo run's
-    relative distances exactly."""
+    batching — see llm.llm_admit_slot for the design).  Cache columns and
+    RoPE positions are slot-local, so the newcomer prefills at positions
+    ``arange(L0)`` into columns ``[0, L0)`` of its own cache row — exactly
+    the solo prefill — and ``lens[slot]`` resets to 1.  Admission is
+    runway-free."""
     q = cfg.qwen
     D = cfg.llm_input_size
     L0 = prefix_emb.shape[1]
@@ -761,14 +772,13 @@ def qwen2lm_admit_slot(
     eos = cfg.speech_token_size
     nl = q.num_hidden_layers
     qp = p.sub("llm.model.model")
-    birth = jnp.asarray(state.i - 1, jnp.int32)
 
-    # ---- B=1 prefill at cohort-shifted RoPE positions ----
+    # ---- B=1 prefill at slot-local RoPE positions (the solo layout) ----
     start1 = L0 - prefix_valid.astype(jnp.int32)
     kq = jnp.arange(L0)
     vis = (kq[None, None, :] <= kq[None, :, None]) & (kq[None, None, :] >= start1)
     bias0 = M.mask_to_bias(vis, dt)  # (1, L0, L0)
-    positions0 = jnp.arange(L0) + birth
+    positions0 = jnp.arange(L0)
     kb1 = jnp.zeros((nl, 1, q.num_key_value_heads, L0, q.head_dim), dt)
     vb1 = jnp.zeros_like(kb1)
     h = prefix_emb
@@ -797,12 +807,14 @@ def qwen2lm_admit_slot(
     slot = jnp.asarray(slot, jnp.int32)
     z = jnp.int32(0)
     k_buf = jax.lax.dynamic_update_slice(
-        state.k_buf, kb1.astype(state.k_buf.dtype), (z, slot, z, birth, z))
+        state.k_buf, kb1.astype(state.k_buf.dtype), (z, slot, z, z, z))
     v_buf = jax.lax.dynamic_update_slice(
-        state.v_buf, vb1.astype(state.v_buf.dtype), (z, slot, z, birth, z))
+        state.v_buf, vb1.astype(state.v_buf.dtype), (z, slot, z, z, z))
     tokens = jax.lax.dynamic_update_slice(state.tokens, row[None], (slot, z))
     last = state.last.at[slot].set(jnp.maximum(first, 0))
     rngs = state.rngs.at[slot].set(k_rest)
     n = state.n.at[slot].set(n0)
     done = state.done.at[slot].set((first == eos) | (jnp.asarray(cap) <= 1))
-    return BatchDecodeState(state.i, n, tokens, last, k_buf, v_buf, rngs, done)
+    lens = state.lens.at[slot].set(1)
+    return BatchDecodeState(state.i, n, tokens, last, k_buf, v_buf, rngs,
+                            done, lens)

@@ -1,11 +1,13 @@
 """Continuous-batching engine: token-level slot scheduling (infer/engine.py).
 
 The core property — a request ADMITTED into a running decode batch
-(llm_admit_slot + births) produces a token stream bit-identical to a solo
-llm_decode with the request's own key — is asserted at the model level under
-f64 (same rationale as test_batch_decode.py), then the engine itself is
-driven end-to-end on the tiny pipeline: mid-flight admission, slot reuse
-beyond the slot count, runway deferral, and error isolation.
+(llm_admit_slot, slot-local cache columns) produces a token stream
+bit-identical to a solo llm_decode with the request's own key — is asserted
+at the model level under f64 (same rationale as test_batch_decode.py), then
+the engine itself is driven end-to-end on the tiny pipeline: mid-flight
+admission, slot reuse beyond the slot count, long-runner/short-joiner
+overlap (the scenario the old shared-runway design deferred), and error
+isolation.
 """
 
 import queue
@@ -60,11 +62,11 @@ def test_admit_slot_mid_flight_matches_solo():
         pe_new = jnp.pad(pe2, ((0, 0), (2, 0), (0, 0)))  # left-pad to L0
         st2 = L.llm_admit_slot(P(p), cfg, st, pe_new, jnp.asarray(5), k_new,
                                jnp.asarray(1), jnp.asarray(6))
-        births = jnp.asarray([0, int(st.i) - 1])
+        assert int(st2.lens[1]) == 1  # newcomer restarts at its own column 0
         res2, _ = L.llm_decode_batch(
             P(p), cfg, rng, pb, jnp.asarray([7, 5]), jnp.asarray([2, 3]),
-            MAXL, max_lens=jnp.asarray([12, 6]), stop_at=jnp.asarray(MAXL),
-            state=st2, return_state=True, births=births)
+            MAXL, max_lens=jnp.asarray([12, 6]), stop_at=jnp.asarray(MAXL * 2),
+            state=st2, return_state=True)
 
         rn = L.llm_decode(P(p), cfg, k_new, pe2, 5, jnp.asarray(3), 6)
         np.testing.assert_array_equal(np.asarray(res2.tokens[1])[:6],
@@ -199,9 +201,10 @@ def test_engine_prefix_too_long_fails_only_that_request():
 
 
 def test_qwen2lm_admit_slot_mid_flight_matches_solo():
-    """CV2 admission: RoPE keys are rotated at cohort-shifted positions, so
-    the joiner's stream still equals a solo qwen2lm_decode with its own key
-    (relative rotation differences are preserved)."""
+    """CV2 admission: the joiner prefills at its own slot-local RoPE
+    positions/cache columns, so its stream equals a solo qwen2lm_decode with
+    its own key — with the solo run's FULL attempt budget (the old
+    shared-counter design truncated late joiners to MAXL - birth)."""
     from cosy_tpu.layers.qwen2 import Qwen2Config
     from cosy_tpu.models.qwen2lm import (
         Qwen2LMConfig, init_qwen2lm_params, qwen2lm_decode,
@@ -231,19 +234,20 @@ def test_qwen2lm_admit_slot_mid_flight_matches_solo():
         pe_new = jnp.pad(pe2, ((0, 0), (2, 0), (0, 0)))
         st2 = qwen2lm_admit_slot(P(p), cfg, st, pe_new, jnp.asarray(4), k_new,
                                  jnp.asarray(1), jnp.asarray(6), jnp.asarray(3))
-        births = jnp.asarray([0, int(st.i) - 1])
+        assert int(st2.lens[1]) == 1
         res2, _ = qwen2lm_decode_batch(
             P(p), cfg, rng, pb, jnp.asarray([6, 4]), jnp.asarray([2, 3]),
-            MAXL, max_lens=jnp.asarray([12, 6]), stop_at=jnp.asarray(MAXL),
-            state=st2, return_state=True, births=births)
+            MAXL, max_lens=jnp.asarray([12, 6]), stop_at=jnp.asarray(MAXL * 4),
+            state=st2, return_state=True)
 
-        rn = qwen2lm_decode(P(p), cfg, k_new, pe2, jnp.asarray(3), 12)
+        rn = qwen2lm_decode(P(p), cfg, k_new, pe2, jnp.asarray(3), MAXL)
         n_solo = int(rn.length)
         n_eng = int(res2.lengths[1])
-        # the joiner's attempt budget in the cohort (MAXL - birth) may be
-        # smaller than the solo run's; compare the common prefix
-        m = min(n_solo, n_eng, 6)
+        # identical rng stream + identical math while both are live: the
+        # joiner's emitted stream is the solo stream truncated at its cap
+        m = min(n_solo, n_eng)
         assert m >= 1
+        assert n_eng == min(n_solo, 6)
         np.testing.assert_array_equal(np.asarray(res2.tokens[1])[:m],
                                       np.asarray(rn.tokens)[:m])
 
@@ -276,20 +280,26 @@ def test_engine_cv2_end_to_end():
         eng.stop()
 
 
-def test_engine_runway_defer_and_repark():
-    """A request whose cap exceeds the remaining KV runway defers until the
-    engine drains, then a re-park restores full runway and it completes."""
+def test_engine_full_cap_joiner_admits_mid_flight():
+    """A full-cap request arriving while another is mid-decode is admitted
+    into the running batch immediately (slot-local columns: no runway, no
+    defer-until-drain) and both complete.  The old shared-counter design
+    deferred exactly this scenario."""
     api = _make_api()
     eng = _engine(api, max_len=32, seg_tokens=8)
     try:
         a = eng.submit(jax.random.PRNGKey(0), _ids(api, "first one."))
-        # wait until A is mid-flight so B's admission sees reduced runway
+        # wait until A is mid-flight so B joins a running batch
         deadline = time.time() + 300
         while eng.segments_run < 1 and time.time() < deadline:
             time.sleep(0.01)
+        segs_at_submit = eng.segments_run
         b = eng.submit(jax.random.PRNGKey(1), _ids(api, "second one."))
         wa = np.concatenate([c[0] for c in a.chunks()])
         wb = np.concatenate([c[0] for c in b.chunks()])
         assert wa.size > 0 and wb.size > 0
+        # b's decode overlapped a's (admission did not wait for a drain):
+        # the engine never went idle between a's start and b's completion
+        assert eng.segments_run > segs_at_submit
     finally:
         eng.stop()

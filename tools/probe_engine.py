@@ -82,17 +82,47 @@ def run_requests(eng, cfg, n_req, text_len, stagger_s):
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--slots", type=int, default=4)
+    ap.add_argument("--reqs", type=int, default=0,
+                    help="capacity mode: run ONLY sustained load with this "
+                         "many requests (default scenario set when 0)")
+    ap.add_argument("--text-len", type=int, default=12)
+    ap.add_argument("--stagger", type=float, default=0.25)
+    args = ap.parse_args()
+
     jax.config.update("jax_log_compiles", True)  # show mid-run cold compiles
     cfg, pipe = make_pipeline()
     print(f"devices: {jax.devices()}", flush=True)
-    eng = ContinuousBatchEngine(pipe, slots=4, prefix_len=64, max_len=512)
+    eng = ContinuousBatchEngine(pipe, slots=args.slots, prefix_len=64,
+                                max_len=512)
 
     # warm the programs (compile): one request through all stages
     print("warmup (compiling engine programs)...", flush=True)
     t0 = time.perf_counter()
-    wall, stats = run_requests(eng, cfg, n_req=1, text_len=12, stagger_s=0)
+    wall, stats = run_requests(eng, cfg, n_req=1, text_len=args.text_len,
+                               stagger_s=0)
     print(f"warmup done in {time.perf_counter() - t0:.0f}s "
           f"(audio {stats[0][3]:.1f}s)", flush=True)
+
+    if args.reqs:
+        # capacity mode: oversubscribed sustained load, steady-state pass
+        # after one cold pass (mid-run compiles stall every live stream)
+        for label in ("cold", "warm"):
+            wall, stats = run_requests(eng, cfg, n_req=args.reqs,
+                                       text_len=args.text_len,
+                                       stagger_s=args.stagger)
+            total_audio = sum(s[3] for s in stats)
+            ttfas = [s[1] for s in stats]
+            print(f"[capacity {label}] {args.reqs} reqs / {args.slots} slots: "
+                  f"wall {wall:.2f}s, audio {total_audio:.1f}s, "
+                  f"agg RTF {wall / total_audio:.3f}, "
+                  f"TTFA mean {np.mean(ttfas):.2f}s max {np.max(ttfas):.2f}s",
+                  flush=True)
+        eng.stop()
+        os._exit(0)
 
     # A: sustained load — 8 requests, 4 slots, 0.5 s stagger
     wall, stats = run_requests(eng, cfg, n_req=8, text_len=12, stagger_s=0.5)
