@@ -337,6 +337,39 @@ def bench_flash_ab(T=1024, B=8, H=8, d=64, dtype=jnp.bfloat16, depth=16):
     return t_xla, t_pl
 
 
+def bench_banded_gate(T=2304, B=2, H=8, d=64, window=256, dtype=jnp.bfloat16):
+    """Compiled-mode regression gate for the banded (windowed) attention
+    kernel (opt-in long-utterance feature, EstimatorConfig.attn_window): it
+    must lower, run, and match the XLA band-bias oracle on the real chip.
+    Correctness only — the solve-level speed A/B lives in
+    tools/probe_banded.py and PERF.md."""
+    from cosy_tpu.ops.flash_attention import banded_attention, use_banded
+    from cosy_tpu.ops import masks as M
+
+    assert use_banded(T, d, window), "gate shape must engage the kernel"
+    key = jax.random.PRNGKey(3)
+    q = jax.random.normal(key, (B, H, T, d), dtype)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (B, H, T, d), dtype)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (B, H, T, d), dtype)
+    scale = d ** -0.5
+    band = jnp.broadcast_to(M.band_bias(T, window, dtype)[None], (B, T, T))
+
+    @jax.jit
+    def oracle(q, k, v):
+        s = jnp.einsum("bhtd,bhsd->bhts", q, k) * scale
+        s = s + band[:, None].astype(jnp.float32)
+        a = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(q.dtype)
+        return jnp.einsum("bhts,bhsd->bhtd", a, v)
+
+    want = np.asarray(oracle(q, k, v), np.float32)
+    got = np.asarray(jax.jit(lambda q, k, v: banded_attention(
+        q, k, v, scale, window))(q, k, v), np.float32)
+    err = float(np.max(np.abs(got - want)))
+    assert err < 2e-2, f"banded kernel diverges from oracle on-chip: max err {err}"
+    log(f"[banded-gate] B{B} H{H} T{T} w{window}: kernel == oracle, max|err| {err:.1e}")
+    return err
+
+
 def bench_fused_ab(model_cfg: ModelConfig, dtype=jnp.bfloat16, B=4, T=512,
                    nfe=10, depth=12):
     """Fused whole-block Pallas kernel vs the XLA block path, whole CFM solve,
@@ -453,6 +486,10 @@ def main():
         secondary["fused_ab_pallas_ms"] = round(t_fused, 1)
     except Exception as e:  # noqa: BLE001
         log(f"[fused-ab] bench failed: {e}")
+    try:
+        secondary["banded_gate_max_err"] = round(bench_banded_gate(), 6)
+    except Exception as e:  # noqa: BLE001
+        log(f"[banded-gate] bench failed: {e}")
     try:
         secondary["token2wav_rtf"] = round(bench_token2wav(model_cfg), 4)
     except Exception as e:  # noqa: BLE001

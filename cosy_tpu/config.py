@@ -70,6 +70,15 @@ class EstimatorConfig:
     # uses the tanh approximation (modules.py:132).  Numerically negligible but
     # kept configurable for bit-parity experiments.
     gelu_approximate: bool = True
+    # Opt-in local-band estimator attention for long-utterance inference:
+    # each mel frame attends only ±attn_window frames (halved per U-Net
+    # level), cutting the quadratic attention term to O(T·window).  A quality
+    # trade vs the full attention the checkpoint was trained with — None
+    # (off) by default; see PERF.md for the measured speed/output-delta.
+    # Applies only to the dense no-bias inference path (never training,
+    # streaming-chunk, or prompt-isolation calls).  COSY_TPU_ATTN_WINDOW
+    # overrides at runtime (0 forces off).
+    attn_window: Optional[int] = None
 
     @property
     def time_embed_dim(self) -> int:

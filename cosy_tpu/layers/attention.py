@@ -154,22 +154,41 @@ def diffusers_attention(
     bias: Optional[jax.Array],  # (B, T, T) or (B, 1, T, T) additive
     heads: int,
     ctx: Ctx = EVAL,
+    window: Optional[int] = None,  # local-band attention |t-s| <= window
 ) -> jax.Array:
     """diffusers-style attention with to_q/to_k/to_v/to_out.0 naming and
     explicit 1/sqrt(dim_head) scale (reference: modules.py:227-293).
 
     On TPU, long-sequence calls dispatch to the fused Pallas flash-attention
     kernel (ops/flash_attention.py); the head-shared (B, T, T) bias is
-    consumed without per-head materialization."""
+    consumed without per-head materialization.
+
+    ``window`` (opt-in, EstimatorConfig.attn_window) restricts attention to
+    the ±window local band — O(T·window) instead of O(T²) flops via the
+    banded Pallas kernel on TPU, the same semantics via an additive band
+    bias elsewhere."""
     sp = p.sub(name)
     q = _split_heads(dense(sp, "to_q", x, ctx), heads)
     k = _split_heads(dense(sp, "to_k", x, ctx), heads)
     v = _split_heads(dense(sp, "to_v", x, ctx), heads)
     scale = q.shape[-1] ** -0.5
 
-    from ..ops.flash_attention import flash_attention, use_flash
+    from ..ops.flash_attention import (banded_attention, flash_attention,
+                                       use_banded, use_flash)
+    from ..ops import masks as M
 
     T = x.shape[1]
+    if window is not None:
+        if bias is None and use_banded(T, q.shape[-1], window):
+            out = banded_attention(q, k, v, scale, window)
+            return dense(sp, "to_out.0", _merge_heads(out), ctx)
+        band = M.band_bias(T, window, x.dtype)
+        if bias is None:
+            bias = jnp.broadcast_to(band[None], (x.shape[0], T, T))
+        elif bias.ndim == 3:
+            bias = bias + band[None]
+        else:
+            bias = bias + band[None, None]
     if use_flash(T, q.shape[-1]) and (bias is None or bias.ndim == 3):
         out = flash_attention(q, k, v, bias, scale)
         return dense(sp, "to_out.0", _merge_heads(out), ctx)

@@ -125,6 +125,7 @@ def basic_transformer_block(
     ctx: Ctx,
     gelu_approximate: bool = True,
     dropout: float = 0.0,
+    window: Optional[int] = None,  # opt-in local-band attention
 ) -> jax.Array:
     """attn1 + ff with norm1/norm3 naming (modules.py:296-375)."""
     sp = p.sub(name)
@@ -133,7 +134,7 @@ def basic_transformer_block(
 
     wq = sp.get("attn1.to_q.weight")
     w1 = sp.get("ff.net.0.proj.weight")
-    if wq is not None and w1 is not None and dropout == 0.0 and use_fused_block(
+    if window is None and wq is not None and w1 is not None and dropout == 0.0 and use_fused_block(
             x.shape[1], x.shape[2], wq.shape[0], w1.shape[0], act_fn, ctx,
             None if attn_bias is None else attn_bias.ndim):
         # whole block in one Pallas kernel, intermediates VMEM-resident
@@ -151,7 +152,7 @@ def basic_transformer_block(
         )
 
     h = layer_norm(sp, "norm1", x)
-    x = x + diffusers_attention(sp, "attn1", h, attn_bias, heads, ctx)
+    x = x + diffusers_attention(sp, "attn1", h, attn_bias, heads, ctx, window=window)
     h = layer_norm(sp, "norm3", x)
     x = x + feed_forward(sp, "ff", h, act_fn, ctx, gelu_approximate, dropout)
     return x
@@ -268,11 +269,30 @@ def conditional_decoder(
     else:
         level_bias = [_level_bias(m, T, prompt_lens, dtype) for m in level_masks]
 
+    # opt-in local-band attention (EstimatorConfig.attn_window; env override
+    # COSY_TPU_ATTN_WINDOW, 0 = off).  Inference-only, dense no-bias path
+    # only: training, streaming chunk masks, and prompt isolation keep full
+    # attention.  The window halves with each U-Net level so the temporal
+    # receptive span stays constant; a window covering the whole level is
+    # normalized to None (exactly full attention).
+    import os
+    env_w = os.environ.get("COSY_TPU_ATTN_WINDOW")
+    attn_window = (int(env_w) if env_w else cfg.attn_window)
+    if not attn_window or attn_window <= 0 or ctx.train:
+        level_window = [None] * n_levels
+    else:
+        level_window = [
+            w if (level_bias[lv] is None and w < level_lens[lv]) else None
+            for lv, w in enumerate(max(1, (attn_window * T_l) // T)
+                                   for T_l in level_lens)
+        ]
+
     def run_transformers(prefix, ht, lvl):
         for j in range(cfg.n_blocks):
             ht = basic_transformer_block(
                 p, f"{prefix}.{j}", ht, level_bias[lvl], cfg.num_heads,
                 cfg.act_fn, ctx, cfg.gelu_approximate, cfg.dropout,
+                window=level_window[lvl],
             )
         return ht
 

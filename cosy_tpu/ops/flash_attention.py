@@ -267,6 +267,123 @@ def flash_attention(
     return out[:, :, :T, :]
 
 
+# ---------------------------------------------------------------------------
+# Banded (windowed) attention — opt-in flop-level win for long utterances
+# ---------------------------------------------------------------------------
+
+
+def _make_banded_kernel(scale, Bq, window, out_dtype):
+    """One q block per grid step; keys restricted to the 3 adjacent k blocks
+    (prev/self/next), which cover the ±window band whenever window <= Bq.
+
+    Same design family as the one-tile kernel: one QK^T, fully vectorized
+    softmax, one PV — no online-softmax loop.  The band mask is an iota
+    compare on GLOBAL positions, so the clamped duplicate tiles at the
+    sequence boundaries are masked out by position, never by data."""
+    from jax.experimental import pallas as pl
+
+    def kernel(kv_ref, q_ref, km_ref, k0_ref, kp_ref, vm_ref, v0_ref, vp_ref, o_ref):
+        i = pl.program_id(2)
+        k_valid = kv_ref[pl.program_id(0)]
+        q = q_ref[0, 0]
+        ks = jnp.concatenate([km_ref[0, 0], k0_ref[0, 0], kp_ref[0, 0]], axis=0)
+        s = jax.lax.dot_general(q, ks, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        trow = i * Bq + jax.lax.broadcasted_iota(jnp.int32, (Bq, 3 * Bq), 0)
+        spos = (i - 1) * Bq + jax.lax.broadcasted_iota(jnp.int32, (Bq, 3 * Bq), 1)
+        ok = (spos >= 0) & (spos < k_valid) & (jnp.abs(trow - spos) <= window)
+        s = jnp.where(ok, s, NEG)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        vs = jnp.concatenate([vm_ref[0, 0], v0_ref[0, 0], vp_ref[0, 0]], axis=0)
+        acc = jax.lax.dot_general(p.astype(vs.dtype), vs, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        o_ref[0, 0] = (acc / jnp.maximum(l, 1e-30)).astype(out_dtype)
+
+    return kernel
+
+
+def banded_block(window: int) -> int:
+    """q/k block size for a ±window band: 128-aligned, >= window."""
+    return max(128, _cdiv(window, 128) * 128)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "window", "interpret"))
+def banded_attention(
+    q: jax.Array,  # (B, H, T, d) — self-attention (S == T)
+    k: jax.Array,
+    v: jax.Array,
+    scale: float,
+    window: int,  # each query attends keys within |t - s| <= window
+    k_valid: Optional[jax.Array] = None,  # (B,) int32 valid key lengths
+    interpret: bool = False,
+) -> jax.Array:
+    """Local-band attention: O(T * 3*block) instead of O(T^2) flops/bytes.
+
+    A quality trade vs the full attention the estimator was trained with —
+    ships opt-in (EstimatorConfig.attn_window); see PERF.md for the measured
+    speed/output-delta trade."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, H, T, d = q.shape
+    assert k.shape[2] == T, "banded attention is self-attention only"
+    Bq = banded_block(window)
+    Tp = _cdiv(T, Bq) * Bq
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, Tp - T), (0, 0)))
+    kp_ = jnp.pad(k, ((0, 0), (0, 0), (0, Tp - T), (0, 0)))
+    vp_ = jnp.pad(v, ((0, 0), (0, 0), (0, Tp - T), (0, 0)))
+    if k_valid is None:
+        k_valid = jnp.full((B,), T, jnp.int32)
+    k_valid = k_valid.astype(jnp.int32).reshape(B)
+    nqb = Tp // Bq
+
+    kernel = _make_banded_kernel(scale, Bq, window, q.dtype)
+    tile = lambda fn: pl.BlockSpec((1, 1, Bq, d), fn, memory_space=pltpu.VMEM)
+    ix_self = lambda b, h, i: (b, h, i, 0)
+    ix_prev = lambda b, h, i: (b, h, jnp.maximum(i - 1, 0), 0)
+    ix_next = lambda b, h, i: (b, h, jnp.minimum(i + 1, nqb - 1), 0)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, H, nqb),
+        in_specs=[
+            pl.BlockSpec((B,), lambda b, h, i: (0,), memory_space=pltpu.SMEM),
+            tile(ix_self),
+            tile(ix_prev), tile(ix_self), tile(ix_next),
+            tile(ix_prev), tile(ix_self), tile(ix_next),
+        ],
+        out_specs=tile(ix_self),
+        out_shape=jax.ShapeDtypeStruct((B, H, Tp, d), q.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * Tp * 3 * Bq * d,
+            bytes_accessed=(qp.size + 3 * kp_.size + 3 * vp_.size) * qp.dtype.itemsize,
+            transcendentals=B * H * Tp * 3 * Bq,
+        ),
+    )(k_valid, qp, kp_, kp_, kp_, vp_, vp_, vp_)
+    return out[:, :, :T, :]
+
+
+def use_banded(T: int, d: int, window: int) -> bool:
+    """Gate for the banded kernel: TPU, lane-aligned head dim, and a band
+    narrow enough relative to T that the win is real.  Measured on-chip
+    (tools/probe_banded.py, whole-CFM-solve A/B vs the default flash path,
+    window=256): T1280 0.79x, T1536 0.87x, T2048 1.02x, T2304 1.14x,
+    T2560 1.37x — the kernel re-reads each k/v tile 3x and part of the band
+    tile is masked waste, so the raw flop reduction must be ~3x before the
+    wall-clock win appears.  window=128 is NOT faster than 256 (the kernel
+    is grid-step-overhead-bound, not flop-bound, at narrow bands).
+    Require Tp >= 9 blocks — the measured T2304 crossover."""
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:  # noqa: BLE001
+        on_tpu = False
+    Bq = banded_block(window)
+    Tp = _cdiv(T, Bq) * Bq
+    return on_tpu and d % 8 == 0 and d <= 256 and Tp >= 9 * Bq
+
+
 def use_flash(T: int, d: int) -> bool:
     """Gate for routing production attention through the Pallas kernel.
 

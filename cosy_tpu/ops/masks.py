@@ -27,6 +27,16 @@ def make_non_pad_mask(lengths: jax.Array, max_len: int) -> jax.Array:
     return ~make_pad_mask(lengths, max_len)
 
 
+def band_bias(T: int, window: int, dtype) -> jax.Array:
+    """(T, T) additive bias for local-band self-attention: 0 where
+    |i - j| <= window, NEG_BIAS outside.  The XLA oracle for the banded
+    Pallas kernel (ops/flash_attention.banded_attention) and the CPU path of
+    the opt-in windowed estimator attention."""
+    i = jnp.arange(T)
+    ok = jnp.abs(i[:, None] - i[None, :]) <= window
+    return jnp.where(ok, 0.0, NEG_BIAS).astype(dtype)
+
+
 def subsequent_chunk_mask(size: int, chunk_size, num_left_chunks: int = -1) -> jax.Array:
     """(size, size) bool mask, True where attention is allowed.
 

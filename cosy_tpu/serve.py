@@ -363,7 +363,18 @@ def main():
                          "traffic (remote compilation takes minutes cold; "
                          "without this the first request of each shape "
                          "bucket pays it)")
+    ap.add_argument("--attn-window", type=int, default=0,
+                    help="opt-in local-band estimator attention: each mel "
+                         "frame attends only this many neighbor frames "
+                         "(halved per U-Net level) on long non-streaming "
+                         "utterances — up to 2x faster flow solves at the "
+                         "30 s input cap, at an output-fidelity trade "
+                         "(PERF.md); 0 = full attention (default)")
     args = ap.parse_args()
+    if args.attn_window:
+        import os
+
+        os.environ["COSY_TPU_ATTN_WINDOW"] = str(args.attn_window)
 
     from .api import CosyVoice, CosyVoice2
 
