@@ -12,6 +12,7 @@ Usage: python tools/probe_fullparam.py [B [accum]]
 import os
 import sys
 import time
+from functools import partial
 
 os.environ.setdefault("COSY_TPU_NO_CACHE", "1")
 
@@ -66,7 +67,9 @@ def main():
         return joint_forward_train(ps["llm"], ps["flow"], {}, model_cfg,
                                    train_cfg, r, micro, train=True)["loss"]
 
-    @jax.jit
+    donate = os.environ.get("PROBE_DONATE", "1") == "1"
+
+    @partial(jax.jit, donate_argnums=(0, 1) if donate else ())
     def step(ps, ostate, batch, r):
         rngs = jax.random.split(r, accum)
 
@@ -81,26 +84,32 @@ def main():
         updates, ostate = opt.update(grads, ostate, ps)
         return optax.apply_updates(ps, updates), ostate
 
+    def sync(tree):
+        # through the tunnel block_until_ready returns early; only a
+        # device->host fetch of one element truly syncs (PERF.md)
+        leaf = jax.tree.leaves(tree)[0]
+        np.asarray(jax.jit(lambda x: x.reshape(-1)[:1])(leaf))
+
     step_key = jax.random.key(3, impl=train_cfg.prng_impl)
     t0 = time.perf_counter()
-    params2, opt_state2 = step(params, opt_state, super_batch, step_key)
-    jax.block_until_ready(jax.tree.leaves(params2)[0])
+    p_, o_ = step(params, opt_state, super_batch, step_key)
+    sync(p_)
     print(f"compile + first step: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
-    # steady state: chain steps through the carried (params, opt_state)
-    depth = 4
+    # steady state: one continuous chain through the carried (params,
+    # opt_state) — donation invalidates inputs, so never restart the chain
+    depth = 8
     ts = []
     for _ in range(3):
-        p_, o_ = params, opt_state
         t0 = time.perf_counter()
         for _ in range(depth):
             p_, o_ = step(p_, o_, super_batch, step_key)
-        jax.block_until_ready(jax.tree.leaves(p_)[0])
+        sync(p_)
         ts.append((time.perf_counter() - t0) / depth)
     t = float(np.median(ts))
     print(f"full-param joint step (bs{B} x accum{accum}, seq {Tm}, "
-          f"{n_params/1e6:.0f}M params + AdamW): {t*1e3:.1f} ms/step "
-          f"steady-state ({t*1e3/(B*accum):.2f} ms/sample)")
+          f"{n_params/1e6:.0f}M params + AdamW, donate={donate}): "
+          f"{t*1e3:.1f} ms/step steady-state ({t*1e3/(B*accum):.2f} ms/sample)")
 
 
 if __name__ == "__main__":

@@ -57,11 +57,17 @@ def main():
         pg, og, _ = trainer._gen_step(pg, og, pd, k2, batch)
         return pd, od, pg, og
 
+    def sync(tree):
+        # through the tunnel block_until_ready returns early; only a
+        # device->host fetch of one element truly syncs (PERF.md)
+        leaf = jax.tree.leaves(tree)[0]
+        np.asarray(jax.jit(lambda x: x.reshape(-1)[:1])(leaf))
+
     state = (trainer.disc_params, trainer.disc_opt_state,
              trainer.gen_params, trainer.gen_opt_state)
     t0 = time.perf_counter()
     out = turn(*state)
-    jax.block_until_ready(jax.tree.leaves(out[2])[0])
+    sync(out[2])
     print(f"compile + first turn: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
     depth = 6
@@ -71,7 +77,7 @@ def main():
         t0 = time.perf_counter()
         for _ in range(depth):
             s = turn(*s)
-        jax.block_until_ready(jax.tree.leaves(s[2])[0])
+        sync(s[2])
         ts.append((time.perf_counter() - t0) / depth)
         out = s
     t = float(np.median(ts))
