@@ -68,6 +68,7 @@ class EngineRequest:
         self.max_len_cap = max_len_cap
         self.q: queue.Queue = queue.Queue()
         self.err: Optional[BaseException] = None
+        self.cancelled = False
         # filled at admission
         self.prefix = None  # (1, L, D) device array
         self.valid = 0
@@ -150,6 +151,21 @@ class ContinuousBatchEngine:
             self._cv.notify()
         return req
 
+    def cancel(self, req: EngineRequest):
+        """Abandon a request (e.g. its client disconnected).  Pending
+        requests are dropped immediately; an admitted request's slot stops
+        at the next segment boundary and frees for the next admission —
+        the engine does not synthesize the rest of an utterance nobody is
+        consuming.  No-op if the request already finished."""
+        with self._cv:
+            req.cancelled = True
+            if req in self._pending:
+                self._pending.remove(req)
+                req.q.put(None)
+            # if admitted, the loop thread notices `cancelled` in _segment
+            # (it owns all slot/caps bookkeeping — no cross-thread mutation)
+            self._cv.notify()
+
     def stop(self):
         with self._cv:
             self._stopping = True
@@ -170,11 +186,12 @@ class ContinuousBatchEngine:
         import jax.numpy as jnp
 
         ones = jnp.ones(self.B, jnp.int32)
-        _, st = self.pl._decode_batch_seg_jit(
-            self.pl.llm_params, self._dummy_rng, self._zero_prefix,
-            ones, jnp.zeros(self.B, jnp.int32), ones,
-            jnp.asarray(1), None, max_len=self.max_len,
-            attend_width=attend_rung(self.L0, 1, self.max_len))
+        with self.lock:  # device program — serialize like every other call
+            _, st = self.pl._decode_batch_seg_jit(
+                self.pl.llm_params, self._dummy_rng, self._zero_prefix,
+                ones, jnp.zeros(self.B, jnp.int32), ones,
+                jnp.asarray(1), None, max_len=self.max_len,
+                attend_width=attend_rung(self.L0, 1, self.max_len))
         self._state = st
         self._i = 1
         self._lens[:] = 1
@@ -218,10 +235,17 @@ class ContinuousBatchEngine:
         always fits any buildable request — slot-local cache columns)."""
         import jax.numpy as jnp
 
-        while self._pending:
-            req = self._pending[0]
+        while True:
+            # all pending-list reads/pops under _cv: cancel() removes
+            # entries from another thread
+            with self._cv:
+                if not self._pending:
+                    return
+                req = self._pending[0]
             if req.prefix is None and not self._build(req):
-                self._pending.pop(0)
+                with self._cv:
+                    if self._pending and self._pending[0] is req:
+                        self._pending.pop(0)
                 continue
             try:
                 b = self._slots.index(None)
@@ -229,7 +253,12 @@ class ContinuousBatchEngine:
                 return  # no free slot
             if self._state is None:
                 self._park()
-            self._pending.pop(0)
+            with self._cv:
+                if not self._pending or self._pending[0] is not req:
+                    continue  # cancelled while building — already closed
+                self._pending.pop(0)
+                if req.cancelled:
+                    continue  # cancel() already put the None sentinel
             with self.lock:
                 if self.is_cv2:
                     self._state = self.pl._admit_jit(
@@ -254,6 +283,12 @@ class ContinuousBatchEngine:
         pl = self.pl
         hop = self.hop
         ov = 0 if self.is_cv2 else pl.token_overlap_len
+        # cancelled rows stop at this segment boundary: cap them below their
+        # current length so the decode marks them done and the slot frees
+        # (caps bookkeeping stays in this loop thread — cancel() only flags)
+        for b, r in enumerate(self._slots):
+            if r is not None and r.cancelled:
+                self._caps[b] = 1
         # loop-step target: every live slot advances <= seg tokens; i is a
         # pure step counter (cache columns are slot-local), so no max_len
         # clamp — slots bound themselves via caps/attempt limits
@@ -282,6 +317,11 @@ class ContinuousBatchEngine:
                 continue
             n = int(lengths[b])
             sdone = bool(done_dev[b])
+            if req.cancelled:
+                if sdone:
+                    req.q.put(None)
+                    self._free(b)
+                continue  # no emission for a dead consumer
             try:
                 self._emit(b, req, all_tokens[b], n, sdone, hop, ov)
                 if sdone:

@@ -88,18 +88,26 @@ class TTSServer:
 
     def synthesize(self, text: str, spk_id: str = "", speed: float = 1.0,
                    stream: bool = False):
-        with self.lock:
-            if spk_id:
-                gen = self.api.inference_sft(text, spk_id, stream=stream, speed=speed)
-            else:
-                # prompt-free path with zero speaker embedding
-                ids = self.api.frontend.extract_text_token(
-                    self.api.frontend.normalize(text, split=False))
-                gen = self.api.model.synthesize(
-                    self.api._next_rng(), ids, stream=stream, speed=speed,
-                    **self._prompt_free_kwargs())
-            for out in gen:
-                yield out["tts_speech"][0]
+        if spk_id:
+            gen = self.api.inference_sft(text, spk_id, stream=stream, speed=speed)
+        else:
+            # prompt-free path with zero speaker embedding
+            ids = self.api.frontend.extract_text_token(
+                self.api.frontend.normalize(text, split=False))
+            gen = self.api.model.synthesize(
+                self.api._next_rng(), ids, stream=stream, speed=speed,
+                **self._prompt_free_kwargs())
+        # hold the device lock per CHUNK, not across the generator's yields:
+        # this generator suspends at yield while the handler writes to the
+        # client socket, and a slow client must not freeze the chip for
+        # every other request (cohorts, engine, batched)
+        while True:
+            with self.lock:
+                try:
+                    out = next(gen)
+                except StopIteration:
+                    break
+            yield out["tts_speech"][0]
 
     def synthesize_batched(self, text: str, speed: float = 1.0) -> np.ndarray:
         """Enqueue a prompt-free request; a leader thread drains the queue
@@ -152,9 +160,19 @@ class TTSServer:
         it finishes — no cohort formation window, no lock-step drain."""
         ids = self.api.frontend.extract_text_token(
             self.api.frontend.normalize(text, split=False))
-        req = self.engine.submit(self.api._next_rng(), ids)
-        for chunk in req.chunks():
-            yield chunk[0]
+        # zero speaker embedding so the LLM prefix matches every other
+        # prompt-free path (solo/cohort/batched all pass _zero_spk(); a None
+        # embedding would build the speaker-less instruct-style prefix and
+        # decode a different token stream)
+        req = self.engine.submit(self.api._next_rng(), ids, self._zero_spk())
+        try:
+            for chunk in req.chunks():
+                yield chunk[0]
+        finally:
+            # client disconnect closes this generator: release the decode
+            # slot instead of synthesizing the rest of the utterance for a
+            # dead consumer
+            self.engine.cancel(req)
 
     def synthesize_stream_batched(self, text: str):
         """Streaming with cohort batching: requests arriving within the
@@ -171,7 +189,7 @@ class TTSServer:
 
         ids = self.api.frontend.extract_text_token(
             self.api.frontend.normalize(text, split=False))
-        item = {"ids": ids, "q": _queue.Queue(), "err": None}
+        item = {"ids": ids, "q": _queue.Queue(), "err": None, "dead": False}
         with self._queue_lock:
             self._stream_queue.append(item)
             # respawn if the worker died (it is hardened below, but a dead
@@ -181,13 +199,19 @@ class TTSServer:
                     target=self._stream_worker, daemon=True)
                 self._stream_thread.start()
         self._stream_wake.set()
-        while True:
-            got = item["q"].get()
-            if got is None:
-                if item["err"] is not None:
-                    raise item["err"]
-                return
-            yield got
+        try:
+            while True:
+                got = item["q"].get()
+                if got is None:
+                    if item["err"] is not None:
+                        raise item["err"]
+                    return
+                yield got
+        finally:
+            # client disconnect closes this generator: stop accumulating
+            # chunks for a dead consumer (the lock-step cohort itself runs
+            # to completion — members cannot be dropped mid-decode)
+            item["dead"] = True
 
     def _stream_worker(self):
         import time
@@ -244,7 +268,8 @@ class TTSServer:
                         b, wav, done = next(gen)
                     except StopIteration:
                         break
-                cohort[b]["q"].put(wav[0])
+                if not cohort[b]["dead"]:
+                    cohort[b]["q"].put(wav[0])
                 if done:
                     # release this client immediately — short streams
                     # must not wait for (or inherit errors from) the
@@ -268,32 +293,38 @@ def make_handler(server: TTSServer, sample_rate: int):
         def log_message(self, fmt, *args):  # quiet
             pass
 
+        def _plain(self, code: int, body: bytes):
+            """Plain response with Content-Length — under HTTP/1.1 keep-alive
+            the client needs explicit framing or it waits forever for a
+            connection close that never comes."""
+            self.send_response(code)
+            self.send_header("Content-Type", "text/plain")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
         def do_GET(self):
             if self.path == "/healthz":
-                self.send_response(200)
-                self.end_headers()
-                self.wfile.write(b"ok")
+                self._plain(200, b"ok")
             else:
-                self.send_response(404)
-                self.end_headers()
+                self._plain(404, b"not found")
 
         def do_POST(self):
             if self.path != "/tts":
-                self.send_response(404)
-                self.end_headers()
+                self._plain(404, b"not found")
                 return
             n = int(self.headers.get("Content-Length", 0))
             try:
                 req = json.loads(self.rfile.read(n) or b"{}")
                 text = req["text"]
-            except (json.JSONDecodeError, KeyError) as e:
-                self.send_response(400)
-                self.end_headers()
-                self.wfile.write(f"bad request: {e}".encode())
+                stream = bool(req.get("stream", False))
+                spk_id = req.get("spk_id", "")
+                speed = float(req.get("speed", 1.0))
+            except (json.JSONDecodeError, KeyError, TypeError, ValueError) as e:
+                # TypeError: non-object JSON body ([1,2], "hi"); ValueError:
+                # non-numeric speed — both are client errors, not 500s
+                self._plain(400, f"bad request: {e}".encode())
                 return
-            stream = bool(req.get("stream", False))
-            spk_id = req.get("spk_id", "")
-            speed = float(req.get("speed", 1.0))
             if stream:
                 # true chunked streaming: WAV header with unknown-length
                 # markers, then PCM16 per synthesis chunk as it is produced
@@ -322,10 +353,16 @@ def make_handler(server: TTSServer, sample_rate: int):
                     pieces = server.synthesize_stream_batched(text)
                 else:
                     pieces = server.synthesize(text, spk_id, speed, stream=True)
-                for piece in pieces:
-                    pcm = (np.clip(piece, -1, 1) * 32767).astype("<i2").tobytes()
-                    send_chunk(pcm)
-                self.wfile.write(b"0\r\n\r\n")
+                try:
+                    for piece in pieces:
+                        pcm = (np.clip(piece, -1, 1) * 32767).astype("<i2").tobytes()
+                        send_chunk(pcm)
+                    self.wfile.write(b"0\r\n\r\n")
+                finally:
+                    # on client disconnect the write raises and the generator
+                    # is abandoned: close() runs its finally block (engine
+                    # slot cancel / cohort dead-mark / device-lock release)
+                    pieces.close()
                 return
             if not spk_id and hasattr(server.api.model, "synthesize_batch"):
                 # concurrent prompt-free requests share a micro-batched decode

@@ -303,3 +303,49 @@ def test_engine_full_cap_joiner_admits_mid_flight():
         assert eng.segments_run > segs_at_submit
     finally:
         eng.stop()
+
+
+def test_engine_cancel_frees_slot_and_stops_decode():
+    """cancel() on an admitted request stops its row at the next segment
+    boundary (no synthesis for a dead consumer), terminates its queue, and
+    frees the slot for reuse."""
+    api = _make_api()
+    eng = _engine(api, seg_tokens=4)
+    try:
+        req = eng.submit(jax.random.PRNGKey(0),
+                         _ids(api, "a fairly long sentence to cancel."))
+        first = req.q.get(timeout=600)  # it is admitted and producing
+        assert first is not None
+        eng.cancel(req)
+        deadline = time.time() + 600
+        while eng._active() and time.time() < deadline:
+            time.sleep(0.05)
+        assert not eng._active(), "cancelled slot never freed"
+        while req.q.get(timeout=60) is not None:  # queue is terminated
+            pass
+        # the freed slot admits and completes a new request
+        req2 = eng.submit(jax.random.PRNGKey(1), _ids(api, "hi."))
+        out = np.concatenate([c[0] for c in req2.chunks()])
+        assert out.size > 0
+    finally:
+        eng.stop()
+
+
+def test_engine_cancel_pending_request():
+    """cancel() on a not-yet-admitted request drops it from the pending list
+    immediately; the in-flight request is unaffected."""
+    api = _make_api()
+    eng = _engine(api, slots=1, seg_tokens=4)
+    try:
+        r1 = eng.submit(jax.random.PRNGKey(0),
+                        _ids(api, "long first sentence occupying the slot."))
+        assert r1.q.get(timeout=600) is not None  # r1 holds the only slot
+        r2 = eng.submit(jax.random.PRNGKey(1), _ids(api, "second."))
+        eng.cancel(r2)
+        assert list(r2.chunks()) == []  # terminated without synthesis
+        assert r2.err is None
+        rest = list(r1.chunks())  # r1 runs to completion
+        assert r1.tokens is not None
+        assert all(np.isfinite(c).all() for c in rest)
+    finally:
+        eng.stop()

@@ -321,3 +321,94 @@ def test_cohorts_interleave_at_segment_boundaries():
     t0.join(timeout=30)
     assert not t0.is_alive()
     assert server.batches_run == 2
+
+
+def test_http_keepalive_framing_and_bad_bodies():
+    """HTTP/1.1 keep-alive: every plain response (healthz, 404, 400) carries
+    Content-Length so a persistent connection can be reused — and malformed
+    bodies (non-object JSON, non-numeric speed) return 400, not a dropped
+    connection."""
+    import http.client
+
+    api = _make_api()
+    server = TTSServer(api)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(server, 22050))
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        # two requests over ONE socket: without Content-Length the second
+        # request would hang waiting for the first body to end
+        conn.request("GET", "/healthz")
+        r = conn.getresponse()
+        assert r.status == 200 and r.getheader("Content-Length") == "2"
+        assert r.read() == b"ok"
+        conn.request("GET", "/healthz")
+        assert conn.getresponse().read() == b"ok"
+        # framed 404
+        conn.request("GET", "/nope")
+        r = conn.getresponse()
+        assert r.status == 404 and r.getheader("Content-Length") is not None
+        r.read()
+        # non-object JSON body -> 400 (not an unhandled TypeError)
+        conn.request("POST", "/tts", body=b"[1, 2]")
+        r = conn.getresponse()
+        assert r.status == 400
+        r.read()
+        # non-numeric speed -> 400
+        conn.request("POST", "/tts",
+                     body=json.dumps({"text": "hi.", "speed": "fast"}).encode())
+        r = conn.getresponse()
+        assert r.status == 400
+        r.read()
+        # the connection is still alive and usable
+        conn.request("GET", "/healthz")
+        assert conn.getresponse().read() == b"ok"
+        conn.close()
+    finally:
+        httpd.shutdown()
+
+
+def test_synthesize_releases_lock_between_chunks():
+    """The solo streaming path must hold the device lock per chunk, not
+    across generator yields — one slow client must not freeze the chip for
+    cohorts/engine/batched requests."""
+    api = _make_api()
+    orig = api.frontend.extract_text_token
+    api.frontend.extract_text_token = lambda text: orig(text) % 40
+    server = TTSServer(api)
+    gen = server.synthesize("hello there friend.", stream=True)
+    first = next(gen)
+    assert first.size > 0
+    # suspended at yield: the device lock must be free for other requests
+    assert server.lock.acquire(timeout=30), "device lock held across a yield"
+    server.lock.release()
+    for _ in gen:
+        pass
+
+
+def test_engine_route_uses_zero_speaker_embedding():
+    """--engine-slots streaming must build the same prompt-free prefix as
+    every other path: a zero speaker embedding, not a speaker-less
+    (instruct-style) prefix."""
+    api = _make_api()
+    orig = api.frontend.extract_text_token
+    api.frontend.extract_text_token = lambda text: orig(text) % 40
+    server = TTSServer(api, engine_slots=2)
+    server.engine.max_len = 64
+    seen = {}
+    real_submit = server.engine.submit
+
+    def spy(rng, ids, spk_embedding=None):
+        seen["spk"] = spk_embedding
+        return real_submit(rng, ids, spk_embedding)
+
+    server.engine.submit = spy
+    try:
+        wav = np.concatenate(
+            [c for c in server.synthesize_stream_engine("hello.")])
+        assert wav.size > 0
+        assert seen["spk"] is not None and not seen["spk"].any()
+        assert seen["spk"].shape == (1, 12)  # tiny model spk dim
+    finally:
+        server.engine.stop()
