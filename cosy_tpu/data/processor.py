@@ -100,13 +100,27 @@ def truncate_stage(data: Iterable[Dict], truncate_length: int = 24576) -> Iterat
         yield s
 
 
-def compute_fbank(data: Iterable[Dict]) -> Iterator[Dict]:
-    """Mel features via the fused XLA frontend (processor.py compute_fbank)."""
+def compute_fbank(data: Iterable[Dict], length_bucket: int = 16384) -> Iterator[Dict]:
+    """Mel features via the fused XLA frontend (processor.py compute_fbank).
+
+    The waveform is zero-padded up to a ``length_bucket`` multiple before the
+    shape-specialized jitted mel op and the mel sliced back to the true frame
+    count — otherwise every novel utterance length compiles a fresh XLA
+    program (center=False STFT: frames fully inside the true length are
+    unaffected by the zero tail, so the sliced mel is exact)."""
     import jax.numpy as jnp
 
+    pad_r = (A.N_FFT - A.HOP_SIZE) // 2
     for s in data:
-        mel = np.asarray(A.mel_spectrogram(jnp.asarray(s["speech"][None])))[0]
-        s["speech_feat"] = mel.T.astype(np.float32)  # (T, 80)
+        wav = np.asarray(s["speech"], np.float32)
+        n_true = A.num_mel_frames(len(wav))
+        # reflect-pad on the TRUE signal first (matching mel_spectrogram's
+        # internal pad), THEN zero-pad to the bucket: frames < n_true are
+        # bit-identical to the unbucketed call
+        yp = np.pad(wav, (pad_r, pad_r), mode="reflect")
+        yp = np.pad(yp, (0, -len(yp) % length_bucket))
+        mel = np.asarray(A.mel_spectrogram_prepadded(jnp.asarray(yp[None])))[0]
+        s["speech_feat"] = mel.T[:n_true].astype(np.float32)  # (T, 80)
         yield s
 
 
@@ -123,14 +137,19 @@ def compute_f0_stage(data: Iterable[Dict]) -> Iterator[Dict]:
 
 
 def parse_embedding(data: Iterable[Dict], normalize: bool = True) -> Iterator[Dict]:
+    """Normalize utt/spk embeddings, keeping BOTH so padding() can select
+    per use_spk_embedding (reference processor.py:213-227, 430-433)."""
     for s in data:
+        first = None
         for key in ("utt_embedding", "spk_embedding", "embedding"):
             if key in s and s[key] is not None:
                 e = np.asarray(s[key], np.float32).reshape(-1)
                 if normalize:
                     e = e / max(np.linalg.norm(e), 1e-12)
-                s["embedding"] = e
-                break
+                s[key] = e
+                first = e if first is None else first
+        if first is not None:
+            s["embedding"] = s.get("embedding", first)
         yield s
 
 
@@ -212,7 +231,10 @@ def padding(batches: Iterable[List[Dict]], use_spk_embedding: bool = False) -> I
             out["speech_feat"] = feat
             out["speech_feat_len"] = np.asarray(lens, np.int32)
         if "pitch_feat" in batch[0]:
-            T = out["speech_feat"].shape[1]
+            # pitch may run without compute_fbank (compute_f0_stage supports
+            # it); fall back to the batch's own f0 lengths then
+            T = (out["speech_feat"].shape[1] if "speech_feat" in out
+                 else max(len(s["pitch_feat"]) for s in batch))
             pf = np.zeros((B, T), np.float32)
             for i, s in enumerate(batch):
                 pf[i, : len(s["pitch_feat"][:T])] = s["pitch_feat"][:T]
@@ -234,7 +256,13 @@ def padding(batches: Iterable[List[Dict]], use_spk_embedding: bool = False) -> I
                     arr[i, : lens[i]] = np.asarray(s[key], dtype)
                 out[key] = arr
                 out[key + "_len"] = np.asarray(lens, np.int32)
-        if "embedding" in batch[0]:
+        # spk- vs utt-embedding selection (reference processor.py:430-433):
+        # use_spk_embedding=True conditions on the speaker-level embedding
+        emb_key = "spk_embedding" if use_spk_embedding else "utt_embedding"
+        if batch[0].get(emb_key) is not None:
+            out["embedding"] = np.stack(
+                [np.asarray(s[emb_key], np.float32).reshape(-1) for s in batch])
+        elif "embedding" in batch[0]:
             out["embedding"] = np.stack([s["embedding"] for s in batch]).astype(np.float32)
         yield out
 

@@ -96,6 +96,16 @@ def attend_rung(L0: int, stop: int, max_len: int) -> int:
     return min(S, -((L0 + stop) // -ATTEND_RUNG) * ATTEND_RUNG)
 
 
+def _cap_bucket(max_len: int, bucket: int = 128) -> int:
+    """Static decode CAPACITY for a request cap: bucketed up to limit
+    program count across requests.  The true per-request cap (the
+    reference's max_token_text_ratio bound, llm.py:180) must be enforced
+    separately as a traced stop — bucketing the cap itself would let a
+    degenerate decode run up to ``bucket-1`` tokens past the reference's
+    stop bound."""
+    return max(bucket, ((max_len + bucket - 1) // bucket) * bucket)
+
+
 def _batch_prefixes(built):
     """LEFT-pad per-request prefixes into one batch (shared absolute
     positions/cache slots; see llm_decode_batch).  ``built`` is a list of
@@ -105,7 +115,7 @@ def _batch_prefixes(built):
     families) must build its inputs here so their decodes stay bit-identical."""
     L0 = max(int(pr.shape[1]) for pr, _, _ in built)
     L0 = ((L0 + 15) // 16) * 16  # bucket prefix length to limit recompiles
-    max_len = max(ml for _, _, ml in built)
+    max_len = _cap_bucket(max(ml for _, _, ml in built))
     prefix = jnp.concatenate([
         jnp.pad(pr, ((0, 0), (L0 - pr.shape[1], 0), (0, 0)))
         for pr, _, _ in built], axis=0)
@@ -147,6 +157,8 @@ class TTSPipeline:
 
         fr = model_cfg.flow.input_frame_rate
         self.token_min_hop_len = 2 * fr
+        # reference constant (model.py:54): unused while stream_scale_factor
+        # is pinned to 1 there — kept for config parity only
         self.token_max_hop_len = 4 * fr
         self.token_overlap_len = 20
         self.mel_overlap_len = int(self.token_overlap_len / fr * 22050 / 256)
@@ -267,12 +279,15 @@ class TTSPipeline:
 
         self._t2w_jit = jax.jit(_t2w_fn, static_argnames=("trim",))
 
-        def _decode_fn(params, rng, prefix, min_len, *, prefix_len, max_len,
-                       top_p, top_k, win_size, tau_r):
+        def _decode_fn(params, rng, prefix, min_len, cap, *, prefix_len,
+                       max_len, top_p, top_k, win_size, tau_r):
+            # cap = the request's true stop bound (traced); max_len = the
+            # bucketed static capacity
             return L.llm_decode(P(params), self.cfg.llm, rng, prefix, prefix_len,
                                 min_len, max_len, top_p=top_p, top_k=top_k,
                                 win_size=win_size, tau_r=tau_r,
-                                int8_weights=self.icfg.int8_decode)
+                                int8_weights=self.icfg.int8_decode,
+                                stop_at=cap)
 
         self._decode_jit = jax.jit(
             _decode_fn, static_argnames=("prefix_len", "max_len", "top_p",
@@ -379,10 +394,10 @@ class TTSPipeline:
 
         target_text = text_len - prompt_text_len
         min_len = int(target_text * self.icfg.min_token_text_ratio)
+        # the TRUE per-request cap (llm.py:180); consumers bucket the static
+        # decode capacity with _cap_bucket and enforce this cap as a traced
+        # stop so short texts keep the reference's stop bound exactly
         max_len = min(int(target_text * self.icfg.max_token_text_ratio), max_len_cap)
-        # bucket max_len to limit recompiles across requests
-        bucket = 128
-        max_len = max(bucket, ((max_len + bucket - 1) // bucket) * bucket)
         return prefix, min_len, max_len
 
     def generate_tokens(
@@ -401,7 +416,8 @@ class TTSPipeline:
             max_len_cap)
         res = self._decode_jit(
             self.llm_params, rng, prefix, jnp.asarray(min_len),
-            prefix_len=prefix.shape[1], max_len=max_len,
+            jnp.asarray(max_len),
+            prefix_len=prefix.shape[1], max_len=_cap_bucket(max_len),
             top_p=self.icfg.sampling_top_p, top_k=self.icfg.sampling_top_k,
             win_size=self.icfg.ras_win_size, tau_r=self.icfg.ras_tau_r,
         )
@@ -424,12 +440,12 @@ class TTSPipeline:
         prefix, min_len, max_len = self._build_prefix(
             text_tokens, prompt_text, prompt_speech_token, spk_embedding,
             max_len_cap)
-        kw = dict(prefix_len=prefix.shape[1], max_len=max_len,
+        kw = dict(prefix_len=prefix.shape[1], max_len=_cap_bucket(max_len),
                   top_p=self.icfg.sampling_top_p, top_k=self.icfg.sampling_top_k,
                   win_size=self.icfg.ras_win_size, tau_r=self.icfg.ras_tau_r)
         seg = self.token_min_hop_len + self.token_overlap_len
         state = None
-        target = min(seg, max_len)
+        target = min(seg, max_len)  # targets bound by the TRUE request cap
         while True:
             res, state = self._decode_seg_jit(
                 self.llm_params, rng, prefix, jnp.asarray(min_len),
@@ -584,6 +600,12 @@ class TTSPipeline:
         runtime) round-trip once — through the tunnel the per-call sync
         otherwise doubles steady-state cost (measured 81 -> 35 ms/call).
         """
+        if speed != 1.0 and stream_state is not None and stream_state.hift_mel is not None:
+            # the speed interpolation below runs on the full mel AFTER the
+            # hift-cache concat, which would stretch the crossfade-cache
+            # region — the reference forbids the combination outright
+            # (model.py:213-214)
+            raise ValueError("speed change only supports non-stream inference mode")
         k_flow, k_hift = jax.random.split(rng)
         prompt_token = prompt_token if prompt_token is not None else np.zeros((1, 0), np.int32)
         prompt_feat = prompt_feat if prompt_feat is not None else np.zeros((1, 0, 80), np.float32)
@@ -774,6 +796,11 @@ class TTSPipeline:
         mirror the reference's split conditioning; the unprefixed ones are a
         convenience that applies to both stages.
         """
+        if stream and speed != 1.0:
+            # reference: 'speed change only support non-stream inference
+            # mode' (model.py:213-214) — silently playing at 1.0x (or
+            # stretching the crossfade-cache region) would be worse
+            raise ValueError("speed != 1.0 is only supported with stream=False")
         k_llm, k_wav = jax.random.split(rng)
         llm_prompt = llm_prompt_speech_token if llm_prompt_speech_token is not None else prompt_speech_token
         flow_prompt = flow_prompt_speech_token if flow_prompt_speech_token is not None else prompt_speech_token
@@ -823,7 +850,10 @@ class TTSPipeline:
                     prompt_feat, spk_embedding, stream_state=state, finalize=False)
                 yield {"tts_speech": wav}
                 pos += hop
-                hop = min(self.token_max_hop_len, hop)
+                # hop stays at token_min_hop_len: the reference's
+                # stream_scale_factor is pinned to 1 (model.py:54-56, with an
+                # assert), so its hop-growth hook (min with token_max_hop_len)
+                # never fires — not implemented here
                 ki += 1
                 continue
             if llm_done:

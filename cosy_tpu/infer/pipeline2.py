@@ -27,7 +27,7 @@ from ..models.qwen2lm import (Qwen2LMConfig, qwen2lm_decode,
                               qwen2lm_decode_batch)
 from ..models import hift as H
 from ..config import HiFTConfig
-from .pipeline import (_batch_prefixes, attend_rung, fade_in_out,
+from .pipeline import (_batch_prefixes, _cap_bucket, attend_rung, fade_in_out,
                        fade_in_out_jnp)
 
 
@@ -167,11 +167,13 @@ class TTS2Pipeline:
         self._t2w_final_jit = jax.jit(
             _t2w_final_fn, static_argnames=("out_tokens", "n_timesteps"))
 
-        def _decode_fn(params, rng, prefix, min_len, *, max_len, top_p, top_k,
-                       win_size, tau_r):
+        def _decode_fn(params, rng, prefix, min_len, cap, *, max_len, top_p,
+                       top_k, win_size, tau_r):
+            # cap = the request's true stop bound (traced); max_len = the
+            # bucketed static capacity
             return qwen2lm_decode(P(params), self.lcfg, rng, prefix, min_len,
                                   max_len, top_p=top_p, top_k=top_k,
-                                  win_size=win_size, tau_r=tau_r)
+                                  win_size=win_size, tau_r=tau_r, stop_at=cap)
 
         self._decode_jit = jax.jit(
             _decode_fn, static_argnames=("max_len", "top_p", "top_k",
@@ -253,9 +255,9 @@ class TTS2Pipeline:
 
         target_text = tt.shape[1] - prompt_text_len
         min_len = int(target_text * self.icfg.min_token_text_ratio)
+        # the TRUE per-request cap (llm.py:180); consumers bucket the static
+        # capacity via _cap_bucket and enforce this cap as a traced stop
         max_len = min(int(target_text * self.icfg.max_token_text_ratio), max_len_cap)
-        bucket = 128
-        max_len = max(bucket, ((max_len + bucket - 1) // bucket) * bucket)
         return prefix, min_len, max_len
 
     def generate_tokens(
@@ -271,7 +273,8 @@ class TTS2Pipeline:
         prefix, min_len, max_len = self._build_prefix(
             text_tokens, prompt_text, prompt_speech_token, max_len_cap)
         res = self._decode_jit(
-            self.llm_params, rng, prefix, jnp.asarray(min_len), max_len=max_len,
+            self.llm_params, rng, prefix, jnp.asarray(min_len),
+            jnp.asarray(max_len), max_len=_cap_bucket(max_len),
             top_p=self.icfg.sampling_top_p, top_k=self.icfg.sampling_top_k,
             win_size=self.icfg.ras_win_size, tau_r=self.icfg.ras_tau_r)
         n = int(res.length)
@@ -293,12 +296,12 @@ class TTS2Pipeline:
         than seg_tokens net tokens; the consumer just asks again."""
         prefix, min_len, max_len = self._build_prefix(
             text_tokens, prompt_text, prompt_speech_token, max_len_cap)
-        kw = dict(max_len=max_len,
+        kw = dict(max_len=_cap_bucket(max_len),
                   top_p=self.icfg.sampling_top_p, top_k=self.icfg.sampling_top_k,
                   win_size=self.icfg.ras_win_size, tau_r=self.icfg.ras_tau_r)
         seg = seg_tokens or (2 * self.token_hop_len)
         state = None
-        target = min(seg, max_len)
+        target = min(seg, max_len)  # targets bound by the TRUE request cap
         while True:
             res, state = self._decode_seg_jit(
                 self.llm_params, rng, prefix, jnp.asarray(min_len),
@@ -484,6 +487,9 @@ class TTS2Pipeline:
         device array so callers can pipeline independent requests — see
         pipeline.TTSPipeline.token2wav.
         """
+        if speed != 1.0 and (stream or (state is not None and state.hift_mel is not None)):
+            # reference model.py:364-365: speed change only in non-stream mode
+            raise ValueError("speed change only supports non-stream inference mode")
         prompt_token = prompt_token if prompt_token is not None else np.zeros((1, 0), np.int32)
         prompt_feat = prompt_feat if prompt_feat is not None else np.zeros((1, 0, 80), np.float32)
 
@@ -603,6 +609,10 @@ class TTS2Pipeline:
         speed: float = 1.0,
     ) -> Iterator[Dict[str, np.ndarray]]:
         """model.py:372-430 with the staged-pipeline structure."""
+        if stream and speed != 1.0:
+            # reference: 'speed change only support non-stream inference
+            # mode' (model.py:364-365)
+            raise ValueError("speed != 1.0 is only supported with stream=False")
         k_llm, k_wav = jax.random.split(rng)
         if flow_embedding is None:
             flow_embedding = np.zeros((1, self.fcfg.spk_embed_dim), np.float32)

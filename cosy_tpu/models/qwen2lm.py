@@ -316,6 +316,11 @@ def qwen2lm_decode(
 
         tokens = jnp.full((max_len,), -1, jnp.int32)
         k_s, rng = jax.random.split(rng)
+        # step 0 has no previous token to re-feed on a fill-token skip, so
+        # fill/invalid ids (> eos) are masked out of the first sample — the
+        # reference's step-0 `continue` would re-feed the ENTIRE prefix into
+        # the cache (llm.py:505-507), which is not skip semantics either
+        logits0 = logits0.at[eos + 1:].set(-jnp.inf)
         first = sample(k_s, logits0, jnp.asarray(0), tokens,
                        jnp.asarray(0)).astype(jnp.int32)
         is_special0 = first >= eos
@@ -417,6 +422,13 @@ class Qwen2StreamDecoder:
     def advance(self, emb: jax.Array) -> jax.Array:
         """Feed (1, n, D) embeddings; returns last-position logits (V,)."""
         n = emb.shape[1]
+        if self.L + n > self.capacity:
+            # a clamped dynamic_update_slice would silently overwrite earlier
+            # cache columns while RoPE positions keep advancing — corrupt
+            # attention, garbage tokens; fail loudly instead
+            raise ValueError(
+                f"bistream sequence overflows the decoder capacity: "
+                f"{self.L} + {n} > {self.capacity}")
         bucket = 1 if n == 1 else 1 << (n - 1).bit_length()  # pow2 buckets
         pad = bucket - n
         if pad:
@@ -471,7 +483,10 @@ def qwen2lm_inference_bistream(
         else jnp.zeros((1, 0, cfg.llm_input_size))
 
     out_tokens: list[int] = []
-    history = jnp.full((max_history,), -1, jnp.int32)
+    # the history buffer must cover every token the loop may generate:
+    # writes past the buffer are silently dropped scatters, which would
+    # disable repetition-aware sampling exactly in the long-stream regime
+    history = jnp.full((max(max_history, max_tokens),), -1, jnp.int32)
     next_fill_index = -1
     n_rng = 0
 
@@ -677,6 +692,8 @@ def qwen2lm_decode_batch(
         ks = split2(rngs)
         k_s, rngs = ks[:, 0], ks[:, 1]
         zeros_b = jnp.zeros((B,), jnp.int32)
+        # step-0 fill skip is unrepresentable (no previous token) — mask >eos
+        logits0 = logits0.at[:, eos + 1:].set(-jnp.inf)
         first = sample_vec(k_s, logits0, zeros_b, tokens,
                            zeros_b, min_len).astype(jnp.int32)
         is_special0 = first >= eos
@@ -797,6 +814,7 @@ def qwen2lm_admit_slot(
     logp = jax.nn.log_softmax(logits0.astype(jnp.float32))
     logp = logp.at[eos].set(
         jnp.where(jnp.asarray(0) < min_len_req, -jnp.inf, logp[eos]))
+    logp = logp.at[eos + 1:].set(-jnp.inf)  # step-0 fill skip unrepresentable
     first = ras_sample(k_s, logp, row, jnp.asarray(0), top_p, top_k,
                        win_size, tau_r).astype(jnp.int32)
     is_special0 = first >= eos

@@ -158,6 +158,28 @@ def num_mel_frames(n_samples: int, n_fft: int = N_FFT, hop: int = HOP_SIZE) -> i
     return 1 + (padded - n_fft) // hop
 
 
+@functools.partial(jax.jit, static_argnames=("n_fft", "n_mels", "sr", "hop", "win"))
+def mel_spectrogram_prepadded(
+    y: jax.Array,  # (B, L) waveform ALREADY reflect-padded by (n_fft-hop)//2
+    n_fft: int = N_FFT,
+    n_mels: int = NUM_MELS,
+    sr: int = SAMPLE_RATE,
+    hop: int = HOP_SIZE,
+    win: int = WIN_SIZE,
+    fmin: float = FMIN,
+    fmax: float = FMAX,
+) -> jax.Array:
+    """mel_spectrogram minus the internal reflect pad: callers that bucket
+    the waveform length (zero tail) must apply the reflect pad on the TRUE
+    signal first, or the final frames read reflected zeros instead of the
+    reflected signal end.  Frames fully inside the true padded span are then
+    bit-identical to mel_spectrogram's."""
+    mag = stft_magnitude(y, n_fft, hop, win)
+    basis = jnp.asarray(mel_filterbank(sr, n_fft, n_mels, fmin, fmax))
+    mel = jnp.einsum("mf,bft->bmt", basis, mag)
+    return jnp.log(jnp.maximum(mel, 1e-5))
+
+
 # ---------------------------------------------------------------------------
 # iSTFT (HiFT head: n_fft 16, hop 4, centered — torch.istft parity)
 # ---------------------------------------------------------------------------

@@ -148,8 +148,9 @@ def use_fused_block(T: int, C: int, inner: int, ff_inner: int, act_fn: str,
                     ctx, bias_ndim: Optional[int]) -> bool:
     """Route basic_transformer_block through the fused kernel when it is the
     measured win: inference (no dropout/LoRA), gelu activation, lane-aligned
-    dims, T small enough that all intermediates fit VMEM.  COSY_TPU_FUSED_BLOCK
-    forces (=0 off, =1 on for any eligible shape)."""
+    dims, T small enough that all intermediates fit VMEM.  COSY_TPU_FUSED_BLOCK=0
+    forces off; the band's upper edge is COSY_TPU_FUSED_MAX_T (TPU only —
+    the Mosaic kernel cannot lower elsewhere)."""
     import os
 
     env = os.environ.get("COSY_TPU_FUSED_BLOCK", "")
@@ -174,6 +175,7 @@ def use_fused_block(T: int, C: int, inner: int, ff_inner: int, act_fn: str,
     max_t = int(os.environ.get("COSY_TPU_FUSED_MAX_T", "512"))
     shape_ok = (C % 128 == 0 and inner % 128 == 0 and ff_inner % 128 == 0
                 and T % 8 == 0 and 384 <= T <= max_t)
-    if env:
-        return shape_ok and bool(on_tpu or env == "1")
+    # the kernel lowers on TPU only (Mosaic): forcing =1 off-TPU would crash
+    # at pallas_call rather than fall back — the force flag widens the band,
+    # never the backend
     return on_tpu and shape_ok

@@ -204,3 +204,41 @@ def test_qwen2lm_inference_bistream_streaming_text():
         prompt_speech_token=jnp.asarray(rng.integers(0, 30, (1, 12))),
         max_tokens=60, capacity=256))
     assert all(0 <= t < 30 for t in toks2)
+
+
+def test_bistream_capacity_overflow_raises():
+    """Writes past the fixed KV capacity must fail loudly: a clamped
+    dynamic_update_slice would overwrite earlier cache columns while RoPE
+    positions keep advancing — silent garbage."""
+    import pytest
+
+    from cosy_tpu.models.qwen2lm import (qwen2lm_inference_bistream,
+                                         init_qwen2lm_params)
+
+    cfg = Qwen2LMConfig(llm_input_size=32, llm_output_size=32, speech_token_size=30,
+                        qwen=TINY_QWEN)
+    params = init_qwen2lm_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(7)
+    chunks = [rng.integers(0, 50, (1, 5)).astype(np.int32) for _ in range(8)]
+    with pytest.raises(ValueError, match="capacity"):
+        list(qwen2lm_inference_bistream(
+            P(params), cfg, jax.random.PRNGKey(1), iter(chunks),
+            max_tokens=1000, capacity=24))  # tiny capacity -> must overflow
+
+
+def test_decode_first_token_never_fill():
+    """Step 0 has no previous token to re-feed on a fill-token skip, so the
+    prefill sample masks ids > eos — the first stored `last` is always a
+    real speech token (or eos -> done)."""
+    from cosy_tpu.models.qwen2lm import qwen2lm_decode, init_qwen2lm_params
+
+    cfg = Qwen2LMConfig(llm_input_size=32, llm_output_size=32, speech_token_size=30,
+                        qwen=TINY_QWEN)
+    params = init_qwen2lm_params(jax.random.PRNGKey(0), cfg)
+    prefix = jax.random.normal(jax.random.PRNGKey(1), (1, 6, 32))
+    eos = cfg.speech_token_size
+    for seed in range(8):  # random init -> near-uniform logits: fills WOULD sample
+        res, st = qwen2lm_decode(P(params), cfg, jax.random.PRNGKey(seed),
+                                 prefix, jnp.asarray(0), 4, return_state=True)
+        first_last = int(st[3])
+        assert first_last <= eos, f"fill token fed at step 0 (seed {seed})"

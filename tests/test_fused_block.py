@@ -67,12 +67,20 @@ def test_use_fused_block_gate():
 
     import cosy_tpu.ops.fused_block as fb
 
-    # off-chip (CPU) the kernel never engages without the env force
-    assert not use_fused_block(512, 256, 512, 1024, "gelu", EVAL, None)
     import os
+    from unittest import mock
 
+    # off-chip (CPU) the kernel NEVER engages — not even with the env force:
+    # the Mosaic kernel cannot lower off-TPU, so forcing it would crash at
+    # pallas_call instead of falling back to XLA
+    assert not use_fused_block(512, 256, 512, 1024, "gelu", EVAL, None)
     os.environ["COSY_TPU_FUSED_BLOCK"] = "1"
     try:
+        assert not use_fused_block(512, 256, 512, 1024, "gelu", EVAL, None)
+    finally:
+        del os.environ["COSY_TPU_FUSED_BLOCK"]
+    # band/shape/ctx gating, evaluated as if on a TPU backend
+    with mock.patch.object(jax, "default_backend", return_value="tpu"):
         assert use_fused_block(512, 256, 512, 1024, "gelu", EVAL, None)
         assert use_fused_block(384, 256, 512, 1024, "gelu", EVAL, 3)
         assert not use_fused_block(512, 256, 512, 1024, "gelu", EVAL, 4)
@@ -85,6 +93,9 @@ def test_use_fused_block_gate():
         assert not use_fused_block(
             512, 256, 512, 1024, "gelu",
             Ctx(rng=jax.random.PRNGKey(0), train=True), None)
-    finally:
-        del os.environ["COSY_TPU_FUSED_BLOCK"]
+        os.environ["COSY_TPU_FUSED_BLOCK"] = "0"
+        try:
+            assert not use_fused_block(512, 256, 512, 1024, "gelu", EVAL, None)
+        finally:
+            del os.environ["COSY_TPU_FUSED_BLOCK"]
     del fb

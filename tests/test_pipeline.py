@@ -155,3 +155,41 @@ def test_streaming_fused_chunk_matches_staged():
     for a, b in zip(staged, fused):
         assert a.shape == b.shape
         np.testing.assert_allclose(b, a, atol=2e-4, rtol=2e-4)
+
+
+def test_decode_cap_is_exact_not_bucketed():
+    """The per-request stop bound (max_token_text_ratio x text_len,
+    llm.py:180) must be enforced exactly: bucketing the static capacity must
+    NOT loosen the cap — a 1-token text decodes at most int(1 * 20) = 20
+    tokens even when EOS never samples, not 128 (the capacity bucket)."""
+    pl = _build_pipeline()
+    # true cap from _build_prefix is un-bucketed
+    ids = np.zeros((1, 1), np.int32)
+    _, min_len, max_len = pl._build_prefix(ids, None, None, None, 2048)
+    assert max_len == int(1 * pl.icfg.max_token_text_ratio)
+    toks = pl.generate_tokens(jax.random.PRNGKey(0), ids)
+    assert toks.shape[1] <= max_len, (toks.shape, max_len)
+    # streaming producer honors the same bound
+    n_last = 0
+    for t, done in pl.generate_tokens_stream(jax.random.PRNGKey(0), ids):
+        n_last = t.shape[1]
+    assert n_last <= max_len
+    # batch path: per-request caps stay exact while capacity buckets
+    from cosy_tpu.infer.pipeline import _batch_prefixes
+
+    built = [pl._build_prefix(ids, None, None, None, 2048),
+             pl._build_prefix(np.zeros((1, 3), np.int32), None, None, None, 2048)]
+    _, _, _, max_lens, cap_static = _batch_prefixes(built)
+    assert list(np.asarray(max_lens)) == [20, 60]
+    assert cap_static == 128  # bucketed capacity only
+
+
+def test_stream_with_speed_rejected():
+    """Reference: 'speed change only support non-stream inference mode'
+    (model.py:213-214) — asserted, not silently ignored."""
+    import pytest
+
+    pl = _build_pipeline()
+    text = np.zeros((1, 3), np.int32)
+    with pytest.raises(ValueError, match="speed"):
+        list(pl.synthesize(jax.random.PRNGKey(0), text, stream=True, speed=1.5))

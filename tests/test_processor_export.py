@@ -79,3 +79,63 @@ def test_export_stablehlo_roundtrip(tmp_path):
     x = jnp.asarray(np.random.default_rng(1).standard_normal((2, 4)).astype(np.float32))
     path = export_stablehlo(fn, (w, x), str(tmp_path / "fn.stablehlo"))
     assert os.path.getsize(path) > 0
+
+
+def test_padding_selects_spk_vs_utt_embedding():
+    """Reference processor.py:430-433: use_spk_embedding=True conditions on
+    the speaker-level embedding; False on the utterance-level one."""
+    rng = np.random.default_rng(1)
+
+    def utts():
+        for i in range(4):
+            yield {
+                "utt": f"u{i}",
+                "speech_feat": rng.standard_normal((10 + i, 80)).astype(np.float32),
+                "utt_embedding": np.full(8, 1.0, np.float32),
+                "spk_embedding": np.full(8, 2.0, np.float32),
+            }
+
+    for use_spk, expect_const in ((True, 2.0), (False, 1.0)):
+        pipe = Pr.build_pipeline(utts(), [
+            (Pr.parse_embedding, {"normalize": False}),
+            (Pr.static_batch, {"batch_size": 4}),
+            (Pr.padding, {"use_spk_embedding": use_spk}),
+        ])
+        (b,) = list(pipe)
+        assert np.allclose(b["embedding"], expect_const), (use_spk, b["embedding"])
+
+
+def test_padding_pitch_without_speech_feat():
+    """compute_f0 without compute_fbank is a supported composition — padding
+    must size the pitch block from the f0 lengths, not crash on a missing
+    speech_feat."""
+    rng = np.random.default_rng(2)
+
+    def utts():
+        for i in range(3):
+            yield {"utt": f"u{i}",
+                   "pitch_feat": rng.uniform(100, 200, 8 + i).astype(np.float32)}
+
+    pipe = Pr.build_pipeline(utts(), [
+        (Pr.static_batch, {"batch_size": 3}),
+        (Pr.padding, {}),
+    ])
+    (b,) = list(pipe)
+    assert b["pitch_feat"].shape == (3, 10)
+
+
+def test_compute_fbank_bucketed_matches_exact():
+    """The length-bucketed fbank (one XLA program per bucket instead of one
+    per novel utterance length) is bit-identical to the unbucketed mel over
+    the true frame count."""
+    import jax.numpy as jnp
+
+    from cosy_tpu.ops import audio as A
+
+    rng = np.random.default_rng(3)
+    for n in (11025, 12007, 22050):
+        wav = rng.uniform(-0.5, 0.5, n).astype(np.float32)
+        (out,) = list(Pr.compute_fbank(iter([{"speech": wav}])))
+        ref = np.asarray(A.mel_spectrogram(jnp.asarray(wav[None])))[0].T
+        assert out["speech_feat"].shape == ref.shape
+        np.testing.assert_allclose(out["speech_feat"], ref, atol=1e-5, rtol=1e-5)
