@@ -105,15 +105,18 @@ class CosyVoice:
 
     def inference_sft(self, tts_text: str, spk_id: str, stream: bool = False,
                       speed: float = 1.0, text_frontend: bool = True):
-        for seg in self.frontend.normalize(tts_text, split=True):
+        for seg in self.frontend.normalize(tts_text, split=True,
+                                           text_frontend=text_frontend):
             yield from self._run(self.frontend.frontend_sft(seg, spk_id), stream, speed)
 
     def inference_zero_shot(self, tts_text: str, prompt_text: str,
                             prompt_speech_16k: np.ndarray, zero_shot_spk_id: str = "",
                             stream: bool = False, speed: float = 1.0,
                             text_frontend: bool = True):
-        prompt_text = self.frontend.normalize(prompt_text, split=False)
-        for seg in self.frontend.normalize(tts_text, split=True):
+        prompt_text = self.frontend.normalize(prompt_text, split=False,
+                                              text_frontend=text_frontend)
+        for seg in self.frontend.normalize(tts_text, split=True,
+                                           text_frontend=text_frontend):
             if len(seg) < 0.5 * len(prompt_text):
                 logging.warning("synthesis text %s too short vs prompt %s", seg, prompt_text)
             model_input = self.frontend.frontend_zero_shot(
@@ -123,7 +126,8 @@ class CosyVoice:
     def inference_cross_lingual(self, tts_text: str, prompt_speech_16k: np.ndarray,
                                 zero_shot_spk_id: str = "", stream: bool = False,
                                 speed: float = 1.0, text_frontend: bool = True):
-        for seg in self.frontend.normalize(tts_text, split=True):
+        for seg in self.frontend.normalize(tts_text, split=True,
+                                           text_frontend=text_frontend):
             model_input = self.frontend.frontend_cross_lingual(
                 seg, prompt_speech_16k, zero_shot_spk_id)
             yield from self._run(model_input, stream, speed)
@@ -131,8 +135,10 @@ class CosyVoice:
     def inference_instruct(self, tts_text: str, spk_id: str, instruct_text: str,
                            stream: bool = False, speed: float = 1.0,
                            text_frontend: bool = True):
-        instruct_text = self.frontend.normalize(instruct_text, split=False)
-        for seg in self.frontend.normalize(tts_text, split=True):
+        instruct_text = self.frontend.normalize(instruct_text, split=False,
+                                                text_frontend=text_frontend)
+        for seg in self.frontend.normalize(tts_text, split=True,
+                                           text_frontend=text_frontend):
             model_input = self.frontend.frontend_instruct(seg, spk_id, instruct_text)
             yield from self._run(model_input, stream, speed)
 
@@ -210,7 +216,8 @@ class CosyVoice2(CosyVoice):
                             prompt_speech_16k: np.ndarray, zero_shot_spk_id: str = "",
                             stream: bool = False, speed: float = 1.0,
                             text_frontend: bool = True):
-        for seg in self.frontend.normalize(tts_text, split=True):
+        for seg in self.frontend.normalize(tts_text, split=True,
+                                           text_frontend=text_frontend):
             model_input = self.frontend.frontend_zero_shot(
                 seg, instruct_text + "<|endofprompt|>", prompt_speech_16k, zero_shot_spk_id)
             # instruct2: no speech-token prompt on the LLM side (frontend.py:240-244)

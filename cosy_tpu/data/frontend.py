@@ -40,6 +40,13 @@ class Frontend:
         spk_encoder: Optional[Callable] = None,
     ):
         self.sample_rate = sample_rate
+        # mel parameters follow the model family's feat_extractor: CosyVoice
+        # (22.05 kHz) uses the matcha mel defaults; CosyVoice2 (24 kHz) uses
+        # n_fft 1920 / hop 480 / win 1920 (50 fps at token_mel_ratio 2) —
+        # the 22.05 kHz defaults would produce a 93.75 fps mel with the
+        # wrong filterbank for CV2 prompt conditioning
+        self._mel_kw = ({"sr": 24000, "n_fft": 1920, "hop": 480, "win": 1920}
+                        if sample_rate == 24000 else {})
         vocab = find_vocab_file(
             os.path.join(model_dir, "multilingual_zh_ja_yue_char_del.tiktoken")
             if model_dir else None)
@@ -48,7 +55,13 @@ class Frontend:
         self.speech_tokenizer = speech_tokenizer
         self.spk_encoder = spk_encoder
         if model_dir:
-            st_path = os.path.join(model_dir, "speech_tokenizer_v1.onnx")
+            # v1 (CosyVoice-300M) and v2 (CosyVoice2) tokenizers share the
+            # ONNX interface; pick whichever the model dir ships
+            st_path = next(
+                (q for q in (os.path.join(model_dir, "speech_tokenizer_v2.onnx"),
+                             os.path.join(model_dir, "speech_tokenizer_v1.onnx"))
+                 if os.path.exists(q)),
+                os.path.join(model_dir, "speech_tokenizer_v1.onnx"))
             cp_path = os.path.join(model_dir, "campplus.onnx")
             if speech_tokenizer is None and os.path.exists(st_path):
                 try:
@@ -107,12 +120,17 @@ class Frontend:
 
     def extract_speech_feat(self, wav: np.ndarray) -> np.ndarray:
         """(T,) at sample_rate -> (1, T_mel, 80)."""
-        mel = np.asarray(A.mel_spectrogram(jnp.asarray(wav[None])))
+        mel = np.asarray(A.mel_spectrogram(jnp.asarray(wav[None]), **self._mel_kw))
         return mel.transpose(0, 2, 1).astype(np.float32)
 
     # -- text normalization --------------------------------------------
 
-    def normalize(self, text: str, split: bool = True):
+    def normalize(self, text: str, split: bool = True,
+                  text_frontend: bool = True):
+        if text_frontend is False:
+            # reference frontend.py:161-162: bypass normalization entirely
+            # for pre-normalized input
+            return [text] if split else text
         text = text_normalize(text)
         if not split:
             return text

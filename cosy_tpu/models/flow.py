@@ -309,6 +309,11 @@ def cfm_compute_loss(
             w = jnp.where(in_boundary, leak.boundary_loss_weight, w)
         loss_mask = loss_mask * w[:, None, :].astype(mask.dtype)
 
+    # the weight rides INSIDE the square while the denominator is linear —
+    # boundary frames get weight^2/weight = weight x extra emphasis.  That is
+    # the reference's exact formula (flow_model.py:197-201: diff = (pred-u) *
+    # loss_mask; (diff**2).sum() / (loss_mask.sum()*C)), kept for loss-curve
+    # parity; do not "fix" to a conventional weighted MSE.
     diff = (pred - u) * loss_mask
     valid = jnp.sum(loss_mask) * u.shape[1]
     return jnp.sum(jnp.square(diff)) / jnp.maximum(valid, 1.0)
@@ -327,10 +332,7 @@ def denormalize_mel(cfg, mel):
     return mel * cfg.mel_std + cfg.mel_mean
 
 
-def _l2_normalize(x: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array:
-    """torch F.normalize: x / max(||x||, eps)."""
-    n = jnp.sqrt(jnp.sum(jnp.square(x), axis=axis, keepdims=True))
-    return x / jnp.maximum(n, eps)
+from .llm import _l2_normalize  # torch F.normalize; one shared definition
 
 
 def flow_encode(
@@ -416,7 +418,13 @@ def flow_forward_train(
         # stock conds: 50% none, else U{0..0.3*len} prompt frames (flow.py:84-91)
         ks = jax.random.split(k_strat, 2)
         drop = jax.random.bernoulli(ks[0], 0.5, (B,))
-        plen = (jax.random.uniform(ks[1], (B,)) * (0.3 * feat_len + 1)).astype(jnp.int32)
+        # random.randint(0, int(0.3*j)) is INCLUSIVE of int(0.3*j): uniform
+        # over {0..K} with K = floor(0.3*j) — the +1 must apply after the
+        # floor or the top value draws non-uniform mass
+        k_top = (0.3 * feat_len).astype(jnp.int32)
+        plen = jnp.minimum(
+            (jax.random.uniform(ks[1], (B,)) * (k_top + 1)).astype(jnp.int32),
+            k_top)
         plen = jnp.where(drop, 0, plen)
         idx = jnp.arange(T)[None, :]
         conds = jnp.where((idx < plen[:, None])[:, :, None], feat, 0.0).transpose(0, 2, 1)
@@ -449,6 +457,14 @@ def flow_forward_train(
     cross_mel = batch.get("cross_sample_mel")
     if leak.cross_sample_enabled and cross_mel is not None:
         cross_mel = (cross_mel - mean) / std
+        # the collate pads cross_sample_mel to its own bucket (default 100
+        # frames) — align it to the feat length before the select; frames
+        # beyond cross_len are never read (prompt_lens <= cross_len below)
+        Tc = cross_mel.shape[1]
+        if Tc < T:
+            cross_mel = jnp.pad(cross_mel, ((0, 0), (0, T - Tc), (0, 0)))
+        elif Tc > T:
+            cross_mel = cross_mel[:, :T]
         cross_len = batch["cross_sample_mel_len"].astype(jnp.int32)
         use_cross = cross_len > 0
         prompt_lens = jnp.where(use_cross, jnp.minimum(prompt_lens, cross_len), prompt_lens)

@@ -154,7 +154,7 @@ def hift_decode(
     if mel_valid is not None:
         # valid stft frames: one per hop sample of the valid source + 1
         # (center framing), matching the unpadded program's frame count
-        sf_valid = mel_valid * (int(np.prod(cfg.upsample_rates)) * hop // hop) + 1
+        sf_valid = mel_valid * int(np.prod(cfg.upsample_rates)) + 1
         s_stft = s_stft * vmask(s_stft.shape[-1], sf_valid)
 
     x = conv1d(p, "conv_pre", mel, padding=3, ctx=ctx)

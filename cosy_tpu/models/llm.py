@@ -38,6 +38,20 @@ def _l2_normalize(x, axis=-1, eps=1e-12):
     return x / jnp.maximum(n, eps)
 
 
+def _token_embed_legacy(sp_llm: P, D: int, dt):
+    """linear_legacy input embed (Linear+LN+ReLU, then xscale) — the ONE
+    definition shared by solo decode, batched decode, and slot admission so
+    their bit-identical guarantee cannot silently desynchronize."""
+    def embed_tokens(x):
+        sp = sp_llm.sub("embed")
+        x = dense(sp, "out.0", x)
+        x = layer_norm(sp, "out.1", x, eps=1e-5)
+        x = jax.nn.relu(x)
+        return x * jnp.asarray(D, dt) ** 0.5
+
+    return embed_tokens
+
+
 # ---------------------------------------------------------------------------
 # Text encoding
 # ---------------------------------------------------------------------------
@@ -309,12 +323,7 @@ def llm_decode(
     sp_llm = p.sub("llm")
 
     # ---- input embed (linear_legacy: Linear+LN+Dropout+ReLU, then xscale) ----
-    def embed_tokens(x):
-        sp = sp_llm.sub("embed")
-        x = dense(sp, "out.0", x)
-        x = layer_norm(sp, "out.1", x, eps=1e-5)
-        x = jax.nn.relu(x)
-        return x * jnp.asarray(D, dt) ** 0.5
+    embed_tokens = _token_embed_legacy(sp_llm, D, dt)
 
     # ---- hoisted positional keys: per layer (1, H, 2S-1, dk) ----
     table = rel_pos_table(S, D).astype(dt)
@@ -570,12 +579,7 @@ def llm_decode_batch(
     # program per rung) instead of streaming all S columns for every token.
     W = S if attend_width is None else max(L0 + 1, min(attend_width, S))
 
-    def embed_tokens(x):
-        sp = sp_llm.sub("embed")
-        x = dense(sp, "out.0", x)
-        x = layer_norm(sp, "out.1", x, eps=1e-5)
-        x = jax.nn.relu(x)
-        return x * jnp.asarray(D, dt) ** 0.5
+    embed_tokens = _token_embed_legacy(sp_llm, D, dt)
 
     table = rel_pos_table(S, D).astype(dt)
     pos_ks = jnp.stack([
@@ -784,12 +788,7 @@ def llm_admit_slot(
     eos = cfg.speech_token_size
     sp_llm = p.sub("llm")
 
-    def embed_tokens(x):
-        sp = sp_llm.sub("embed")
-        x = dense(sp, "out.0", x)
-        x = layer_norm(sp, "out.1", x, eps=1e-5)
-        x = jax.nn.relu(x)
-        return x * jnp.asarray(D, dt) ** 0.5
+    embed_tokens = _token_embed_legacy(sp_llm, D, dt)
 
     # ---- B=1 prefill (same masked left-padded math as the cohort prefill) --
     x0 = embed_tokens(prefix_emb)

@@ -182,7 +182,11 @@ class JointTrainer:
                         llm_params, flow_params, loras, cfg, tcfg, ri, micro, train=False)
 
                 rngs = jax.random.split(r, tcfg.accumulate_grad_batches)
-                metrics = jax.vmap(one)(super_batch, rngs)
+                # lax.map (not vmap): one micro-batch of activations at a
+                # time, like the train step's accumulation scan — vmapping
+                # the whole super-batch would materialize accum x the train
+                # step's activation memory and OOM configs tuned to fit HBM
+                metrics = jax.lax.map(lambda xs: one(*xs), (super_batch, rngs))
                 return jax.tree.map(jnp.mean, metrics)
 
             self._eval_fn = jax.jit(eval_step)

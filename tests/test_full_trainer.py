@@ -101,3 +101,34 @@ def test_tensor_parallel_matches_replicated():
     l_tp = run(pmesh.make_mesh(dp=2, model=4, devices=devices), True)
     l_rep = run(pmesh.make_mesh(dp=2, model=1, devices=devices[:2]), False)
     np.testing.assert_allclose(l_tp, l_rep, rtol=2e-4, atol=2e-5)
+
+
+def test_prompted_training_with_cross_sample_mel_bucket():
+    """Strategy-5 cross-sample prompts: the collate pads cross_sample_mel to
+    its OWN bucket (100 frames by default), which must broadcast cleanly
+    against a different speech_feat length — this traced fine only when
+    max_feat_len happened to equal the cross bucket (crash repro'd at 120)."""
+    params = F.init_flow_params(jax.random.PRNGKey(0), FCFG)
+    rng = jax.random.PRNGKey(1)
+    B, T_tok, T_mel, T_cross = 2, 12, 120, 100  # T_mel != T_cross
+    r = np.random.default_rng(0)
+    batch = {
+        "speech_token": jnp.asarray(r.integers(0, 30, (B, T_tok)), jnp.int32),
+        "speech_token_len": jnp.full((B,), T_tok, jnp.int32),
+        "speech_feat": jnp.asarray(r.standard_normal((B, T_mel, 8)), jnp.float32),
+        "speech_feat_len": jnp.full((B,), T_mel, jnp.int32),
+        "embedding": jnp.asarray(r.standard_normal((B, 12)), jnp.float32),
+        "cross_sample_mel": jnp.asarray(r.standard_normal((B, T_cross, 8)), jnp.float32),
+        "cross_sample_mel_len": jnp.asarray([80, 0], jnp.int32),
+    }
+    loss = jax.jit(lambda rr, b: F.flow_forward_train(
+        P(params), FCFG, rr, b, Ctx(rng=rr, train=True),
+        no_prompt=False, mel_norm=(-6.0, 2.0)))(rng, batch)
+    assert np.isfinite(float(loss))
+    # and the other broadcast direction (cross bucket longer than feat)
+    batch["speech_feat"] = batch["speech_feat"][:, :64]
+    batch["speech_feat_len"] = jnp.full((B,), 64, jnp.int32)
+    loss2 = jax.jit(lambda rr, b: F.flow_forward_train(
+        P(params), FCFG, rr, b, Ctx(rng=rr, train=True),
+        no_prompt=False, mel_norm=(-6.0, 2.0)))(rng, batch)
+    assert np.isfinite(float(loss2))
