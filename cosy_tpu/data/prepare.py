@@ -153,26 +153,30 @@ def kaldi_fbank(wav: np.ndarray, sr: int = 16000, n_mels: int = 80) -> np.ndarra
     idx = (np.arange(n_frames) * frame_shift)[:, None] + np.arange(frame_len)[None, :]
     frames = wav[idx].astype(np.float64)
     frames = frames - frames.mean(axis=1, keepdims=True)  # remove_dc_offset
+    # preemphasis 0.97 (torchaudio kaldi default; first sample pairs with
+    # itself) — omitting it boosts low-frequency energy ~20 dB vs the
+    # features campplus was trained on
+    frames = frames - 0.97 * np.concatenate(
+        [frames[:, :1], frames[:, :-1]], axis=1)
     # povey window = hann ** 0.85
     win = (0.5 - 0.5 * np.cos(2 * np.pi * np.arange(frame_len) / (frame_len - 1))) ** 0.85
     frames = frames * win
     n_fft = 1 << (frame_len - 1).bit_length()
     power = np.abs(np.fft.rfft(frames, n=n_fft, axis=-1)) ** 2
-    # kaldi mel banks: htk mel scale, no normalization
+    # kaldi mel banks: htk mel scale, triangles piecewise-linear in MEL
+    # space (get_mel_banks), no normalization
     low, high = 20.0, sr / 2
-    mel_lo = 1127.0 * np.log(1 + low / 700.0)
-    mel_hi = 1127.0 * np.log(1 + high / 700.0)
-    pts = np.linspace(mel_lo, mel_hi, n_mels + 2)
-    hz = 700.0 * (np.exp(pts / 1127.0) - 1)
-    bins = np.linspace(0, sr / 2, n_fft // 2 + 1)
+    mel = lambda f: 1127.0 * np.log(1 + f / 700.0)  # noqa: E731
+    pts = np.linspace(mel(low), mel(high), n_mels + 2)
+    bins_mel = mel(np.linspace(0, sr / 2, n_fft // 2 + 1))
     fb = np.zeros((n_mels, n_fft // 2 + 1))
     for m in range(n_mels):
-        lo, c, hi = hz[m], hz[m + 1], hz[m + 2]
-        up = (bins - lo) / (c - lo)
-        down = (hi - bins) / (hi - c)
+        lo, c, hi = pts[m], pts[m + 1], pts[m + 2]
+        up = (bins_mel - lo) / (c - lo)
+        down = (hi - bins_mel) / (hi - c)
         fb[m] = np.maximum(0, np.minimum(up, down))
-    mel = power @ fb.T
-    return np.log(np.maximum(mel, 1.19209290e-7)).astype(np.float32)
+    mel_e = power @ fb.T
+    return np.log(np.maximum(mel_e, 1.19209290e-7)).astype(np.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -233,19 +237,28 @@ class JointDataPreparer:
         return samples
 
     def _batched_mels(self, wavs: List[np.ndarray]) -> List[np.ndarray]:
-        """Fused batched mel extraction with length bucketing (pad to the
-        bucket max; crop each clip's true frame count afterwards)."""
+        """Fused batched mel extraction with length bucketing.
+
+        Each clip is reflect-padded on its OWN signal before the zero pad to
+        the bucket (mel_spectrogram_prepadded): otherwise every non-longest
+        clip's final frames window into bucket zeros instead of its
+        reflected signal end.  Bucket lengths quantize to 0.5 s so the
+        jitted program compiles a handful of shapes, not one per group."""
         import jax.numpy as jnp
 
+        pad_r = (A.N_FFT - A.HOP_SIZE) // 2
+        bucket_q = self.cfg.target_sr // 2  # 0.5 s grid
         order = np.argsort([len(w) for w in wavs])
         mels: List[Optional[np.ndarray]] = [None] * len(wavs)
         for start in range(0, len(order), self.cfg.mel_batch):
             group = order[start : start + self.cfg.mel_batch]
-            max_len = max(len(wavs[i]) for i in group)
+            max_len = max(len(wavs[i]) for i in group) + 2 * pad_r
+            max_len = -(-max_len // bucket_q) * bucket_q
             batch = np.zeros((len(group), max_len), np.float32)
             for row, i in enumerate(group):
-                batch[row, : len(wavs[i])] = wavs[i]
-            mel = np.asarray(A.mel_spectrogram(jnp.asarray(batch)))  # (B, 80, T)
+                yp = np.pad(wavs[i], (pad_r, pad_r), mode="reflect")
+                batch[row, : len(yp)] = yp
+            mel = np.asarray(A.mel_spectrogram_prepadded(jnp.asarray(batch)))
             for row, i in enumerate(group):
                 t = A.num_mel_frames(len(wavs[i]))
                 mels[i] = mel[row, :, :t].T.astype(np.float32)  # (T, 80)
@@ -278,7 +291,13 @@ class JointDataPreparer:
             if self.spk_encoder is not None:
                 embedding = np.asarray(self.spk_encoder(wav16)).reshape(-1)
             else:
-                embedding = fallback_embedding(seed=abs(hash(s["utt"])) % (2 ** 31))
+                # stable digest, NOT hash(): str hashing is salted per
+                # process, which would give the same utterance a different
+                # fallback embedding on every run
+                import hashlib
+
+                h = hashlib.md5(s["utt"].encode()).hexdigest()
+                embedding = fallback_embedding(seed=int(h[:8], 16))
             wavs22.append(resample(wav, sr, self.cfg.target_sr))
             kept.append((s, text_token, speech_token, embedding))
 

@@ -76,6 +76,13 @@ def normalize_zh(text: str) -> str:
         lambda m: (zh_number_to_words(int(m.group(1))) + "月"
                    + zh_number_to_words(int(m.group(2))) + "日"),
         text)
+    # ISO dates 2023-05-12 / 2023/5/12: must run BEFORE the range rule, or
+    # '2023-05' reads as a range and '-12' as a negative number
+    text = re.sub(
+        r"(?<!\d)(\d{4})[-/.](\d{1,2})[-/.](\d{1,2})(?!\d)",
+        lambda m: (_zh_digits(m.group(1)) + "年" + zh_number_to_words(int(m.group(2)))
+                   + "月" + zh_number_to_words(int(m.group(3))) + "日"),
+        text)
 
     # clock time: 8:05 -> 八点零五分, 17:30:20 -> 十七点三十分二十秒
     def _time(m):
@@ -119,7 +126,7 @@ def normalize_zh(text: str) -> str:
                   lambda m: _zh_num(m.group(1)) + "元", text)
 
     # ranges: 5-10个 -> 五到十个 (only between small plain numbers)
-    text = re.sub(r"(?<!\d)(\d{1,4})[-~—](\d{1,4})(?!\d)",
+    text = re.sub(r"(?<!\d)(\d{1,4})[-~—](\d{1,4})(?![-~—\d])",
                   lambda m: _zh_num(m.group(1)) + "到" + _zh_num(m.group(2)),
                   text)
 

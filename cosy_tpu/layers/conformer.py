@@ -278,7 +278,8 @@ def encoder_forward(
         # returns None when no context is active or the stack is ineligible
         from ..parallel.pp import maybe_pipeline
 
-        res = maybe_pipeline(p, cfg, xs, xs_lens, ctx, xscale)
+        res = maybe_pipeline(p, cfg, xs, xs_lens, ctx, xscale,
+                             num_decoding_left_chunks=num_decoding_left_chunks)
         if res is not None:
             return res
 

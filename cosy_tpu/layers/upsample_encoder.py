@@ -120,6 +120,15 @@ def init_upsample_encoder(kg: KeyGen, d: Params, prefix: str, cfg: EncoderConfig
                           up_stride: int = 2):
     pre = prefix + "." if prefix else ""
     D = cfg.output_size
+    # the reference builds up_embed with fan-in input_size while the forward
+    # feeds it the up_layer's output_size channels (reference
+    # upsample_encoder.py:217-224) — coherent only when the two match, as in
+    # every shipped CosyVoice2 config; fail loudly instead of initializing a
+    # weight the forward cannot use
+    assert cfg.input_size == cfg.output_size, (
+        "UpsampleConformerEncoder requires input_size == output_size "
+        f"(got {cfg.input_size} vs {cfg.output_size}); the reference has the "
+        "same latent constraint")
     # token-rate stack (embed, encoders.N, after_norm) via the shared initializer
     init_encoder(kg, d, prefix, cfg, conformer=True)
     init_conv1d(kg(), d, pre + "pre_lookahead_layer.conv1", D, D, pre_lookahead_len + 1)

@@ -78,10 +78,24 @@ def add_optional_chunk_mask(
             chunk_masks = subsequent_chunk_mask(T, decoding_chunk_size, num_decoding_left_chunks)
         else:
             assert rng is not None, "dynamic chunk training needs an rng"
-            draw = jax.random.randint(rng, (), 1, max(T, 2))
+            k_chunk, k_left = jax.random.split(rng)
+            draw = jax.random.randint(k_chunk, (), 1, max(T, 2))
             small = draw % 25 + 1
-            chunk = jnp.where(enable_full_context & (draw > T // 2), T, small)
-            chunk_masks = subsequent_chunk_mask(T, chunk, -1)
+            full = enable_full_context & (draw > T // 2)
+            chunk = jnp.where(full, T, small)
+            pos = jnp.arange(T)
+            block = (pos // chunk + 1) * chunk
+            allowed = pos[None, :] < block[:, None]
+            if use_dynamic_left_chunk:
+                # reference mask.py:214-217: small chunks draw a random
+                # left-context limit num_left ~ U[0, (T-1)//chunk);
+                # full-context draws keep unlimited history
+                max_left = jnp.maximum((T - 1) // chunk, 1)
+                nleft = jax.random.randint(k_left, (), 0, 1 << 30) % max_left
+                start = jnp.maximum((pos // chunk - nleft) * chunk, 0)
+                limited = allowed & (pos[None, :] >= start[:, None])
+                allowed = jnp.where(full, allowed, limited)
+            chunk_masks = allowed
         chunk_masks = masks & chunk_masks[None, :, :]
     elif static_chunk_size > 0:
         chunk_masks = subsequent_chunk_mask(T, static_chunk_size, num_decoding_left_chunks)

@@ -136,6 +136,7 @@ def pipeline_encoder_forward(
     n_micro: int,
     ctx: Ctx = EVAL,
     xscale: bool = True,
+    num_decoding_left_chunks: int = -1,
 ) -> Tuple[jax.Array, jax.Array]:
     """Transformer encoder forward with the block stack pipelined
     (non-block parts — embed, masks, after_norm — run replicated; they are
@@ -150,7 +151,7 @@ def pipeline_encoder_forward(
     h, pos_emb = C.embed_input(p, cfg, xs, ctx, xscale=xscale)
     chunk_masks = M.add_optional_chunk_mask(
         T, pad_mask, cfg.use_dynamic_chunk, cfg.use_dynamic_left_chunk,
-        0, cfg.static_chunk_size, -1)
+        0, cfg.static_chunk_size, num_decoding_left_chunks)
     attn_bias = M.mask_to_bias(chunk_masks, h.dtype)
 
     stacked = stack_layer_params(params, "encoders.", cfg.num_blocks)
@@ -182,7 +183,8 @@ def pipeline_context(mesh: Mesh, n_micro: int, axis: str = "model"):
         _state.ctx = prev
 
 
-def maybe_pipeline(p, cfg, xs, xs_lens, ctx, xscale: bool):
+def maybe_pipeline(p, cfg, xs, xs_lens, ctx, xscale: bool,
+                   num_decoding_left_chunks: int = -1):
     """Pipeline dispatch for encoder_forward's transformer path.  Returns
     (h, pad_mask) when a pipeline context is active and the stack is
     eligible (dropout-free — see module docstring; no train-time dynamic
@@ -206,5 +208,6 @@ def maybe_pipeline(p, cfg, xs, xs_lens, ctx, xscale: bool):
         return None
     _state.engaged = getattr(_state, "engaged", 0) + 1  # trace-time telemetry
     params = {k: p[k] for k in p.keys()}
-    return pipeline_encoder_forward(params, cfg, xs, xs_lens, mesh, n_micro,
-                                    ctx, xscale=xscale)
+    return pipeline_encoder_forward(
+        params, cfg, xs, xs_lens, mesh, n_micro, ctx, xscale=xscale,
+        num_decoding_left_chunks=num_decoding_left_chunks)

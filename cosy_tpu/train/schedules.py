@@ -61,9 +61,12 @@ def _warmup_policy(base_lr: float, warmup_steps: int, max_steps: int,
 
 
 def square_annealing(base_lr: float, warmup_steps: int, max_steps: int, min_lr: float = 0.0):
-    """scheduler.py:384-388 / SquareAnnealing."""
+    """scheduler.py:384-388, 459-467 / SquareAnnealing — the anneal runs on
+    (step - warmup) over (max_steps - warmup), so the curve starts at
+    base_lr exactly when warmup ends (no cliff)."""
+    span = max(max_steps - warmup_steps, 1)
     return _warmup_policy(base_lr, warmup_steps, max_steps, min_lr, lambda s: jnp.maximum(
-        base_lr * jnp.square((max_steps - s) / max_steps), min_lr))
+        base_lr * jnp.square((span - (s - warmup_steps)) / span), min_lr))
 
 
 def squareroot_annealing(base_lr: float, warmup_steps: int, max_steps: int, min_lr: float = 0.0):
@@ -73,9 +76,12 @@ def squareroot_annealing(base_lr: float, warmup_steps: int, max_steps: int, min_
 
 
 def cosine_annealing(base_lr: float, warmup_steps: int, max_steps: int, min_lr: float = 0.0):
-    """scheduler.py:391-394 / CosineAnnealing."""
+    """scheduler.py:391-394, 512-527 / CosineAnnealing — like SquareAnnealing
+    the anneal phase is offset by warmup_steps (SquareRootAnnealing is NOT,
+    per the reference, scheduler.py:486-492)."""
+    span = max(max_steps - warmup_steps, 1)
     return _warmup_policy(base_lr, warmup_steps, max_steps, min_lr, lambda s: (
-        base_lr - min_lr) * 0.5 * (1.0 + jnp.cos(jnp.pi * s / max_steps)) + min_lr)
+        base_lr - min_lr) * 0.5 * (1.0 + jnp.cos(jnp.pi * (s - warmup_steps) / span)) + min_lr)
 
 
 def noam_annealing(base_lr: float, d_model: int, warmup_steps: int, min_lr: float = 0.0):

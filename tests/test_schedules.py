@@ -33,16 +33,24 @@ def warmup_policy(step, anneal):
 
 
 def torch_square(step):
-    return warmup_policy(step, lambda s: max(LR * ((MAX - s) / MAX) ** 2, MIN_LR))
+    # SquareAnnealing._get_lr (scheduler.py:459-467) anneals on
+    # (step - warmup) over (max - warmup)
+    span = MAX - WARM
+    return warmup_policy(step, lambda s: max(
+        LR * ((span - (s - WARM)) / span) ** 2, MIN_LR))
 
 
 def torch_squareroot(step):
+    # SquareRootAnnealing._get_lr (scheduler.py:486-492) uses the RAW step
     return warmup_policy(step, lambda s: max(LR * ((MAX - s) / MAX) ** 0.5, MIN_LR))
 
 
 def torch_cosine(step):
+    # CosineAnnealing._get_lr (scheduler.py:512-527): warmup-offset anneal
+    span = MAX - WARM
     return warmup_policy(
-        step, lambda s: (LR - MIN_LR) * 0.5 * (1 + math.cos(math.pi * s / MAX)) + MIN_LR)
+        step, lambda s: (LR - MIN_LR) * 0.5
+        * (1 + math.cos(math.pi * (s - WARM) / span)) + MIN_LR)
 
 
 def torch_noam(step, d_model=64):
@@ -95,3 +103,12 @@ def test_make_schedule_selects_all():
 def test_make_schedule_rejects_unknown():
     with pytest.raises(ValueError):
         S.make_schedule(replace(TrainConfig(), scheduler="nope"), 10)
+
+
+def test_annealing_continuous_at_warmup_end():
+    """The offset anneals must START at ~base_lr when warmup ends — the
+    un-offset formula produced a 35-44% LR cliff at step WARM+1."""
+    for make in (lambda: S.square_annealing(LR, WARM, MAX, MIN_LR),
+                 lambda: S.cosine_annealing(LR, WARM, MAX, MIN_LR)):
+        sched = make()
+        assert float(sched(WARM + 1)) > 0.97 * LR

@@ -121,3 +121,14 @@ def test_no_digits_survive_normalization_fuzz():
                 raw = tpl.format(*[random.randint(0, hi) for _ in range(n)])
                 out = text_normalize(raw)
                 assert not re.search(r"\d", out), (raw, out)
+
+
+def test_zh_iso_date_not_read_as_range():
+    """'2023-05-12' must read as a date, not a range plus a negative number
+    (the range rule runs after the ISO-date rule)."""
+    from cosy_tpu.data.textnorm import normalize_zh
+
+    out = normalize_zh("会议定于2023-05-12举行")
+    assert out == "会议定于二零二三年五月十二日举行", out
+    # plain ranges still work
+    assert normalize_zh("5-10个") == "五到十个"
