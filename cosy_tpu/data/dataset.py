@@ -76,13 +76,14 @@ def augment(
         for _ in range(cfg.num_time_masks):
             t = int(T * cfg.time_mask_max_ratio * rng.random())
             if t > 0:
-                t0 = rng.integers(0, max(1, T - t))
+                # randint-style inclusive upper bound: t0 may equal T - t
+                t0 = rng.integers(0, max(0, T - t) + 1)
                 mel[t0 : t0 + t, :] = mel.mean()
 
     if rng.random() < cfg.freq_mask_prob:
         for _ in range(cfg.num_freq_masks):
             f = int(rng.integers(1, cfg.freq_mask_max_bins + 1))
-            f0 = int(rng.integers(0, max(1, mel.shape[1] - f)))
+            f0 = int(rng.integers(0, max(0, mel.shape[1] - f) + 1))
             mel[:, f0 : f0 + f] = mel.mean()
 
     if rng.random() < cfg.volume_prob:
