@@ -420,10 +420,33 @@ def bench_fused_ab(model_cfg: ModelConfig, dtype=jnp.bfloat16, B=4, T=512,
     return t_xla, t_fused
 
 
+def _watchdog(seconds: float, code: int, what: str):
+    """Hard exit if the process outlives ``seconds``.  A dead axon tunnel
+    hangs inside libtpu RPCs (observed: ``jax.devices()`` never returning),
+    which no Python-level try/except can interrupt — the driver's bench run
+    must fail fast with a diagnosis instead of stalling to its own timeout."""
+    import threading
+
+    def fire():
+        log(f"[watchdog] {what} exceeded {seconds:.0f}s — TPU tunnel likely "
+            f"unreachable; aborting bench (rc {code})")
+        os._exit(code)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
     model_cfg = ModelConfig()
     train_cfg = TrainConfig()
+    total_s = float(os.environ.get("COSY_TPU_BENCH_TIMEOUT_S", 3600))
+    _watchdog(total_s, 3, "total bench wall time")
+    init_s = float(os.environ.get("COSY_TPU_BENCH_INIT_TIMEOUT_S", 300))
+    init_guard = _watchdog(init_s, 2, "backend initialization")
     log(f"devices: {jax.devices()}")
+    init_guard.cancel()
     # Host contention invalidates steady-state enqueue timings: a saturated
     # CPU starves the dispatch threads, so programs stop pipelining and the
     # measured "device time" balloons (observed: a concurrent pytest suite
@@ -513,6 +536,10 @@ def main():
         "unit": "frames/s/chip",
         "vs_baseline": round(base, 3),
     }))
+    if fps <= 0:
+        # the headline metric never ran — exit non-zero so a broken chip or
+        # tunnel is recorded as a failure, not a 0.0 "measurement"
+        sys.exit(1)
 
 
 if __name__ == "__main__":
