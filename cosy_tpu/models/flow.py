@@ -477,6 +477,11 @@ def flow_forward_train(
     idx = jnp.arange(T)[None, :]
     in_prompt = idx < prompt_lens[:, None]  # (B, T)
     conds = jnp.where(in_prompt[:, :, None], prompt_src, 0.0)
+    # text blinding (strategy 6 below) covers only the ORIGINAL prompt
+    # region — the reference zeroes h[:prompt_len] with the pre-silence
+    # length (flow_model.py:383-385), even when the recorded prompt_lens
+    # gains the silence band
+    in_blind = in_prompt
 
     # strategy 1: silence isolation band (disabled by default; config.py:111)
     if leak.silence_padding_enabled:
@@ -487,12 +492,11 @@ def flow_forward_train(
         in_sil = (idx >= prompt_lens[:, None]) & (idx < (prompt_lens + sil_frames)[:, None]) & fits[:, None]
         conds = jnp.where(in_sil[:, :, None], sil_val, conds)
         prompt_lens = jnp.where(fits, prompt_lens + sil_frames, prompt_lens)
-        in_prompt = idx < prompt_lens[:, None]
 
     # strategy 6: text blinding — zero encoder output in the prompt region
     if leak.text_blinding_enabled:
         blind = jax.random.uniform(ks[2], (B,)) < leak.text_blinding_prob
-        h = jnp.where((blind[:, None] & in_prompt)[:, :, None], 0.0, h)
+        h = jnp.where((blind[:, None] & in_blind)[:, :, None], 0.0, h)
 
     conds = conds.transpose(0, 2, 1)  # (B, 80, T)
     return cfm_compute_loss(
