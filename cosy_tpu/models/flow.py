@@ -15,7 +15,7 @@ cosyvoice/flow/{flow,flow_matching}.py.  TPU-first re-design:
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -366,7 +366,7 @@ def flow_forward_train(
     batch: Dict[str, jax.Array],
     ctx: Ctx,
     leak: AntiLeakageConfig = AntiLeakageConfig(),
-    no_prompt: bool = False,
+    no_prompt: Union[bool, NoPromptConfig] = False,
     mel_norm: Optional[Tuple[float, float]] = (-6.0, 2.0),
     vendored_style: bool = False,
     noise: Optional[tuple] = None,  # deterministic override for cfm_compute_loss
@@ -407,8 +407,24 @@ def flow_forward_train(
     mask = M.make_non_pad_mask(feat_len, T)[:, None, :].astype(h.dtype)
 
     if no_prompt:
-        conds = jnp.zeros_like(feat_bc)
-        prompt_lens = jnp.zeros((B,), jnp.int32)
+        np_cfg = no_prompt if isinstance(no_prompt, NoPromptConfig) else NoPromptConfig()
+        if np_cfg.mode == "mixed":
+            # flow_model.py:443-457: per-sample, no prompt with prob
+            # no_prompt_ratio, else a short prompt ~ randint(1, max(2, 0.1*j))
+            # (inclusive) copied from the sample's own mel
+            ks = jax.random.split(k_strat, 2)
+            bare = jax.random.uniform(ks[0], (B,)) < np_cfg.no_prompt_ratio
+            j = feat_len.astype(jnp.int32)
+            top = jnp.maximum(2, (0.1 * j).astype(jnp.int32))
+            plen = 1 + (jax.random.uniform(ks[1], (B,)) * top).astype(jnp.int32)
+            plen = jnp.where(bare, 0, jnp.minimum(plen, top))
+            idx = jnp.arange(T)[None, :]
+            conds = jnp.where((idx < plen[:, None])[:, :, None], feat, 0.0)
+            conds = conds.transpose(0, 2, 1)
+            prompt_lens = plen
+        else:  # 'full': 100% promptless
+            conds = jnp.zeros_like(feat_bc)
+            prompt_lens = jnp.zeros((B,), jnp.int32)
         return cfm_compute_loss(
             p.sub("decoder.estimator"), cfg, k_loss, feat_bc, mask, h.transpose(0, 2, 1),
             spk, conds, ctx, prompt_lens=prompt_lens, leak=leak, noise=noise,
@@ -624,6 +640,56 @@ def flow_inference(
     if return_cache:
         return feat, new_cache
     return feat
+
+
+def flow_inference_like_training(
+    p: P,
+    cfg: FlowConfig,
+    rng: jax.Array,
+    token: jax.Array,  # (1, T_tok) COMPLETE speech-token sequence (no split)
+    feat_len: int,  # target mel frame count
+    spk_embedding: jax.Array,  # (1, 192)
+    prompt_feat: Optional[jax.Array] = None,  # (1, T_pmel, 80), cond-only
+    prompt_len: int = 0,
+    n_timesteps: Optional[int] = None,
+) -> jax.Array:
+    """Inference matching the training forward exactly
+    (flow_model.py:553-638 inference_like_training): the full token sequence
+    goes through the TRAINING-style length regulator (single interpolation to
+    feat_len — no prompt/target seam), the optional prompt mel enters only as
+    conditioning, and the FULL mel (prompt region included) is returned.
+
+    Use for diagnosing train/inference mismatch: a model whose training loss
+    is healthy must produce clean mel through this path; divergence from
+    ``flow_inference`` isolates the seam/trim machinery."""
+    ctx = EVAL
+    T = int(feat_len)
+    T_tok = token.shape[1]
+
+    spk = dense(p, "spk_embed_affine_layer", _l2_normalize(spk_embedding, axis=1), ctx)
+    h = flow_encode(p, cfg, token, jnp.asarray([T_tok], jnp.int32), ctx)
+    h = length_regulator(p.sub("length_regulator"), h,
+                         jnp.asarray([T], jnp.int32), T, cfg.regulator_stages, ctx)
+
+    conds = jnp.zeros((1, T, cfg.output_size), h.dtype)
+    if prompt_feat is not None and prompt_len > 0:
+        n = min(prompt_len, prompt_feat.shape[1], T)
+        conds = conds.at[:, :n].set(prompt_feat[:, :n].astype(h.dtype))
+    conds = conds.transpose(0, 2, 1)
+
+    # dynamic NFE identical to inference() (flow_model.py:617-624)
+    if n_timesteps is None or n_timesteps == 10:
+        n_timesteps = 20 if T > 500 else (15 if T > 300 else 10)
+
+    T_pad = T + (T % 2)
+    mask = None if T_pad == T else \
+        jnp.zeros((1, 1, T_pad), h.dtype).at[:, :, :T].set(1.0)
+    mu = jnp.pad(h.transpose(0, 2, 1), ((0, 0), (0, 0), (0, T_pad - T)))
+    conds = jnp.pad(conds, ((0, 0), (0, 0), (0, T_pad - T)))
+    z = jax.random.normal(rng, (1, cfg.output_size, T_pad), h.dtype)
+    feat = cfm_solve_euler(p.sub("decoder.estimator"), cfg, z, mask, mu, spk,
+                           conds, n_timesteps, ctx)
+    return feat[:, :, :T]
 
 
 # ---------------------------------------------------------------------------

@@ -51,10 +51,13 @@ def joint_forward_train(
             lora=loras.get("flow") or None,
             lora_scale=tcfg.flow_lora.scaling, lora_dropout=tcfg.flow_lora.dropout,
         )
+        # no_prompt carries the full NoPromptConfig so mode='mixed'
+        # (flow_model.py:443-457) reaches the flow forward; a plain bool
+        # keeps the default 100%-promptless behavior
         fl = F.flow_forward_train(
             P(flow_params), cfg.flow, jax.random.fold_in(rng, 3), batch, fctx,
             leak=tcfg.anti_leakage,
-            no_prompt=tcfg.no_prompt_training,
+            no_prompt=tcfg.no_prompt if tcfg.no_prompt_training else False,
             mel_norm=(cfg.mel_mean, cfg.mel_std),
         )
         losses["flow_loss"] = fl * tcfg.flow_loss_weight

@@ -42,6 +42,50 @@ def _loss(leak, key=0):
         P(params), FCFG, r, _batch(), Ctx(rng=r, train=True), leak=leak))
 
 
+def test_no_prompt_mixed_mode():
+    """flow_model.py:443-457: mixed mode gives some samples a short self
+    prompt; with no_prompt_ratio=0 every sample gets one, so the loss must
+    differ from the 100%-promptless 'full' mode under identical rngs."""
+    from cosy_tpu.config import NoPromptConfig
+
+    params = F.init_flow_params(jax.random.PRNGKey(1), FCFG)
+    r = jax.random.PRNGKey(4)
+
+    def run(np_cfg):
+        return float(F.flow_forward_train(
+            P(params), FCFG, r, _batch(), Ctx(rng=r, train=True),
+            no_prompt=np_cfg))
+
+    full = run(True)
+    mixed_all_prompt = run(NoPromptConfig(mode="mixed", no_prompt_ratio=0.0))
+    mixed_none = run(NoPromptConfig(mode="mixed", no_prompt_ratio=1.0))
+    assert np.isfinite(full) and np.isfinite(mixed_all_prompt)
+    assert full != pytest.approx(mixed_all_prompt, abs=1e-7)
+    # ratio 1.0 must still differ only through the prompt draws, i.e. the
+    # conds are all zero like 'full'; prompt_lens are zero too, so the loss
+    # matches 'full' exactly when no sample draws a prompt
+    assert mixed_none == pytest.approx(full, abs=1e-6)
+
+
+def test_inference_like_training_path():
+    """flow_model.py:553-638: full token sequence, training-style regulator,
+    prompt mel as conditioning only, full mel returned (prompt region kept)."""
+    params = F.init_flow_params(jax.random.PRNGKey(0), FCFG)
+    tok = jnp.asarray(np.random.default_rng(0).integers(0, 30, (1, 8)), jnp.int32)
+    spk = jnp.asarray(np.random.default_rng(1).standard_normal((1, 12)), jnp.float32)
+    pf = jnp.asarray(np.random.default_rng(2).standard_normal((1, 6, 8)), jnp.float32)
+    r = jax.random.PRNGKey(3)
+    m_odd = F.flow_inference_like_training(P(params), FCFG, r, tok, 21, spk)
+    assert m_odd.shape == (1, 8, 21) and bool(jnp.isfinite(m_odd).all())
+    m_p = F.flow_inference_like_training(P(params), FCFG, r, tok, 20, spk,
+                                         prompt_feat=pf, prompt_len=4)
+    m_np = F.flow_inference_like_training(P(params), FCFG, r, tok, 20, spk)
+    assert m_p.shape == (1, 8, 20)
+    # prompt conditioning must influence the solve; the prompt region is
+    # returned, not trimmed
+    assert float(jnp.abs(m_p - m_np).max()) > 0
+
+
 def test_silence_band_forward_finite_and_active():
     base = AntiLeakageConfig(prompt_dropout_enabled=False,
                              text_blinding_enabled=False)
