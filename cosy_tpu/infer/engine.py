@@ -392,10 +392,13 @@ class ContinuousBatchEngine:
                 req.err = e
                 req.q.put(None)
                 self._free(b)
-        for req in self._pending:
-            req.err = e
-            req.q.put(None)
-        self._pending.clear()
+        # under _cv: submit()/cancel() mutate _pending from other threads —
+        # a request appended mid-iteration must not be dropped un-failed
+        with self._cv:
+            for req in self._pending:
+                req.err = e
+                req.q.put(None)
+            self._pending.clear()
         self._state = None  # force a fresh park on recovery
 
     def _loop(self):

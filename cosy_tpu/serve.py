@@ -424,8 +424,14 @@ def main():
         mesh = pmesh.make_mesh(dp=1, model=args.tp,
                                devices=jax.devices()[: args.tp])
         api.model.llm_params = tpmod.shard_params(mesh, api.model.llm_params)
-        print(f"LLM tensor-parallel over {args.tp} devices "
-              f"({tpmod.count_sharded(api.model.llm_params)} split params)")
+        # the flow estimator is the compute-bound half of token2wav
+        # (PERF.md CFM roofline): its diffusers attn/ff blocks split over
+        # the same axis, cutting flow-solve latency near-linearly; HiFT is
+        # pure convs (no TP rule) and stays replicated
+        api.model.flow_params = tpmod.shard_params(mesh, api.model.flow_params)
+        print(f"LLM+flow tensor-parallel over {args.tp} devices "
+              f"({tpmod.count_sharded(api.model.llm_params)} llm + "
+              f"{tpmod.count_sharded(api.model.flow_params)} flow split params)")
     server = TTSServer(api, engine_slots=args.engine_slots)
     if args.warmup:
         import time as _time

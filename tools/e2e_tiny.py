@@ -6,10 +6,13 @@ Exercises: init -> LoRA init -> joint (LLM+Flow) loss -> lora-only grads ->
 """
 
 import os
+import sys
 
 # fresh compiles only: stale persistent-cache AOT entries from another host
 # are a SIGILL risk (VERDICT r1 weak #2); must precede the cosy_tpu import
 os.environ.setdefault("COSY_TPU_NO_CACHE", "1")
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp

@@ -3,6 +3,10 @@ files: ``python tools/jsonl_to_tb.py runs/metrics.jsonl runs/tensorboard``.
 """
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main():
