@@ -32,7 +32,8 @@ def root_key(seed: int, impl: str = "threefry2x32") -> jax.Array:
 
 
 class Ctx:
-    __slots__ = ("rng", "train", "lora", "lora_scale", "lora_dropout", "_n")
+    __slots__ = ("rng", "train", "lora", "lora_scale", "lora_dropout",
+                 "lora_vids", "_n")
 
     def __init__(
         self,
@@ -41,12 +42,18 @@ class Ctx:
         lora: Optional[Dict[str, jax.Array]] = None,
         lora_scale: float = 1.0,
         lora_dropout: float = 0.0,
+        lora_vids: Optional[jax.Array] = None,
     ):
         self.rng = rng
         self.train = bool(train)
         self.lora = lora
         self.lora_scale = lora_scale
         self.lora_dropout = lora_dropout
+        # multi-voice adapter routing: when ``lora`` holds VOICE-STACKED
+        # adapters ((V, r, in) / (V, out, r) — lora.stack_voice_loras),
+        # ``lora_vids`` is the (B,) per-batch-row voice index each row's
+        # delta is computed with (vLLM-style multi-LoRA serving)
+        self.lora_vids = lora_vids
         self._n = 0
 
     def make_rng(self) -> jax.Array:

@@ -32,6 +32,19 @@ def _lora_delta(ctx: Ctx, full_name: str, x: jax.Array) -> Optional[jax.Array]:
         return None
     b = ctx.lora[full_name + ".lora_B"]
     xd = ctx.dropout(x, ctx.lora_dropout)
+    if a.ndim == 3:
+        # voice-stacked adapters (V, r, in)/(V, out, r): route each batch
+        # row (x leading axis) through its own voice's delta — multi-voice
+        # LoRA serving (the reference's vLLM plugin declares SupportsLoRA,
+        # cosyvoice/vllm/cosyvoice2.py:29; this is the TPU-native mechanism)
+        vids = ctx.lora_vids
+        if vids is None:
+            raise ValueError(
+                f"stacked LoRA adapters for {full_name} need Ctx.lora_vids")
+        a_sel = jnp.take(a, vids, axis=0).astype(x.dtype)  # (B, r, in)
+        b_sel = jnp.take(b, vids, axis=0).astype(x.dtype)  # (B, out, r)
+        h = jnp.einsum("b...i,bri->b...r", xd, a_sel)
+        return jnp.einsum("b...r,bor->b...o", h, b_sel) * ctx.lora_scale
     h = jnp.einsum("...i,ri->...r", xd, a.astype(x.dtype))
     return jnp.einsum("...r,or->...o", h, b.astype(x.dtype)) * ctx.lora_scale
 
@@ -113,8 +126,14 @@ def conv1d(
         if a is not None:
             bb = ctx.lora[p.full(name) + ".lora_B.weight"]
             xd = ctx.dropout(x, ctx.lora_dropout)
-            h = jnp.einsum("bct,rc->brt", xd, a[:, :, 0].astype(x.dtype))
-            y = y + jnp.einsum("brt,or->bot", h, bb[:, :, 0].astype(x.dtype)) * ctx.lora_scale
+            if a.ndim == 4:  # voice-stacked (V, r, in, 1): per-row routing
+                a_sel = jnp.take(a[..., 0], ctx.lora_vids, axis=0).astype(x.dtype)
+                b_sel = jnp.take(bb[..., 0], ctx.lora_vids, axis=0).astype(x.dtype)
+                h = jnp.einsum("bct,brc->brt", xd, a_sel)
+                y = y + jnp.einsum("brt,bor->bot", h, b_sel) * ctx.lora_scale
+            else:
+                h = jnp.einsum("bct,rc->brt", xd, a[:, :, 0].astype(x.dtype))
+                y = y + jnp.einsum("brt,or->bot", h, bb[:, :, 0].astype(x.dtype)) * ctx.lora_scale
     return y
 
 
@@ -153,8 +172,14 @@ def conv1d_nwc(
         if a is not None:
             bb = ctx.lora[p.full(name) + ".lora_B.weight"]
             xd = ctx.dropout(x, ctx.lora_dropout)
-            h = jnp.einsum("btc,rc->btr", xd, a[:, :, 0].astype(x.dtype))
-            y = y + jnp.einsum("btr,or->bto", h, bb[:, :, 0].astype(x.dtype)) * ctx.lora_scale
+            if a.ndim == 4:  # voice-stacked (V, r, in, 1): per-row routing
+                a_sel = jnp.take(a[..., 0], ctx.lora_vids, axis=0).astype(x.dtype)
+                b_sel = jnp.take(bb[..., 0], ctx.lora_vids, axis=0).astype(x.dtype)
+                h = jnp.einsum("btc,brc->btr", xd, a_sel)
+                y = y + jnp.einsum("btr,bor->bto", h, b_sel) * ctx.lora_scale
+            else:
+                h = jnp.einsum("btc,rc->btr", xd, a[:, :, 0].astype(x.dtype))
+                y = y + jnp.einsum("btr,or->bto", h, bb[:, :, 0].astype(x.dtype)) * ctx.lora_scale
     return y
 
 

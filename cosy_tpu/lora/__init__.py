@@ -91,6 +91,38 @@ def merge_lora(params: Params, lora: Params, scaling: float) -> Params:
     return out
 
 
+def stack_voice_loras(loras: Sequence[Params]) -> Params:
+    """Stack per-voice adapter dicts along a new leading VOICE axis.
+
+    Multi-voice serving (vLLM SupportsLoRA equivalent): every voice must
+    cover the same adapter keys with the same shapes (same base model, same
+    LoRAConfig targets/rank).  The result feeds ``Ctx(lora=..., lora_vids=
+    per_row_voice_ids)`` — ``layers.basic`` routes each batch row through
+    its own voice's delta — and ``models.llm.llm_decode*(lora=..., vids=...)``
+    for the per-token decode loop."""
+    if not loras:
+        raise ValueError("no adapter dicts to stack")
+    keys = set(loras[0])
+    for i, l in enumerate(loras[1:], 1):
+        if set(l) != keys:
+            missing = keys.symmetric_difference(l)
+            raise ValueError(f"voice {i} adapter keys differ: {sorted(missing)[:4]}")
+    return {k: jnp.stack([jnp.asarray(l[k]) for l in loras]) for k in sorted(keys)}
+
+
+def ensure_voice_stacked(lora: Params) -> Params:
+    """Normalize an adapter dict to carry a leading voice axis (V=1 wraps).
+
+    Dense adapter keys end ``.lora_A``/``.lora_B`` (2-D per voice); 1x1-conv
+    adapter keys end ``.lora_A.weight``/``.lora_B.weight`` (3-D per voice)."""
+    out: Params = {}
+    for k, v in lora.items():
+        v = jnp.asarray(v)
+        want = 4 if k.endswith(".weight") else 3
+        out[k] = v if v.ndim == want else v[None]
+    return out
+
+
 def lora_num_params(lora: Params) -> int:
     return int(sum(v.size for v in lora.values()))
 

@@ -536,6 +536,8 @@ def flow_inference(
     return_cache: bool = False,
     token_valid: Optional[jax.Array] = None,  # traced: true token count
     mel_valid: Optional[jax.Array] = None,  # traced: true mel frames
+    lora: Optional[Dict[str, jax.Array]] = None,  # serve un-merged adapters
+    lora_scale: float = 1.0,
 ):
     """Prompted inference (flow_model.py:475-551).  Python-int lengths -> one
     compiled program per (T_tok, T_ptok, T_pmel) bucket.
@@ -554,10 +556,13 @@ def flow_inference(
     remote runtime).  The first ``mel_valid`` output frames equal the
     unpadded program's output (masked convs/statistics throughout; the z
     noise draw differs in shape, which is distribution-preserving — the
-    reference draws its own rng anyway).  Callers slice
+    reference draws its own rng anyway).  ``lora``: serve un-merged flow
+    adapters (single voice, flat ``*.lora_A/B`` dict) for this request —
+    multi-voice serving keeps ONE base flow model plus per-voice adapter
+    dicts instead of a merged copy per voice.  Callers slice
     ``feat[:, :, :mel_valid]`` and should pass ``n_timesteps`` computed from
     the TRUE length."""
-    ctx = EVAL
+    ctx = EVAL if lora is None else Ctx(lora=lora, lora_scale=lora_scale)
     mean, std = mel_norm
     T_ptok = prompt_token.shape[1]
     T_tok = token.shape[1]

@@ -268,6 +268,61 @@ def _matmul_q(x, ld, name):
     return x @ w.T.astype(x.dtype)
 
 
+# the six llm-block matmuls the reference's LLM LoRA config targets
+# (config.py LLM_LORA_DEFAULT; lora.py substring matching)
+_DECODE_LORA_MODS = ("self_attn.linear_q", "self_attn.linear_k",
+                     "self_attn.linear_v", "self_attn.linear_out",
+                     "feed_forward.w_1", "feed_forward.w_2")
+
+
+def _stack_decode_loras(lora: Params, nl: int,
+                        prefix: str = "llm.encoders") -> Dict[str, jax.Array]:
+    """Layer-stack voice-stacked llm-block adapters for the decode scan.
+
+    ``lora`` holds flat keys ``{prefix}.{i}.<module>.lora_A`` / ``.lora_B``
+    whose values are VOICE-stacked ((V, r, in) / (V, out, r) —
+    ``lora.stack_voice_loras``; a single un-stacked voice is wrapped as
+    V=1).  Returns ``{f"{module}.A": (V, nl, r, in), f"{module}.B":
+    (V, nl, out, r)}`` for every targeted module present (multi-voice
+    continuous-batching decode — the TPU equivalent of vLLM multi-LoRA)."""
+    out: Dict[str, jax.Array] = {}
+    for mod in _DECODE_LORA_MODS:
+        if f"{prefix}.0.{mod}.lora_A" not in lora:
+            continue
+        for s in ("A", "B"):
+            leaves = [jnp.asarray(lora[f"{prefix}.{i}.{mod}.lora_{s}"])
+                      for i in range(nl)]
+            leaves = [v if v.ndim == 3 else v[None] for v in leaves]
+            out[f"{mod}.{s}"] = jnp.stack(leaves, axis=1)  # (V, nl, ...)
+    return out
+
+
+def _lora_qkv_delta(x, la, D, scale):
+    """Concatenated q/k/v adapter delta matching the fused wqkv matmul.
+    x: (..., D); per-layer slices la[mod.A] (..., r, D) / la[mod.B]
+    (..., D, r) with a leading batch axis iff x has one beyond the feature
+    axis."""
+    parts = []
+    for mod in ("self_attn.linear_q", "self_attn.linear_k",
+                "self_attn.linear_v"):
+        d = _lora_mm(x, la, mod, scale)
+        parts.append(jnp.zeros(x.shape[:-1] + (D,), x.dtype) if d is None else d)
+    return jnp.concatenate(parts, axis=-1)
+
+
+def _lora_mm(x, la, mod, scale):
+    """(x @ A^T) @ B^T * scale for one per-layer adapter slice, or None.
+    Row-routed when the slices carry a batch axis (x (B, D), A (B, r, in))."""
+    if la is None or f"{mod}.A" not in la:
+        return None
+    a, b = la[f"{mod}.A"], la[f"{mod}.B"]
+    if a.ndim == 3:  # per-row (B, r, in) — batch decode
+        h = jnp.einsum("b...i,bri->b...r", x, a.astype(x.dtype))
+        return jnp.einsum("b...r,bor->b...o", h, b.astype(x.dtype)) * scale
+    h = jnp.einsum("...i,ri->...r", x, a.astype(x.dtype))
+    return jnp.einsum("...r,or->...o", h, b.astype(x.dtype)) * scale
+
+
 def _ln_f32(x, w, b, eps):
     """Identical to layers.basic.layer_norm (fp32 stats + affine)."""
     xf = x.astype(jnp.float32)
@@ -293,8 +348,18 @@ def llm_decode(
     stop_at: Optional[jax.Array] = None,
     state: Optional[DecodeState] = None,
     return_state: bool = False,
+    lora: Optional[Params] = None,
+    vid: Optional[jax.Array] = None,
+    lora_scale: float = 1.0,
 ):
     """Greedy-loop AR decode with fixed-capacity KV cache (llm.py:164-228).
+
+    ``lora``: serve UN-merged LoRA adapters (flat ``llm.*.lora_A/B`` dict,
+    single voice or voice-stacked via ``lora.stack_voice_loras`` with
+    ``vid`` selecting the voice).  Deltas are applied to the six targeted
+    block matmuls inside the decode loop and, via Ctx, throughout prefill —
+    multi-voice serving without merging (the reference merges per voice,
+    one full model copy each; adapters are ~2 M params/voice instead).
 
     The whole function jits into one program per (prefix_len, max_len) bucket.
 
@@ -352,6 +417,20 @@ def llm_decode(
     inv_sqrt_dk = 1.0 / _math.sqrt(dk)
     _ln = _ln_f32
 
+    # voice adapters: prefill consumes the stacked dict through Ctx (routed
+    # by lora_vids in layers.basic); the decode scan gets per-layer slices
+    # pre-gathered for this voice
+    la_xs: Dict[str, jax.Array] = {}
+    ctx0 = EVAL
+    if lora is not None:
+        from ..lora import ensure_voice_stacked
+
+        lora_v = ensure_voice_stacked(lora)
+        vid_ = jnp.asarray(0 if vid is None else vid, jnp.int32)
+        lst = _stack_decode_loras(lora_v, nl)
+        la_xs = {k_: v_[vid_] for k_, v_ in lst.items()}  # (nl, r/out, ...)
+        ctx0 = Ctx(lora=lora_v, lora_scale=lora_scale, lora_vids=vid_[None])
+
     def run_layers(x, kvbuf, cache_index, attn_bias, pos_start):
         """x: (1, 1, D).  kvbuf: (nl, 2, H, S, dk).  attn_bias: (1, 1, S).
         pos_start: scalar offset into the (2S-1) positional-key table.
@@ -367,11 +446,13 @@ def llm_decode(
 
         def body(carry, xs):
             h, kvb = carry
-            ld, l = xs
+            ld, la, l = xs
             w = {k_: v_.astype(h.dtype) for k_, v_ in ld.items()
                  if v_.dtype != jnp.int8 and not k_.endswith("@scale")}
             hn = _ln(h, ld["norm1.weight"], ld["norm1.bias"], eps_l)
             qkv = _matmul_q(hn[0, 0], ld, "wqkv") + w["bqkv"]  # (3D,)
+            if la:
+                qkv = qkv + _lora_qkv_delta(hn[0, 0], la, D, lora_scale)
             q = qkv[:D].reshape(H, 1, dk)
             k = qkv[D:2 * D].reshape(H, dk)
             v = qkv[2 * D:].reshape(H, dk)
@@ -393,18 +474,28 @@ def llm_decode(
                 scores.astype(jnp.float32) + bias_row, axis=-1).astype(h.dtype)
             o = jnp.einsum("hts,hsd->htd", attn, vc.astype(h.dtype))  # (H, 1, dk)
             o = o.transpose(1, 0, 2).reshape(D)
-            o = _matmul_q(o, ld, "self_attn.linear_out.weight") \
+            op = _matmul_q(o, ld, "self_attn.linear_out.weight") \
                 + w["self_attn.linear_out.bias"]
-            h = h + o[None, None]
+            d = _lora_mm(o, la, "self_attn.linear_out", lora_scale)
+            if d is not None:
+                op = op + d
+            h = h + op[None, None]
             hn2 = _ln(h, ld["norm2.weight"], ld["norm2.bias"], eps_l)
-            f = act(_matmul_q(hn2, ld, "feed_forward.w_1.weight")
-                    + w["feed_forward.w_1.bias"])
-            f = _matmul_q(f, ld, "feed_forward.w_2.weight") \
+            f = _matmul_q(hn2, ld, "feed_forward.w_1.weight") \
+                + w["feed_forward.w_1.bias"]
+            d = _lora_mm(hn2, la, "feed_forward.w_1", lora_scale)
+            if d is not None:
+                f = f + d
+            f = act(f)
+            f2 = _matmul_q(f, ld, "feed_forward.w_2.weight") \
                 + w["feed_forward.w_2.bias"]
-            return (h + f, kvb), None
+            d = _lora_mm(f, la, "feed_forward.w_2", lora_scale)
+            if d is not None:
+                f2 = f2 + d
+            return (h + f2, kvb), None
 
         (x, kvbuf), _ = jax.lax.scan(
-            body, (x, kvbuf), (stacked, jnp.arange(nl)))
+            body, (x, kvbuf), (stacked, la_xs, jnp.arange(nl)))
         x = layer_norm(sp_llm, "after_norm", x, eps=1e-5)
         return x, kvbuf
 
@@ -428,7 +519,7 @@ def llm_decode(
             # return_kv exposes the layer's own K/V so the cache seed shares
             # the norm1 + projection work with the forward pass (no 2x prefill)
             h, (ki, vi) = transformer_layer(
-                sp_llm, f"encoders.{i}", ecfg, h, causal0, pe0, EVAL, return_kv=True)
+                sp_llm, f"encoders.{i}", ecfg, h, causal0, pe0, ctx0, return_kv=True)
             kv_buf = kv_buf.at[i, 0, :, :L0].set(ki[0].astype(dt))
             kv_buf = kv_buf.at[i, 1, :, :L0].set(vi[0].astype(dt))
         h = layer_norm(sp_llm, "after_norm", h, eps=1e-5)
@@ -533,6 +624,9 @@ def llm_decode_batch(
     state: Optional[BatchDecodeState] = None,
     return_state: bool = False,
     attend_width: Optional[int] = None,  # static: read only this many cache cols
+    lora: Optional[Params] = None,  # voice-stacked adapters (stack_voice_loras)
+    vids: Optional[jax.Array] = None,  # (B,) per-row voice index into lora
+    lora_scale: float = 1.0,
 ):
     """Batched AR decode for serving throughput.
 
@@ -597,6 +691,23 @@ def llm_decode_batch(
     _mm = _matmul_q
     _ln = _ln_f32
 
+    # multi-voice adapters: prefill routes per row through Ctx.lora_vids;
+    # the decode scan gets per-row pre-gathered slices (B rows gather their
+    # own voice's (r, in)/(out, r) factors once, outside the token loop)
+    la_xs: Dict[str, jax.Array] = {}
+    ctx0 = EVAL
+    if lora is not None:
+        from ..lora import ensure_voice_stacked
+
+        lora_v = ensure_voice_stacked(lora)
+        vids_ = (jnp.zeros((B,), jnp.int32) if vids is None
+                 else jnp.asarray(vids, jnp.int32))
+        lst = _stack_decode_loras(lora_v, nl)
+        # (V, nl, ...) -> gather rows -> (B, nl, ...) -> (nl, B, ...) scan xs
+        la_xs = {k_: jnp.moveaxis(jnp.take(v_, vids_, axis=0), 0, 1)
+                 for k_, v_ in lst.items()}
+        ctx0 = Ctx(lora=lora_v, lora_scale=lora_scale, lora_vids=vids_)
+
     caps_ = (jnp.full((B,), max_len, jnp.int32) if max_lens is None
              else jnp.minimum(jnp.asarray(max_lens, jnp.int32), max_len))
 
@@ -628,11 +739,13 @@ def llm_decode_batch(
 
         def body(carry, xs):
             hc, kvb = carry
-            ld, l = xs
+            ld, la, l = xs
             w = {k_: v_.astype(hc.dtype) for k_, v_ in ld.items()
                  if v_.dtype != jnp.int8 and not k_.endswith("@scale")}
             hn = _ln(hc, ld["norm1.weight"], ld["norm1.bias"], eps_l)
             qkv = _mm(hn[:, 0], ld, "wqkv") + w["bqkv"]  # (B, 3D)
+            if la:
+                qkv = qkv + _lora_qkv_delta(hn[:, 0], la, D, lora_scale)
             q = qkv[:, :D].reshape(B, H, 1, dk)
             k = qkv[:, D:2 * D].reshape(B, H, dk)
             v = qkv[:, 2 * D:].reshape(B, H, dk)
@@ -654,17 +767,27 @@ def llm_decode_batch(
                                   axis=-1).astype(hc.dtype)
             o = jnp.einsum("bhts,bhsd->bhtd", attn, vc.astype(hc.dtype))
             o = o.transpose(0, 2, 1, 3).reshape(B, D)
-            o = _mm(o, ld, "self_attn.linear_out.weight") \
+            op = _mm(o, ld, "self_attn.linear_out.weight") \
                 + w["self_attn.linear_out.bias"]
-            hc = hc + o[:, None]
+            d = _lora_mm(o, la, "self_attn.linear_out", lora_scale)
+            if d is not None:
+                op = op + d
+            hc = hc + op[:, None]
             hn2 = _ln(hc, ld["norm2.weight"], ld["norm2.bias"], eps_l)
-            f = act(_mm(hn2, ld, "feed_forward.w_1.weight")
-                    + w["feed_forward.w_1.bias"])
-            f = _mm(f, ld, "feed_forward.w_2.weight") + w["feed_forward.w_2.bias"]
-            return (hc + f, kvb), None
+            f = _mm(hn2, ld, "feed_forward.w_1.weight") \
+                + w["feed_forward.w_1.bias"]
+            d = _lora_mm(hn2, la, "feed_forward.w_1", lora_scale)
+            if d is not None:
+                f = f + d
+            f = act(f)
+            f2 = _mm(f, ld, "feed_forward.w_2.weight") + w["feed_forward.w_2.bias"]
+            d = _lora_mm(f, la, "feed_forward.w_2", lora_scale)
+            if d is not None:
+                f2 = f2 + d
+            return (hc + f2, kvb), None
 
         (x, kvbuf), _ = jax.lax.scan(
-            body, (x, kvbuf), (stacked, jnp.arange(nl)))
+            body, (x, kvbuf), (stacked, la_xs, jnp.arange(nl)))
         x = layer_norm(sp_llm, "after_norm", x, eps=1e-5)
         return x, kvbuf
 
@@ -683,7 +806,7 @@ def llm_decode_batch(
         h = x0
         for i in range(nl):
             h, (ki, vi) = transformer_layer(
-                sp_llm, f"encoders.{i}", ecfg, h, bias0, pe0, EVAL, return_kv=True)
+                sp_llm, f"encoders.{i}", ecfg, h, bias0, pe0, ctx0, return_kv=True)
             kv_buf = kv_buf.at[i, 0, :, :, :L0].set(ki.astype(dt))
             kv_buf = kv_buf.at[i, 1, :, :, :L0].set(vi.astype(dt))
         h = layer_norm(sp_llm, "after_norm", h, eps=1e-5)
@@ -766,6 +889,9 @@ def llm_admit_slot(
     top_k: int = 25,
     win_size: int = 10,
     tau_r: float = 0.1,
+    lora: Optional[Params] = None,  # voice-stacked adapters (stack_voice_loras)
+    vid: Optional[jax.Array] = None,  # scalar voice index for this request
+    lora_scale: float = 1.0,
 ):
     """Admit one request into a paused :class:`BatchDecodeState` — the
     continuous-batching join step (vLLM-style serving, TPU static shapes).
@@ -797,11 +923,18 @@ def llm_admit_slot(
     kq = jnp.arange(L0)
     vis = (kq[None, None, :] <= kq[None, :, None]) & (kq[None, None, :] >= start1)
     bias0 = jnp.where(vis, 0.0, M.NEG_BIAS).astype(dt)
+    ctx0 = EVAL
+    if lora is not None:
+        from ..lora import ensure_voice_stacked
+
+        vid_ = jnp.asarray(0 if vid is None else vid, jnp.int32)
+        ctx0 = Ctx(lora=ensure_voice_stacked(lora), lora_scale=lora_scale,
+                   lora_vids=vid_[None])
     newkv = jnp.zeros((nl, 2, 1, H, L0, dk), dt)
     h = x0
     for i in range(nl):
         h, (ki, vi) = transformer_layer(
-            sp_llm, f"encoders.{i}", ecfg, h, bias0, pe0, EVAL, return_kv=True)
+            sp_llm, f"encoders.{i}", ecfg, h, bias0, pe0, ctx0, return_kv=True)
         newkv = newkv.at[i, 0].set(ki.astype(dt))
         newkv = newkv.at[i, 1].set(vi.astype(dt))
     h = layer_norm(sp_llm, "after_norm", h, eps=1e-5)
