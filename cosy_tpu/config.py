@@ -377,6 +377,13 @@ class InferenceConfig:
     nfe_long: int = 20
     nfe_mid_threshold: int = 300
     nfe_long_threshold: int = 500
+    # few-step MeanFlow sampler (beyond-reference; train/distill.py): the
+    # flow weights must carry the distilled time_mlp_s branch.  Replaces the
+    # dynamic-NFE CFG-doubled Euler solve (20-40 estimator calls) with
+    # meanflow_steps single calls; quality is a per-voice distillation trade
+    # — validate before enabling (like banded attention, PERF.md).
+    sampler: str = "euler"  # "euler" | "meanflow"
+    meanflow_steps: int = 2
     # AR decode limits (reference: llm.py:164-228)
     min_token_text_ratio: float = 2.0
     max_token_text_ratio: float = 20.0

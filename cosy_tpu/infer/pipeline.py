@@ -179,7 +179,8 @@ class TTSPipeline:
                 P(params), self.cfg.flow, rng, token, prompt_token, prompt_feat,
                 spk, finetuned_norm=self.finetuned_norm,
                 mel_norm=(self.cfg.mel_mean, self.cfg.mel_std),
-                flow_cache=cache, return_cache=True)
+                flow_cache=cache, return_cache=True,
+                sampler=self.icfg.sampler)
 
         self._flow_jit = jax.jit(_flow_fn)
 
@@ -202,7 +203,7 @@ class TTSPipeline:
                 prompt_feat, spk, finetuned_norm=self.finetuned_norm,
                 mel_norm=(self.cfg.mel_mean, self.cfg.mel_std),
                 flow_cache=flow_cache if flow_cache.shape[2] else None,
-                return_cache=True)
+                return_cache=True, sampler=self.icfg.sampler)
             if trim > 0:
                 mel = mel[:, :, trim:]
             if mel_overlap.shape[2]:
@@ -242,7 +243,8 @@ class TTSPipeline:
                 n_timesteps=n_timesteps, finetuned_norm=self.finetuned_norm,
                 mel_norm=(self.cfg.mel_mean, self.cfg.mel_std),
                 flow_cache=flow_cache if flow_cache.shape[2] else None,
-                token_valid=tok_valid, mel_valid=mel_valid)
+                token_valid=tok_valid, mel_valid=mel_valid,
+                sampler=self.icfg.sampler)
             hift_valid = mel_valid
             if mel_overlap.shape[2]:
                 mel = fade_in_out_valid_jnp(mel, mel_overlap, self.mel_window,
@@ -271,7 +273,8 @@ class TTSPipeline:
             mel = F.flow_inference(
                 P(flow_p), self.cfg.flow, k_flow, token, prompt_token,
                 prompt_feat, spk, finetuned_norm=self.finetuned_norm,
-                mel_norm=(self.cfg.mel_mean, self.cfg.mel_std))
+                mel_norm=(self.cfg.mel_mean, self.cfg.mel_std),
+                sampler=self.icfg.sampler)
             if trim > 0:
                 mel = mel[:, :, trim:]
             wav, _ = H.hift_inference(P(hift_p), self.cfg.hift, k_hift, mel, None)
@@ -579,6 +582,15 @@ class TTSPipeline:
     # stage 2+3: tokens -> mel -> wav
     # ------------------------------------------------------------------
 
+    def _select_nfe(self, mel_len: int) -> int:
+        """Dynamic NFE by true mel length (reference: flow_model.py:525-536);
+        a fixed few-step count under the distilled MeanFlow sampler."""
+        if self.icfg.sampler == "meanflow":
+            return self.icfg.meanflow_steps
+        return (self.icfg.nfe_long if mel_len > self.icfg.nfe_long_threshold
+                else self.icfg.nfe_mid if mel_len > self.icfg.nfe_mid_threshold
+                else self.icfg.nfe_short)
+
     def token2wav(
         self,
         rng: jax.Array,
@@ -689,9 +701,7 @@ class TTSPipeline:
         # mid-serving — measured as a ~90 s stream stall through the tunnel
         tb = self._final_tok_bucket
         mel2 = int(n / self.cfg.flow.input_frame_rate * 22050 / 256)
-        nfe = (self.icfg.nfe_long if mel2 > self.icfg.nfe_long_threshold else
-               self.icfg.nfe_mid if mel2 > self.icfg.nfe_mid_threshold else
-               self.icfg.nfe_short)
+        nfe = self._select_nfe(mel2)
         tok_pad = np.pad(np.asarray(token, np.int32), ((0, 0), (0, tb - n)))
 
         def _z(x, *shape):

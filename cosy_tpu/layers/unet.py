@@ -201,6 +201,7 @@ def conditional_decoder(
     streaming: bool = False,
     static_chunk_size: int = 50,
     frames_valid: Optional[jax.Array] = None,  # (B,) traced true frame counts
+    s: Optional[jax.Array] = None,  # (B,) MeanFlow target time (distilled nets)
 ) -> jax.Array:
     """Velocity field estimate (B, 80, T) (reference: modules.py:998-1106;
     causal/streaming variant: cosyvoice/flow/decoder.py:294-494).
@@ -221,6 +222,14 @@ def conditional_decoder(
     temb = timestep_embedding(t, cfg.in_channels).astype(dtype)
     sp_t = p.sub("time_mlp")
     temb = dense(sp_t, "linear_2", silu(dense(sp_t, "linear_1", temb, ctx)), ctx)
+    if s is not None:
+        # MeanFlow average-velocity field u(y_t, t, s): the integration
+        # TARGET time enters through a second embedding branch whose output
+        # projection starts at zero, so a freshly-branched student equals the
+        # teacher's instantaneous field (train/distill.py)
+        semb = timestep_embedding(s, cfg.in_channels).astype(dtype)
+        sp_s = p.sub("time_mlp_s")
+        temb = temb + dense(sp_s, "linear_2", silu(dense(sp_s, "linear_1", semb, ctx)), ctx)
 
     spks_t = jnp.broadcast_to(spks[:, None, :], (B, T, spks.shape[1])).astype(dtype)
     h = jnp.concatenate([x.transpose(0, 2, 1), mu.transpose(0, 2, 1),

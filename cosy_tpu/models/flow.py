@@ -247,6 +247,41 @@ def cfm_solve_euler(
     return x.astype(jnp.float32)
 
 
+def cfm_solve_mean(
+    p: P,
+    cfg: FlowConfig,
+    z: jax.Array,  # (B, 80, T) initial noise
+    mask,  # (B, 1, T), or None == all-valid
+    mu: jax.Array,  # (B, 80, T)
+    spks: jax.Array,  # (B, 80)
+    cond: jax.Array,  # (B, 80, T)
+    n_timesteps: int,
+    ctx: Ctx = EVAL,
+    frames_valid: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Few-step sampling with a MeanFlow-distilled average-velocity field
+    (train/distill.py): y_s = y_t + (s - t) * u(y_t, t, s).
+
+    Beyond-reference capability — the reference only has the 10-20 step
+    Euler solve (flow_model.py:94-125).  No CFG batch doubling: guidance is
+    folded into the student during distillation, so each of the 1-2 steps is
+    ONE estimator call (vs 2x10..2x20 for the Euler path).  Requires params
+    with the ``time_mlp_s`` branch (add_meanflow_time_branch)."""
+    B = z.shape[0]
+    t_span = jnp.linspace(0.0, 1.0, n_timesteps + 1)
+
+    def step(x, ts_pair):
+        t, s_t = ts_pair
+        u = conditional_decoder(
+            p, cfg.estimator, x, mask, mu, jnp.full((B,), t, x.dtype), spks,
+            cond, ctx, frames_valid=frames_valid,
+            s=jnp.full((B,), s_t, x.dtype))
+        return (x + (s_t - t) * u).astype(x.dtype), None
+
+    x, _ = jax.lax.scan(step, z, (t_span[:-1], t_span[1:]))
+    return x.astype(jnp.float32)
+
+
 def cfm_compute_loss(
     p: P,
     cfg: FlowConfig,
@@ -538,9 +573,14 @@ def flow_inference(
     mel_valid: Optional[jax.Array] = None,  # traced: true mel frames
     lora: Optional[Dict[str, jax.Array]] = None,  # serve un-merged adapters
     lora_scale: float = 1.0,
+    sampler: str = "euler",  # "euler" | "meanflow" (distilled weights only)
 ):
     """Prompted inference (flow_model.py:475-551).  Python-int lengths -> one
     compiled program per (T_tok, T_ptok, T_pmel) bucket.
+
+    ``sampler="meanflow"`` runs the few-step distilled sampler
+    (cfm_solve_mean; default 2 steps when n_timesteps is None) — requires
+    weights produced by train/distill.py.
 
     finetuned_norm=True applies the merged-finetune normalize/denormalize patch
     (reference: inference_joint.py:129-151).
@@ -604,7 +644,8 @@ def flow_inference(
     conds = conds.transpose(0, 2, 1)
 
     if n_timesteps is None:
-        n_timesteps = 20 if T > 500 else (15 if T > 300 else 10)
+        n_timesteps = (20 if T > 500 else (15 if T > 300 else 10)) \
+            if sampler == "euler" else 2
 
     # pad to even length for the U-Net; masked region is dropped afterwards.
     # Even T needs no padding — take the mask-free dense fast path.
@@ -631,10 +672,10 @@ def flow_inference(
             if mel_len1 > 0 else mu[:, :, T - 34 : T]
         new_cache = jnp.stack([z_cache, mu_cache], axis=-1)
 
-    feat = cfm_solve_euler(p.sub("decoder.estimator"), cfg, z, mask, mu, spk,
-                           conds, n_timesteps, ctx,
-                           frames_valid=(None if token_valid is None
-                                         else mel_valid))
+    solve = cfm_solve_euler if sampler == "euler" else cfm_solve_mean
+    feat = solve(p.sub("decoder.estimator"), cfg, z, mask, mu, spk,
+                 conds, n_timesteps, ctx,
+                 frames_valid=(None if token_valid is None else mel_valid))
     feat = feat[:, :, mel_len1:T]
     if finetuned_norm:
         feat = feat * std + mean

@@ -1,0 +1,107 @@
+#!/usr/bin/env python3
+"""Few-step MeanFlow distillation of a (merged-finetune) flow model.
+
+Beyond-reference capability (PAPERS.md: MeanFlow / IntMeanFlow): compresses
+the reference's 10-20 step CFG-doubled Euler mel solve (20-40 estimator
+calls, flow_model.py:94-125, 525-536) into 1-2 single estimator calls.
+Train on the same prepared parquet data as train_joint.py, starting from
+merged fine-tuned flow weights; synthesize with
+
+    python inference_joint.py --text ... --flow output/flow_distilled.pt --meanflow
+
+Usage:
+    python distill_flow.py --data-dir data [--flow output/flow_merged_joint.pt]
+        [--steps 2000] [--lr 1e-5] [--batch-size 4] [--out output/flow_distilled.pt]
+"""
+
+import argparse
+import os
+
+import jax
+
+from cosy_tpu.config import ModelConfig, TrainConfig, replace
+
+
+def main():
+    ap = argparse.ArgumentParser(description="MeanFlow few-step flow distillation")
+    ap.add_argument("--data-dir", default="data")
+    ap.add_argument("--flow", default=None,
+                    help="teacher flow weights (default output/flow_merged_joint.pt, "
+                         "else the pretrained flow)")
+    ap.add_argument("--pretrained", default="pretrained_models/CosyVoice-300M")
+    ap.add_argument("--out", default="output/flow_distilled.pt")
+    ap.add_argument("--steps", type=int, default=2000)
+    ap.add_argument("--lr", type=float, default=1e-5)
+    ap.add_argument("--batch-size", type=int, default=4)
+    ap.add_argument("--cfg-rate", type=float, default=None,
+                    help="guidance strength folded into the student "
+                         "(default: inference_cfg_rate 0.7)")
+    ap.add_argument("--inst-frac", type=float, default=0.25,
+                    help="fraction of draws with s == t (instantaneous anchor)")
+    ap.add_argument("--target", default="integral", choices=["integral", "jvp"],
+                    help="integral: regress onto m teacher Euler sub-steps "
+                         "(robust); jvp: MeanFlow-identity bootstrap (one "
+                         "teacher call/step)")
+    ap.add_argument("--teacher-substeps", type=int, default=4)
+    ap.add_argument("--max-feat-len", type=int, default=None)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--tiny", action="store_true",
+                    help="smoke-test topology (toy widths; not checkpoint-compatible)")
+    args = ap.parse_args()
+
+    from cosy_tpu.config import tiny_model_config
+    model_cfg = tiny_model_config() if args.tiny else ModelConfig()
+    tcfg = TrainConfig(training_mode="flow_only", batch_size=args.batch_size,
+                       accumulate_grad_batches=1)
+    if args.max_feat_len:
+        tcfg = replace(tcfg, max_feat_len=args.max_feat_len)
+
+    from cosy_tpu.compat.loader import load_or_init
+    from cosy_tpu.ctx import root_key
+    from cosy_tpu.params import load_torch_checkpoint
+    rng = root_key(args.seed, tcfg.prng_impl)
+    pretrained = load_or_init(args.pretrained, model_cfg, rng)
+    flow_params = pretrained["flow"]
+    teacher_path = args.flow or os.path.join("output", "flow_merged_joint.pt")
+    if os.path.exists(teacher_path):
+        print(f"teacher: merged flow weights {teacher_path}")
+        flow_params = load_torch_checkpoint(teacher_path)
+    else:
+        print(f"teacher: base flow weights ({teacher_path} not found)")
+
+    from cosy_tpu.data.dataset import FlowFinetuneDataset, DataLoader
+    dataset = FlowFinetuneDataset(args.data_dir, augmentation=False,
+                                  seed=args.seed)
+    if len(dataset) == 0:
+        print(f"no data in {args.data_dir}; run prepare_joint_data.py first")
+        return
+
+    def batches():
+        loader = DataLoader(dataset, tcfg, seed=args.seed)
+        while True:
+            for super_batch in loader:
+                # (accum=1, B, ...) -> (B, ...), flow keys only
+                yield {k: v[0] for k, v in super_batch.items()
+                       if k in ("speech_token", "speech_token_len",
+                                "speech_feat", "speech_feat_len", "embedding")}
+
+    from cosy_tpu.train.distill import FlowDistiller
+    print(f"devices: {jax.devices()}")
+    print(f"distilling: steps={args.steps} lr={args.lr} bs={args.batch_size} "
+          f"cfg_rate={args.cfg_rate or model_cfg.flow.cfm.inference_cfg_rate} "
+          f"inst_frac={args.inst_frac}")
+    distiller = FlowDistiller(
+        model_cfg.flow, flow_params, lr=args.lr, cfg_rate=args.cfg_rate,
+        inst_frac=args.inst_frac, target=args.target,
+        teacher_substeps=args.teacher_substeps,
+        mel_norm=(model_cfg.mel_mean, model_cfg.mel_std),
+        seed=args.seed, prng_impl=tcfg.prng_impl)
+    state = distiller.fit(batches(), steps=args.steps)
+    distiller.export(state, args.out)
+    print(f"saved distilled flow -> {args.out}")
+    print("synthesize with: python inference_joint.py --text ... "
+          f"--flow {args.out} --meanflow")
+
+
+if __name__ == "__main__":
+    main()

@@ -47,6 +47,11 @@ def main():
     ap.add_argument("--speed", "-s", type=float, default=1.0)
     ap.add_argument("--stream", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--meanflow", action="store_true",
+                    help="few-step distilled sampler (flow weights from "
+                         "distill_flow.py; 1-2 estimator calls instead of "
+                         "the 20-40 call Euler solve)")
+    ap.add_argument("--meanflow-steps", type=int, default=2)
     args = ap.parse_args()
 
     from cosy_tpu.config import tiny_model_config
@@ -85,8 +90,17 @@ def main():
     print(f"text: {args.text!r} -> {ids.shape[1]} tokens "
           f"(lang={'zh' if contains_chinese(args.text) else 'en'})")
 
+    icfg = InferenceConfig()
+    if args.meanflow:
+        if "flow.decoder.estimator.time_mlp_s.linear_1.weight" not in params["flow"] \
+                and "decoder.estimator.time_mlp_s.linear_1.weight" not in params["flow"]:
+            raise SystemExit("--meanflow needs distilled flow weights "
+                             "(run distill_flow.py first)")
+        from cosy_tpu.config import replace as creplace
+        icfg = creplace(icfg, sampler="meanflow",
+                        meanflow_steps=args.meanflow_steps)
     pipe = TTSPipeline(model_cfg, params["llm"], params["flow"], params["hift"],
-                       InferenceConfig(), finetuned_norm=True)
+                       icfg, finetuned_norm=True)
 
     # zero speaker embedding with the spk row present — the reference's
     # prompt-free path (inference_joint.py:179-181)

@@ -84,3 +84,19 @@ def test_cli_pipeline_end_to_end(workdir):
 
     sr, wav = wavfile.read(os.path.join(d, "out", "tts.wav"))
     assert sr == 22050 and wav.size > 0
+
+    # beyond-reference: few-step MeanFlow distillation of the merged flow,
+    # then synthesis through the distilled 2-step sampler
+    _run([os.path.join(REPO, "distill_flow.py"), "--tiny",
+          "--data-dir", "data", "--steps", "4", "--batch-size", "2",
+          "--max-feat-len", "16", "--lr", "1e-4",
+          "--flow", os.path.join(d, "out", "flow_merged_flow_only.pt"),
+          "--pretrained", "missing_dir",
+          "--out", os.path.join(d, "out", "flow_distilled.pt")], cwd=d)
+    _run([os.path.join(REPO, "inference_joint.py"), "--tiny",
+          "--text", "hello tiny world", "--meanflow",
+          "--flow", os.path.join(d, "out", "flow_distilled.pt"),
+          "--pretrained", "missing_dir",
+          "--output", os.path.join(d, "out", "tts_mf.wav")], cwd=d)
+    sr, wav = wavfile.read(os.path.join(d, "out", "tts_mf.wav"))
+    assert sr == 22050 and wav.size > 0

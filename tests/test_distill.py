@@ -1,0 +1,210 @@
+"""MeanFlow few-step distillation (train/distill.py).
+
+Validates, in order of increasing integration:
+1. the MeanFlow identity's sign convention against analytic fields where the
+   average velocity u is known in closed form;
+2. student-equals-teacher at init (zero-initialized time_mlp_s branch);
+3. end-to-end distillation on a tiny topology: the distilled 1/2-step
+   sampler approximates the teacher's 10-step CFG Euler solve far better
+   than the undistilled student does.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cosy_tpu.config import EncoderConfig, EstimatorConfig, FlowConfig
+from cosy_tpu.ctx import Ctx, EVAL
+from cosy_tpu.layers.unet import conditional_decoder
+from cosy_tpu.models import flow as F
+from cosy_tpu.params import P
+from cosy_tpu.train import distill as D
+
+FCFG = FlowConfig(
+    input_size=16, output_size=8, spk_embed_dim=12, vocab_size=30,
+    encoder=EncoderConfig(input_size=16, output_size=16, attention_heads=2,
+                          linear_units=24, num_blocks=1),
+    estimator=EstimatorConfig(in_channels=32, out_channels=8, channels=(16, 16),
+                              attention_head_dim=4, n_blocks=1,
+                              num_mid_blocks=1, num_heads=2),
+)
+
+
+# ---------------------------------------------------------------------------
+# 1. identity sign convention (this codebase: t=0 noise -> t=1 data)
+# ---------------------------------------------------------------------------
+
+
+def test_meanflow_identity_time_linear_field():
+    """v(y, tau) = tau (spatially constant): u(y, t, s) = (t + s) / 2, so the
+    regression target v + (s - t) * (d_y u . v + d_t u) must reproduce u."""
+    def u_fn(y, t, s):
+        return jnp.broadcast_to(((t + s) / 2.0)[:, None, None], y.shape)
+
+    B, C, T = 3, 4, 6
+    key = jax.random.PRNGKey(0)
+    y = jax.random.normal(key, (B, C, T))
+    t = jnp.asarray([0.1, 0.4, 0.8])
+    s = jnp.asarray([0.3, 0.9, 0.8])  # includes an s == t anchor
+    v = jnp.broadcast_to(t[:, None, None], y.shape)  # v(y_t, t) = t
+
+    u, du = jax.jvp(u_fn, (y, t, s), (v, jnp.ones_like(t), jnp.zeros_like(s)))
+    u_tgt = v + (s - t)[:, None, None] * du
+    np.testing.assert_allclose(np.asarray(u_tgt), np.asarray(u), atol=1e-6)
+
+
+def test_meanflow_identity_delta_data_field():
+    """sigma = 0 delta-data OT path: v(y, t) = (x1 - y)/(1 - t) and the true
+    average velocity u(y, t, s) = (x1 - y)/(1 - t) is s-independent (straight
+    trajectories) — the target must equal u exactly."""
+    key = jax.random.PRNGKey(1)
+    x1 = jax.random.normal(key, (2, 4, 6))
+
+    def u_fn(y, t, s):
+        return (x1 - y) / (1.0 - t)[:, None, None]
+
+    y = jax.random.normal(jax.random.PRNGKey(2), (2, 4, 6))
+    t = jnp.asarray([0.2, 0.6])
+    s = jnp.asarray([0.7, 0.9])
+    v = (x1 - y) / (1.0 - t)[:, None, None]
+
+    u, du = jax.jvp(u_fn, (y, t, s), (v, jnp.ones_like(t), jnp.zeros_like(s)))
+    u_tgt = v + (s - t)[:, None, None] * du
+    np.testing.assert_allclose(np.asarray(u_tgt), np.asarray(u), atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# 2. zero-init branch: student == teacher at init
+# ---------------------------------------------------------------------------
+
+
+def _tiny_flow_params(seed=1):
+    return F.init_flow_params(jax.random.PRNGKey(seed), FCFG)
+
+
+def test_branch_init_equals_teacher():
+    params = _tiny_flow_params()
+    branched = D.add_meanflow_time_branch(params, FCFG.estimator,
+                                          jax.random.PRNGKey(3))
+    B, C, T = 2, 8, 16
+    key = jax.random.PRNGKey(4)
+    y = jax.random.normal(key, (B, C, T))
+    mu = jax.random.normal(jax.random.fold_in(key, 1), (B, C, T))
+    spks = jax.random.normal(jax.random.fold_in(key, 2), (B, C))
+    cond = jnp.zeros((B, C, T))
+    t = jnp.asarray([0.3, 0.7])
+    s = jnp.asarray([0.9, 0.7])
+
+    ep = P(params, "decoder.estimator.")
+    bp = P(branched, "decoder.estimator.")
+    v = conditional_decoder(ep, FCFG.estimator, y, None, mu, t, spks, cond, EVAL)
+    u0 = conditional_decoder(bp, FCFG.estimator, y, None, mu, t, spks, cond,
+                             EVAL, s=s)
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(u0))
+
+    # and the branch params are the only additions
+    extra = set(branched) - set(params)
+    assert extra == {
+        "decoder.estimator.time_mlp_s.linear_1.weight",
+        "decoder.estimator.time_mlp_s.linear_1.bias",
+        "decoder.estimator.time_mlp_s.linear_2.weight",
+        "decoder.estimator.time_mlp_s.linear_2.bias",
+    }
+
+
+# ---------------------------------------------------------------------------
+# 3. end-to-end distillation on a tiny topology
+# ---------------------------------------------------------------------------
+
+
+def _batch(B=4, Ttok=8, T=32, seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        "speech_token": rng.integers(0, 30, (B, Ttok)).astype(np.int32),
+        "speech_token_len": np.full((B,), Ttok, np.int32),
+        "speech_feat": (rng.standard_normal((B, T, 8)) * 2 - 6).astype(np.float32),
+        "speech_feat_len": np.full((B,), T, np.int32),
+        "embedding": rng.standard_normal((B, 12)).astype(np.float32),
+    }
+
+
+def _sample_setup(teacher, batch):
+    """mu/spks/conds for the prompt-free sampling comparison (the same frozen
+    encoder path both samplers share)."""
+    mean, std = -6.0, 2.0
+    token = jnp.asarray(batch["speech_token"])
+    token_len = jnp.asarray(batch["speech_token_len"])
+    T = batch["speech_feat"].shape[1]
+    tp = P(teacher)
+    spk = F.dense(tp, "spk_embed_affine_layer",
+                  F._l2_normalize(jnp.asarray(batch["embedding"]), axis=1), EVAL)
+    h = F.flow_encode(tp, FCFG, token, token_len, EVAL)
+    h = F.length_regulator(tp.sub("length_regulator"), h,
+                           jnp.asarray(batch["speech_feat_len"]), T,
+                           FCFG.regulator_stages, EVAL)
+    B = token.shape[0]
+    conds = jnp.zeros((B, FCFG.output_size, T))
+    return h.transpose(0, 2, 1), spk, conds
+
+
+def test_distillation_beats_undistilled_few_step():
+    teacher = _tiny_flow_params()
+    # amplify the time-dependence of the random teacher so its trajectories
+    # are genuinely curved — a random-init field is nearly straight, leaving
+    # the one-step sampler almost nothing to learn (measured: err_init
+    # 0.125 -> distilled 0.11; with the curved field 0.28 -> 0.14)
+    for k in list(teacher):
+        if "time_mlp" in k:
+            teacher[k] = teacher[k] * 6.0
+    batch = _batch()
+    mu, spk, conds = _sample_setup(teacher, batch)
+    z = jax.random.normal(jax.random.PRNGKey(9), mu.shape)
+
+    # reference: the teacher's production sampler (10-step CFG Euler)
+    ref = F.cfm_solve_euler(P(teacher, "decoder.estimator."), FCFG, z, None,
+                            mu, spk, conds, 10)
+
+    def err(student_est, nfe):
+        full = {**D.add_meanflow_time_branch(teacher, FCFG.estimator,
+                                             jax.random.PRNGKey(3)),
+                **student_est}
+        out = F.cfm_solve_mean(P(full, "decoder.estimator."), FCFG, z, None,
+                               mu, spk, conds, nfe)
+        return float(jnp.sqrt(jnp.mean(jnp.square(out - ref))))
+
+    distiller = D.FlowDistiller(FCFG, teacher, lr=1e-3, seed=0,
+                                prng_impl="threefry2x32")
+    state = distiller.init_state()
+    err1_init = err(state.student, 1)
+    err2_init = err(state.student, 2)
+
+    batches = [_batch(seed=s) for s in range(8)]
+    state = distiller.fit(batches, steps=150, log_every=75)
+
+    # the distilled few-step samplers must land much closer to the teacher's
+    # full solve than the undistilled average-velocity field does (measured
+    # ~0.5x at 100+ steps; 0.75x is the flake-proof bound)
+    err1 = err(state.student, 1)
+    err2 = err(state.student, 2)
+    assert err1 < 0.75 * err1_init, (err1_init, err1)
+    assert err2 < 0.75 * err2_init, (err2_init, err2)
+
+
+def test_flow_inference_meanflow_sampler_wiring():
+    teacher = _tiny_flow_params()
+    branched = D.add_meanflow_time_branch(teacher, FCFG.estimator,
+                                          jax.random.PRNGKey(3))
+    token = jnp.asarray(np.random.default_rng(0).integers(0, 30, (1, 10)),
+                        jnp.int32)
+    empty_tok = jnp.zeros((1, 0), jnp.int32)
+    empty_feat = jnp.zeros((1, 0, 8), jnp.float32)
+    spk = jnp.zeros((1, 12), jnp.float32)
+    mel = F.flow_inference(P(branched), FCFG, jax.random.PRNGKey(5), token,
+                           empty_tok, empty_feat, spk, sampler="meanflow",
+                           finetuned_norm=True, mel_norm=(-6.0, 2.0))
+    T_mel = int(10 / FCFG.input_frame_rate * 22050 / 256)
+    assert mel.shape == (1, 8, T_mel)
+    assert np.all(np.isfinite(np.asarray(mel)))
