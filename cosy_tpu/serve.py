@@ -400,6 +400,16 @@ def main():
                          "traffic (remote compilation takes minutes cold; "
                          "without this the first request of each shape "
                          "bucket pays it)")
+    ap.add_argument("--flow-weights", default=None,
+                    help="override the model dir's flow weights (e.g. a "
+                         "merged fine-tune or a distill_flow.py output)")
+    ap.add_argument("--sampler", default="euler", choices=["euler", "meanflow"],
+                    help="meanflow: few-step distilled flow sampler (1-2 "
+                         "estimator calls instead of 20-40; needs "
+                         "distill_flow.py weights via --flow-weights; "
+                         "measured 3.5-8.5x solve speedup, PERF.md; "
+                         "validate quality per voice)")
+    ap.add_argument("--meanflow-steps", type=int, default=2)
     ap.add_argument("--attn-window", type=int, default=0,
                     help="opt-in local-band estimator attention: each mel "
                          "frame attends only this many neighbor frames "
@@ -414,8 +424,26 @@ def main():
         os.environ["COSY_TPU_ATTN_WINDOW"] = str(args.attn_window)
 
     from .api import CosyVoice, CosyVoice2
+    from .config import InferenceConfig, replace as creplace
 
-    api = (CosyVoice2 if args.cosyvoice2 else CosyVoice)(args.model_dir)
+    icfg = InferenceConfig()
+    if args.sampler != "euler":
+        if args.cosyvoice2:
+            raise SystemExit("--sampler meanflow is CosyVoice(1)-only for "
+                             "now (the CV2 causal flow is not distilled)")
+        icfg = creplace(icfg, sampler=args.sampler,
+                        meanflow_steps=args.meanflow_steps)
+    api = (CosyVoice2 if args.cosyvoice2 else CosyVoice)(
+        args.model_dir, infer_cfg=icfg)
+    if args.flow_weights:
+        from .params import load_torch_checkpoint
+
+        api.model.flow_params = load_torch_checkpoint(args.flow_weights)
+        print(f"flow weights <- {args.flow_weights}")
+    if args.sampler == "meanflow" and \
+            "decoder.estimator.time_mlp_s.linear_1.weight" not in api.model.flow_params:
+        raise SystemExit("--sampler meanflow needs distilled flow weights "
+                         "(distill_flow.py; pass them via --flow-weights)")
     if args.tp > 1:
         import jax
 

@@ -208,3 +208,32 @@ def test_flow_inference_meanflow_sampler_wiring():
     T_mel = int(10 / FCFG.input_frame_rate * 22050 / 256)
     assert mel.shape == (1, 8, T_mel)
     assert np.all(np.isfinite(np.asarray(mel)))
+
+
+def test_pipeline_meanflow_synthesis():
+    """Full pipeline (LLM decode -> distilled 2-step flow -> HiFT) with
+    InferenceConfig.sampler='meanflow' — the serving wiring."""
+    from test_api import MODEL_CFG
+    from cosy_tpu.config import InferenceConfig, replace
+    from cosy_tpu.infer.pipeline import TTSPipeline
+    import cosy_tpu.models.llm as L
+    from cosy_tpu.models.hift import init_hift_params
+
+    key = jax.random.PRNGKey(0)
+    flow_p = F.init_flow_params(jax.random.fold_in(key, 2), MODEL_CFG.flow)
+    flow_p = D.add_meanflow_time_branch(flow_p, MODEL_CFG.flow.estimator,
+                                        jax.random.fold_in(key, 7))
+    pipe = TTSPipeline(
+        MODEL_CFG,
+        L.init_llm_params(jax.random.fold_in(key, 1), MODEL_CFG.llm),
+        flow_p,
+        init_hift_params(jax.random.fold_in(key, 3), MODEL_CFG.hift),
+        replace(InferenceConfig(), sampler="meanflow", meanflow_steps=2),
+        finetuned_norm=True,
+    )
+    ids = np.asarray([[5, 9, 2, 7, 1]], np.int32)
+    spk = np.zeros((1, MODEL_CFG.llm.spk_embed_dim), np.float32)
+    outs = list(pipe.synthesize(jax.random.PRNGKey(1), ids,
+                                spk_embedding=spk, stream=False))
+    wav = np.concatenate([o["tts_speech"] for o in outs], axis=1)
+    assert wav.size > 0 and np.all(np.isfinite(wav))
