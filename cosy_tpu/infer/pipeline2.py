@@ -79,7 +79,8 @@ class TTS2Pipeline:
                      streaming, finalize, n_timesteps):
             return flow2_inference(
                 P(params), self.fcfg, token, prompt_token, prompt_feat, spk,
-                streaming=streaming, finalize=finalize, n_timesteps=n_timesteps)
+                streaming=streaming, finalize=finalize, n_timesteps=n_timesteps,
+                sampler=self.icfg.sampler)
 
         self._flow_jit = jax.jit(
             _flow_fn, static_argnames=("streaming", "finalize", "n_timesteps"))
@@ -95,7 +96,8 @@ class TTS2Pipeline:
                     *, offset, n_timesteps):
             mel = flow2_inference(
                 P(flow_p), self.fcfg, token, prompt_token, prompt_feat, spk,
-                streaming=False, finalize=True, n_timesteps=n_timesteps)
+                streaming=False, finalize=True, n_timesteps=n_timesteps,
+                sampler=self.icfg.sampler)
             if offset > 0:
                 mel = mel[:, :, offset * self.fcfg.token_mel_ratio:]
             wav, _ = H.hift_inference(P(hift_p), self.hcfg, rng, mel, None)
@@ -112,7 +114,8 @@ class TTS2Pipeline:
                            hift_speech, *, offset, streaming, n_timesteps):
             mel = flow2_inference(
                 P(flow_p), self.fcfg, token, prompt_token, prompt_feat, spk,
-                streaming=streaming, finalize=False, n_timesteps=n_timesteps)
+                streaming=streaming, finalize=False, n_timesteps=n_timesteps,
+                sampler=self.icfg.sampler)
             if offset > 0:
                 mel = mel[:, :, offset * self.fcfg.token_mel_ratio:]
             if hift_mel.shape[2]:
@@ -146,7 +149,8 @@ class TTS2Pipeline:
             mel = flow2_inference(
                 P(flow_p), self.fcfg, token, jnp.zeros((1, 0), jnp.int32),
                 jnp.zeros((1, 0, 80)), spk, streaming=False, finalize=True,
-                n_timesteps=n_timesteps, token_valid=tok_valid)
+                n_timesteps=n_timesteps, token_valid=tok_valid,
+                sampler=self.icfg.sampler)
             # un-emitted window [off*r, off*r + out_tokens*r) — pad so the
             # traced start never clamps
             mel = jnp.pad(mel, ((0, 0), (0, 0), (0, out_tokens * r)))
@@ -362,6 +366,12 @@ class TTS2Pipeline:
                 wavs.append(wav)
         return wavs
 
+    def _nfe(self) -> int:
+        """Fixed NFE (reference flow.py: n_timesteps=10) — or the distilled
+        few-step count under the MeanFlow sampler (train/distill.py)."""
+        return (self.icfg.meanflow_steps if self.icfg.sampler == "meanflow"
+                else self.icfg.nfe_short)
+
     def _token2wav_fused(self, rng, token, prompt_token, prompt_feat,
                          spk_embedding, token_offset, state, stream, finalize,
                          speed):
@@ -376,7 +386,7 @@ class TTS2Pipeline:
             self.flow_params, self.hift_params, rng,
             jnp.asarray(token, jnp.int32), jnp.asarray(prompt_token, jnp.int32),
             jnp.asarray(prompt_feat), jnp.asarray(spk_embedding),
-            offset=token_offset, n_timesteps=self.icfg.nfe_short)
+            offset=token_offset, n_timesteps=self._nfe())
 
     def synthesize_stream_batch(
         self,
@@ -460,7 +470,7 @@ class TTS2Pipeline:
             jnp.asarray(_or_empty(state.hift_source, 1, 1, 0)),
             jnp.asarray(_or_empty(state.hift_speech, 1, 0)),
             offset=token_offset, streaming=stream,
-            n_timesteps=self.icfg.nfe_short)
+            n_timesteps=self._nfe())
         wav, hm, hs, hsp = out
         state.hift_mel = np.asarray(hm)
         state.hift_source = np.asarray(hs)
@@ -521,7 +531,7 @@ class TTS2Pipeline:
             jnp.asarray(token, jnp.int32), jnp.asarray(prompt_token, jnp.int32),
             jnp.asarray(prompt_feat), jnp.asarray(spk_embedding),
             streaming=stream, finalize=finalize,
-            n_timesteps=self.icfg.nfe_short,
+            n_timesteps=self._nfe(),
         )
         return self._token2wav_staged_tail(rng, mel, token_offset, state,
                                            finalize, speed)
@@ -552,7 +562,7 @@ class TTS2Pipeline:
             jnp.asarray(_z(state.hift_mel, 1, 80, 0)),
             jnp.asarray(_z(state.hift_source, 1, 1, 0)),
             jnp.asarray(_z(state.hift_speech, 1, 0)),
-            out_tokens=self._final_out_tokens, n_timesteps=self.icfg.nfe_short)
+            out_tokens=self._final_out_tokens, n_timesteps=self._nfe())
         hift_valid = hift_mel_w + (n - int(token_offset)) * self.fcfg.token_mel_ratio
         wav = wav[:, : hift_valid * self.hop_samples]
         return (wav if not sync else np.asarray(wav)), None

@@ -172,6 +172,7 @@ def flow2_inference(
     finalize: bool = True,
     n_timesteps: int = 10,
     token_valid: Optional[jax.Array] = None,  # traced: true token count
+    sampler: str = "euler",  # "meanflow": few-step distilled u-field
 ) -> jax.Array:
     """Chunked/streaming inference (flow.py:235-281).  Returns (1, 80, T_out)
     where T_out = token_mel_ratio * target token count (minus lookahead when
@@ -227,6 +228,27 @@ def flow2_inference(
     conds = jnp.pad(conds, ((0, 0), (0, 0), (0, T_pad - T)))
 
     noise = jnp.asarray(fixed_noise(cfg.output_size)[:, :, :T_pad], h.dtype)
+
+    if sampler == "meanflow":
+        # few-step distilled average-velocity solve (train/distill.py):
+        # guidance folded into the student, no cond/uncond batch doubling
+        t_span = jnp.linspace(0.0, 1.0, n_timesteps + 1)
+
+        def mstep(x, ts_pair):
+            t, s_t = ts_pair
+            u = conditional_decoder(
+                p.sub("decoder.estimator"), cfg.estimator, x, mask, mu,
+                jnp.full((1,), t, x.dtype), spk, conds, ctx, causal=True,
+                streaming=streaming,
+                static_chunk_size=cfg.decoder_static_chunk_size,
+                s=jnp.full((1,), s_t, x.dtype))
+            return (x + (s_t - t) * u).astype(x.dtype), None
+
+        x, _ = jax.lax.scan(mstep, noise, (t_span[:-1], t_span[1:]))
+        out = x[:, :, mel_len1:T].astype(jnp.float32)
+        if token_valid is not None:
+            out = out * (jnp.arange(out.shape[2])[None, None, :] < mel_valid)
+        return out
 
     # Euler solve with CFG, causal estimator
     r = cfg.cfm.inference_cfg_rate

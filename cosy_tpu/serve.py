@@ -428,9 +428,6 @@ def main():
 
     icfg = InferenceConfig()
     if args.sampler != "euler":
-        if args.cosyvoice2:
-            raise SystemExit("--sampler meanflow is CosyVoice(1)-only for "
-                             "now (the CV2 causal flow is not distilled)")
         icfg = creplace(icfg, sampler=args.sampler,
                         meanflow_steps=args.meanflow_steps)
     api = (CosyVoice2 if args.cosyvoice2 else CosyVoice)(

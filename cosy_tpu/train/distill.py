@@ -112,6 +112,7 @@ def meanflow_distill_loss(
     adaptive_p: float = 0.75,  # 0 = plain MSE
     target: str = "integral",  # "integral" (teacher sub-steps) | "jvp"
     teacher_substeps: int = 4,
+    causal: bool = False,  # CosyVoice2 causal estimator (models/flow2.py)
 ) -> jax.Array:
     """One distillation step's loss.
 
@@ -154,7 +155,8 @@ def meanflow_distill_loss(
     def teacher_v(y_, t_):
         v2 = conditional_decoder(
             tp, est_cfg, jnp.concatenate([y_, y_], axis=0), mask2, mu2,
-            jnp.concatenate([t_, t_], axis=0), spks2, cond2, EVAL)
+            jnp.concatenate([t_, t_], axis=0), spks2, cond2, EVAL,
+            causal=causal)
         return (1.0 + w) * v2[:B] - w * v2[B:]
 
     sp = P(student, "decoder.estimator.")
@@ -163,7 +165,7 @@ def meanflow_distill_loss(
         # train=True keeps the student on the differentiable XLA path (the
         # fused-block Pallas kernel is inference-only, ops/fused_block.py)
         return conditional_decoder(sp, est_cfg, y_, mask, mu, t_, spks,
-                                   cond, Ctx(train=True), s=s_)
+                                   cond, Ctx(train=True), causal=causal, s=s_)
 
     if target == "integral":
         m = teacher_substeps
@@ -247,6 +249,61 @@ def flow_distill_loss(
         teacher_substeps=teacher_substeps)
 
 
+def flow2_distill_loss(
+    student_est: Params,  # trainable estimator subtree (flat, full key names)
+    teacher: Params,  # frozen full flow2 params
+    cfg,  # Flow2Config
+    rng: jax.Array,
+    batch: Dict[str, jax.Array],
+    cfg_rate: Optional[float] = None,
+    inst_frac: float = 0.25,
+    adaptive_p: float = 0.75,
+    target: str = "integral",
+    teacher_substeps: int = 4,
+) -> jax.Array:
+    """CosyVoice2 wrapper: the causal estimator distills through the same
+    core loss (it shares conditional_decoder, causal=True).  Conditioning is
+    sampled like flow2_forward_train (50% prompt dropout, U(0, 0.3) prompt
+    length — models/flow2.py:126-131) so the student's u covers the
+    zero-shot prompted serving patterns; no mel normalization (CosyVoice2
+    trains on raw mel)."""
+    from ..models.flow2 import flow2_encode
+
+    token = batch["speech_token"]
+    token_len = batch["speech_token_len"].astype(jnp.int32)
+    feat = batch["speech_feat"]
+    feat_len = batch["speech_feat_len"].astype(jnp.int32)
+    B, T, _ = feat.shape
+
+    tpv = P(teacher)
+    spk = dense(tpv, "spk_embed_affine_layer",
+                _l2_normalize(batch["embedding"], axis=1), EVAL)
+    h = flow2_encode(tpv, cfg, token, token_len, EVAL, streaming=False)
+    if h.shape[1] < T:
+        h = jnp.pad(h, ((0, 0), (0, T - h.shape[1]), (0, 0)))
+    else:
+        h = h[:, :T]
+    h = jax.lax.stop_gradient(h)
+    spk = jax.lax.stop_gradient(spk)
+
+    k_cond, k_len, k_core = jax.random.split(rng, 3)
+    drop = jax.random.bernoulli(k_cond, 0.5, (B,))
+    plen = (jax.random.uniform(k_len, (B,)) * 0.3 * feat_len).astype(jnp.int32)
+    plen = jnp.where(drop, 0, plen)
+    idx = jnp.arange(T)[None, :]
+    conds = jnp.where((idx < plen[:, None])[:, :, None], feat,
+                      0.0).transpose(0, 2, 1).astype(h.dtype)
+
+    h_len = token_len * cfg.token_mel_ratio
+    mask = M.make_non_pad_mask(jnp.minimum(h_len, feat_len), T)[:, None, :].astype(h.dtype)
+    student = {**teacher, **student_est}
+    return meanflow_distill_loss(
+        student, teacher, cfg, k_core, feat.transpose(0, 2, 1), mask,
+        h.transpose(0, 2, 1), spk, conds, cfg_rate=cfg_rate,
+        inst_frac=inst_frac, adaptive_p=adaptive_p, target=target,
+        teacher_substeps=teacher_substeps, causal=True)
+
+
 # ---------------------------------------------------------------------------
 # Distiller (training loop)
 # ---------------------------------------------------------------------------
@@ -275,6 +332,7 @@ class FlowDistiller:
         adaptive_p: float = 0.75,
         target: str = "integral",
         teacher_substeps: int = 4,
+        family: str = "v1",  # "v1" (FlowConfig) | "cv2" (Flow2Config, causal)
         mel_norm: Tuple[float, float] = (-6.0, 2.0),
         seed: int = 0,
         prng_impl: str = "rbg",
@@ -286,6 +344,7 @@ class FlowDistiller:
         self.adaptive_p = adaptive_p
         self.target = target
         self.teacher_substeps = teacher_substeps
+        self.family = family
         self.mel_norm = mel_norm
         self.rng = root_key(seed, prng_impl)
         self.optimizer = optax.chain(
@@ -308,11 +367,15 @@ class FlowDistiller:
         cfg, mel_norm = self.cfg, self.mel_norm
         cfg_rate, inst_frac = self.cfg_rate, self.inst_frac
         adaptive_p, target = self.adaptive_p, self.target
-        teacher_substeps = self.teacher_substeps
+        teacher_substeps, family = self.teacher_substeps, self.family
         optimizer = self.optimizer
 
         def train_step(student, opt_state, teacher, batch, rng):
             def loss_fn(st):
+                if family == "cv2":
+                    return flow2_distill_loss(st, teacher, cfg, rng, batch,
+                                              cfg_rate, inst_frac, adaptive_p,
+                                              target, teacher_substeps)
                 return flow_distill_loss(st, teacher, cfg, rng, batch,
                                          mel_norm, cfg_rate, inst_frac,
                                          adaptive_p, target, teacher_substeps)
@@ -366,6 +429,6 @@ class FlowDistiller:
 
 __all__ = [
     "add_meanflow_time_branch", "student_subset", "meanflow_distill_loss",
-    "flow_distill_loss", "FlowDistiller", "DistillState",
+    "flow_distill_loss", "flow2_distill_loss", "FlowDistiller", "DistillState",
     "cfm_solve_mean", "cfm_solve_euler",
 ]

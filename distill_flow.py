@@ -47,7 +47,14 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--tiny", action="store_true",
                     help="smoke-test topology (toy widths; not checkpoint-compatible)")
+    ap.add_argument("--cosyvoice2", action="store_true",
+                    help="distill the CosyVoice2 causal flow (Flow2Config; "
+                         "teacher from the CV2 model dir or --flow)")
     args = ap.parse_args()
+
+    if args.cosyvoice2:
+        _main_cv2(args)
+        return
 
     from cosy_tpu.config import tiny_model_config
     model_cfg = tiny_model_config() if args.tiny else ModelConfig()
@@ -101,6 +108,99 @@ def main():
     print(f"saved distilled flow -> {args.out}")
     print("synthesize with: python inference_joint.py --text ... "
           f"--flow {args.out} --meanflow")
+
+
+def _main_cv2(args):
+    """CosyVoice2 causal-flow distillation (train/distill.py family='cv2').
+
+    The teacher is the CV2 model dir's flow.pt (topology from its
+    cosyvoice.yaml when present) or --flow; data must be prepared with the
+    CV2 tokenizer/24 kHz mel (prepare_joint_data.py --cosyvoice2-style
+    features).  The distilled checkpoint serves via
+    `python -m cosy_tpu.serve --cosyvoice2 --sampler meanflow --flow-weights ...`.
+    """
+    from cosy_tpu.models.flow2 import Flow2Config, init_flow2_params
+
+    pretrained = args.pretrained
+    if pretrained == "pretrained_models/CosyVoice-300M":  # v1 default
+        pretrained = "pretrained_models/CosyVoice2-0.5B"
+
+    if args.tiny:
+        from cosy_tpu.config import EncoderConfig, EstimatorConfig
+        from cosy_tpu.ctx import root_key
+
+        # same graph structure as CosyVoice2 at toy widths, but data-dim
+        # compatible with prepare_joint_data.py output (80 mel, 192 spk)
+        flow_cfg = Flow2Config(
+            input_size=16, output_size=80, spk_embed_dim=192, vocab_size=128,
+            encoder=EncoderConfig(input_size=16, output_size=16,
+                                  attention_heads=2, linear_units=24,
+                                  num_blocks=1, static_chunk_size=4),
+            num_up_blocks=1,
+            estimator=EstimatorConfig(in_channels=320, out_channels=80,
+                                      channels=(16, 16), attention_head_dim=4,
+                                      n_blocks=1, num_mid_blocks=1,
+                                      num_heads=2),
+            decoder_static_chunk_size=4,
+        )
+        flow_params = init_flow2_params(root_key(args.seed, "threefry2x32"),
+                                        flow_cfg)
+    else:
+        flow_cfg = Flow2Config()
+        yaml_path = os.path.join(pretrained, "cosyvoice.yaml")
+        if os.path.exists(yaml_path):
+            from cosy_tpu.compat.yaml_config import cv2_configs_from_yaml
+
+            _, flow_cfg, _, _ = cv2_configs_from_yaml(yaml_path)
+        from cosy_tpu.ctx import root_key
+        from cosy_tpu.params import load_torch_checkpoint
+        teacher_path = args.flow or os.path.join(pretrained, "flow.pt")
+        if os.path.exists(teacher_path):
+            print(f"teacher: CV2 flow weights {teacher_path}")
+            flow_params = load_torch_checkpoint(teacher_path)
+        else:
+            print(f"WARNING: {teacher_path} not found — random init "
+                  "(smoke-test mode)")
+            flow_params = init_flow2_params(root_key(args.seed, "threefry2x32"),
+                                            flow_cfg)
+
+    from cosy_tpu.config import TrainConfig, replace as creplace
+    tcfg = TrainConfig(training_mode="flow_only", batch_size=args.batch_size,
+                       accumulate_grad_batches=1)
+    if args.max_feat_len:
+        tcfg = creplace(tcfg, max_feat_len=args.max_feat_len)
+
+    from cosy_tpu.data.dataset import FlowFinetuneDataset, DataLoader
+    dataset = FlowFinetuneDataset(args.data_dir, augmentation=False,
+                                  seed=args.seed)
+    if len(dataset) == 0:
+        print(f"no data in {args.data_dir}; run prepare_joint_data.py first")
+        return
+
+    def batches():
+        loader = DataLoader(dataset, tcfg, seed=args.seed)
+        while True:
+            for super_batch in loader:
+                yield {k: v[0] for k, v in super_batch.items()
+                       if k in ("speech_token", "speech_token_len",
+                                "speech_feat", "speech_feat_len", "embedding")}
+
+    from cosy_tpu.train.distill import FlowDistiller
+    print(f"devices: {jax.devices()}")
+    print(f"distilling (cv2): steps={args.steps} lr={args.lr} "
+          f"bs={args.batch_size} "
+          f"cfg_rate={args.cfg_rate or flow_cfg.cfm.inference_cfg_rate} "
+          f"inst_frac={args.inst_frac}")
+    distiller = FlowDistiller(
+        flow_cfg, flow_params, lr=args.lr, cfg_rate=args.cfg_rate,
+        inst_frac=args.inst_frac, target=args.target,
+        teacher_substeps=args.teacher_substeps, family="cv2",
+        seed=args.seed, prng_impl=tcfg.prng_impl)
+    state = distiller.fit(batches(), steps=args.steps)
+    distiller.export(state, args.out)
+    print(f"saved distilled CV2 flow -> {args.out}")
+    print("serve with: python -m cosy_tpu.serve --cosyvoice2 "
+          f"--sampler meanflow --flow-weights {args.out}")
 
 
 if __name__ == "__main__":

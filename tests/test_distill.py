@@ -237,3 +237,76 @@ def test_pipeline_meanflow_synthesis():
                                 spk_embedding=spk, stream=False))
     wav = np.concatenate([o["tts_speech"] for o in outs], axis=1)
     assert wav.size > 0 and np.all(np.isfinite(wav))
+
+
+# ---------------------------------------------------------------------------
+# 4. CosyVoice2 (causal flow2) distillation
+# ---------------------------------------------------------------------------
+
+
+def _tiny_flow2():
+    from cosy_tpu.models.flow2 import Flow2Config, init_flow2_params
+
+    cfg = Flow2Config(
+        input_size=16, output_size=8, spk_embed_dim=12, vocab_size=40,
+        encoder=EncoderConfig(input_size=16, output_size=16, attention_heads=2,
+                              linear_units=24, num_blocks=1, static_chunk_size=4),
+        num_up_blocks=1,
+        estimator=EstimatorConfig(in_channels=32, out_channels=8, channels=(12, 12),
+                                  attention_head_dim=4, n_blocks=1, num_mid_blocks=1,
+                                  num_heads=2),
+        decoder_static_chunk_size=4,
+    )
+    return cfg, init_flow2_params(jax.random.PRNGKey(0), cfg)
+
+
+def _batch2(B=4, Ttok=8, seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        "speech_token": rng.integers(0, 40, (B, Ttok)).astype(np.int32),
+        "speech_token_len": np.full((B,), Ttok, np.int32),
+        "speech_feat": rng.standard_normal((B, Ttok * 2, 8)).astype(np.float32),
+        "speech_feat_len": np.full((B,), Ttok * 2, np.int32),
+        "embedding": rng.standard_normal((B, 12)).astype(np.float32),
+    }
+
+
+def test_flow2_distillation_and_meanflow_sampler():
+    from cosy_tpu.models.flow2 import flow2_inference
+
+    cfg, teacher = _tiny_flow2()
+    for k in list(teacher):  # curved field, as in the v1 test
+        if "time_mlp" in k:
+            teacher[k] = teacher[k] * 6.0
+
+    rng = np.random.default_rng(3)
+    tok = jnp.asarray(rng.integers(0, 40, (1, 10)))
+    empty_tok = jnp.zeros((1, 0), jnp.int32)
+    empty_feat = jnp.zeros((1, 0, 8), jnp.float32)
+    spk = jnp.asarray(rng.standard_normal((1, 12)).astype(np.float32))
+
+    ref = flow2_inference(P(teacher), cfg, tok, empty_tok, empty_feat, spk,
+                          n_timesteps=10)
+
+    def err(student_est, nfe):
+        full = {**D.add_meanflow_time_branch(teacher, cfg.estimator,
+                                             jax.random.PRNGKey(3)),
+                **student_est}
+        out = flow2_inference(P(full), cfg, tok, empty_tok, empty_feat, spk,
+                              n_timesteps=nfe, sampler="meanflow")
+        return float(jnp.sqrt(jnp.mean(jnp.square(out - ref))))
+
+    distiller = D.FlowDistiller(cfg, teacher, family="cv2", lr=1e-3, seed=0,
+                                prng_impl="threefry2x32")
+    state = distiller.init_state()
+    err1_init = err(state.student, 1)
+    err2_init = err(state.student, 2)
+    print("cv2 err init:", err1_init, err2_init)
+
+    state = distiller.fit([_batch2(seed=s) for s in range(8)], steps=150,
+                          log_every=75)
+    err1 = err(state.student, 1)
+    err2 = err(state.student, 2)
+    print("cv2 err distilled:", err1, err2)
+    assert err1 < 0.8 * err1_init, (err1_init, err1)
+    assert err2 < 0.8 * err2_init, (err2_init, err2)
