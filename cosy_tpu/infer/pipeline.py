@@ -155,6 +155,15 @@ class TTSPipeline:
         self.hift_params = hift_params
         self.finetuned_norm = finetuned_norm
 
+        # multi-voice LoRA serving (set_voices): named un-merged adapters
+        # routed per request — one base model, ~2M adapter params per voice
+        # (the reference's only option is a merged full-model copy per voice)
+        self._voice_names: list = []
+        self._voice_llm_bank: Optional[Params] = None  # voice-stacked
+        self._voice_flow: list = []  # per-voice flat flow adapter dict | None
+        self._llm_lora_scale = 1.0
+        self._flow_lora_scale = 1.0
+
         fr = model_cfg.flow.input_frame_rate
         self.token_min_hop_len = 2 * fr
         # reference constant (model.py:54): unused while stream_scale_factor
@@ -174,13 +183,15 @@ class TTSPipeline:
         # jitted stages — eager execution through a remote-TPU runtime is
         # per-op RPC (seconds per stage); jit makes each stage one program
         # per shape bucket.  static config rides via closure.
-        def _flow_fn(params, rng, token, prompt_token, prompt_feat, spk, cache):
+        def _flow_fn(params, rng, token, prompt_token, prompt_feat, spk, cache,
+                     lora=None):
             return F.flow_inference(
                 P(params), self.cfg.flow, rng, token, prompt_token, prompt_feat,
                 spk, finetuned_norm=self.finetuned_norm,
                 mel_norm=(self.cfg.mel_mean, self.cfg.mel_std),
                 flow_cache=cache, return_cache=True,
-                sampler=self.icfg.sampler)
+                sampler=self.icfg.sampler,
+                lora=lora, lora_scale=self._flow_lora_scale)
 
         self._flow_jit = jax.jit(_flow_fn)
 
@@ -196,14 +207,16 @@ class TTSPipeline:
         # first-chunk case (shape-bucketed compile, not a traced branch).
         def _t2w_stream_fn(flow_p, hift_p, rng, token, prompt_token,
                            prompt_feat, spk, mel_overlap, hift_mel,
-                           hift_source, hift_speech, flow_cache, *, trim):
+                           hift_source, hift_speech, flow_cache, lora=None,
+                           *, trim):
             k_flow, k_hift = jax.random.split(rng)  # matches token2wav
             mel, new_cache = F.flow_inference(
                 P(flow_p), self.cfg.flow, k_flow, token, prompt_token,
                 prompt_feat, spk, finetuned_norm=self.finetuned_norm,
                 mel_norm=(self.cfg.mel_mean, self.cfg.mel_std),
                 flow_cache=flow_cache if flow_cache.shape[2] else None,
-                return_cache=True, sampler=self.icfg.sampler)
+                return_cache=True, sampler=self.icfg.sampler,
+                lora=lora, lora_scale=self._flow_lora_scale)
             if trim > 0:
                 mel = mel[:, :, trim:]
             if mel_overlap.shape[2]:
@@ -235,7 +248,7 @@ class TTSPipeline:
         # differ, which is distribution-preserving.
         def _t2w_final_fn(flow_p, hift_p, rng, token, tok_valid, mel_valid,
                           spk, mel_overlap, hift_mel, hift_source,
-                          hift_speech, flow_cache, *, n_timesteps):
+                          hift_speech, flow_cache, lora=None, *, n_timesteps):
             k_flow, k_hift = jax.random.split(rng)  # matches token2wav
             mel = F.flow_inference(
                 P(flow_p), self.cfg.flow, k_flow, token,
@@ -244,7 +257,8 @@ class TTSPipeline:
                 mel_norm=(self.cfg.mel_mean, self.cfg.mel_std),
                 flow_cache=flow_cache if flow_cache.shape[2] else None,
                 token_valid=tok_valid, mel_valid=mel_valid,
-                sampler=self.icfg.sampler)
+                sampler=self.icfg.sampler,
+                lora=lora, lora_scale=self._flow_lora_scale)
             hift_valid = mel_valid
             if mel_overlap.shape[2]:
                 mel = fade_in_out_valid_jnp(mel, mel_overlap, self.mel_window,
@@ -268,13 +282,14 @@ class TTSPipeline:
         # costs a host round-trip (~30 ms), and the host-side work between the
         # stages (trim/fades/caches) is a no-op on this path
         def _t2w_fn(flow_p, hift_p, rng, token, prompt_token, prompt_feat, spk,
-                    *, trim):
+                    lora=None, *, trim):
             k_flow, k_hift = jax.random.split(rng)  # matches token2wav's split
             mel = F.flow_inference(
                 P(flow_p), self.cfg.flow, k_flow, token, prompt_token,
                 prompt_feat, spk, finetuned_norm=self.finetuned_norm,
                 mel_norm=(self.cfg.mel_mean, self.cfg.mel_std),
-                sampler=self.icfg.sampler)
+                sampler=self.icfg.sampler,
+                lora=lora, lora_scale=self._flow_lora_scale)
             if trim > 0:
                 mel = mel[:, :, trim:]
             wav, _ = H.hift_inference(P(hift_p), self.cfg.hift, k_hift, mel, None)
@@ -282,15 +297,16 @@ class TTSPipeline:
 
         self._t2w_jit = jax.jit(_t2w_fn, static_argnames=("trim",))
 
-        def _decode_fn(params, rng, prefix, min_len, cap, *, prefix_len,
-                       max_len, top_p, top_k, win_size, tau_r):
+        def _decode_fn(params, rng, prefix, min_len, cap, lora=None, vid=None,
+                       *, prefix_len, max_len, top_p, top_k, win_size, tau_r):
             # cap = the request's true stop bound (traced); max_len = the
             # bucketed static capacity
             return L.llm_decode(P(params), self.cfg.llm, rng, prefix, prefix_len,
                                 min_len, max_len, top_p=top_p, top_k=top_k,
                                 win_size=win_size, tau_r=tau_r,
                                 int8_weights=self.icfg.int8_decode,
-                                stop_at=cap)
+                                stop_at=cap, lora=lora, vid=vid,
+                                lora_scale=self._llm_lora_scale)
 
         self._decode_jit = jax.jit(
             _decode_fn, static_argnames=("prefix_len", "max_len", "top_p",
@@ -299,13 +315,16 @@ class TTSPipeline:
         # segment-wise decode for streaming: same program semantics, paused
         # at token boundaries (DecodeState round-trips; streams are
         # bit-identical to an uninterrupted run)
-        def _decode_seg_fn(params, rng, prefix, min_len, stop_at, state, *,
-                           prefix_len, max_len, top_p, top_k, win_size, tau_r):
+        def _decode_seg_fn(params, rng, prefix, min_len, stop_at, state,
+                           lora=None, vid=None, *, prefix_len, max_len, top_p,
+                           top_k, win_size, tau_r):
             return L.llm_decode(P(params), self.cfg.llm, rng, prefix, prefix_len,
                                 min_len, max_len, top_p=top_p, top_k=top_k,
                                 win_size=win_size, tau_r=tau_r,
                                 int8_weights=self.icfg.int8_decode,
-                                stop_at=stop_at, state=state, return_state=True)
+                                stop_at=stop_at, state=state, return_state=True,
+                                lora=lora, vid=vid,
+                                lora_scale=self._llm_lora_scale)
 
         self._decode_seg_jit = jax.jit(
             _decode_seg_fn, static_argnames=("prefix_len", "max_len", "top_p",
@@ -351,6 +370,63 @@ class TTSPipeline:
         self._admit_jit = jax.jit(_admit_fn)
 
     # ------------------------------------------------------------------
+    # multi-voice LoRA serving
+    # ------------------------------------------------------------------
+
+    def set_voices(self, voices, llm_scale: float = 2.0,
+                   flow_scale: float = 2.0) -> None:
+        """Register named LoRA voices served UN-merged (vLLM multi-LoRA
+        equivalent; the reference can only merge one voice into a full model
+        copy each, lora.py:259-323).
+
+        ``voices``: ordered ``{name: {"llm": adapter dict | None,
+        "flow": adapter dict | None}}`` — flat ``<param path>.lora_A/B``
+        dicts as produced by the trainer (``JointTrainer`` loras) or loaded
+        from an adapter checkpoint.  Every voice must cover the same llm
+        adapter keys/shapes (same base + LoRAConfig); flow adapters are
+        routed per request and may be omitted per voice.  ``llm_scale`` /
+        ``flow_scale`` are the adapters' alpha/r (reference defaults
+        16/8 = 32/16 = 2.0, config.py:179-224).
+
+        Requests select a voice by name: ``synthesize(..., voice="alice")``.
+        Must be called before the first voiced request (the scales close
+        over the jitted programs).
+        """
+        from ..lora import stack_voice_loras
+
+        names = list(voices)
+        llm_dicts = [voices[n].get("llm") for n in names]
+        if any(d is not None for d in llm_dicts):
+            if any(d is None for d in llm_dicts):
+                missing = [n for n, d in zip(names, llm_dicts) if d is None]
+                raise ValueError(
+                    f"voices {missing} lack llm adapters; the voice-stacked "
+                    "decode bank needs every voice to cover the same keys")
+            self._voice_llm_bank = stack_voice_loras(llm_dicts)
+        else:
+            self._voice_llm_bank = None
+        self._voice_flow = [voices[n].get("flow") for n in names]
+        self._voice_names = names
+        self._llm_lora_scale = float(llm_scale)
+        self._flow_lora_scale = float(flow_scale)
+
+    def _voice(self, voice):
+        """(llm_bank, vid, flow_lora) for a request's voice (None = base)."""
+        if voice is None:
+            return None, None, None
+        try:
+            i = self._voice_names.index(voice)
+        except ValueError:
+            raise KeyError(
+                f"unknown voice {voice!r}; registered: {self._voice_names} "
+                "(set_voices)") from None
+        vid = jnp.asarray(i, jnp.int32)
+        flow_lora = self._voice_flow[i]
+        if flow_lora is not None:
+            flow_lora = {k: jnp.asarray(v) for k, v in flow_lora.items()}
+        return self._voice_llm_bank, vid, flow_lora
+
+    # ------------------------------------------------------------------
     # stage 1: AR speech-token generation
     # ------------------------------------------------------------------
 
@@ -361,11 +437,22 @@ class TTSPipeline:
         prompt_speech_token: Optional[np.ndarray],
         spk_embedding: Optional[np.ndarray],
         max_len_cap: int,
+        voice: Optional[str] = None,
     ):
         """Pack [sos, spk?, text_enc, task, prompt_speech?]; returns
-        (prefix, min_len, max_len)."""
+        (prefix, min_len, max_len).  ``voice`` routes the text encoding
+        through that voice's llm adapters (set_voices) so the prefix matches
+        a merged-weights build exactly."""
         cfg = self.cfg.llm
         p = P(self.llm_params)
+        ctx = EVAL
+        if voice is not None:
+            bank, vid, _ = self._voice(voice)
+            if bank is not None:
+                from ..ctx import Ctx
+
+                ctx = Ctx(lora=bank, lora_scale=self._llm_lora_scale,
+                          lora_vids=vid[None])
 
         tt = np.asarray(text_tokens)
         if prompt_text is not None and prompt_text.size:
@@ -374,7 +461,7 @@ class TTSPipeline:
         prompt_text_len = prompt_text.shape[1] if prompt_text is not None else 0
 
         text_enc = L.llm_encode_text(p, cfg, jnp.asarray(tt, jnp.int32),
-                                     jnp.asarray([text_len]), EVAL)
+                                     jnp.asarray([text_len]), ctx)
 
         parts = [
             self.llm_params["llm_embedding.weight"][cfg.sos_eos][None, None],
@@ -383,7 +470,8 @@ class TTSPipeline:
             # spk_embedding=None omits the speaker row entirely, matching the
             # reference's empty-embedding path (llm.py:188-193, instruct mode)
             spk = dense(p, "spk_embed_affine_layer",
-                        L._l2_normalize(jnp.asarray(spk_embedding), axis=1))
+                        L._l2_normalize(jnp.asarray(spk_embedding), axis=1),
+                        ctx)
             parts.append(spk[:, None])
         parts += [
             text_enc,
@@ -411,15 +499,17 @@ class TTSPipeline:
         prompt_speech_token: Optional[np.ndarray] = None,
         spk_embedding: Optional[np.ndarray] = None,  # (1, 192); zeros = prompt-free
         max_len_cap: int = 2048,
+        voice: Optional[str] = None,
     ) -> np.ndarray:
         """Build the LM prefix and run the jitted while-loop decode
         (reference: llm.py:164-228)."""
         prefix, min_len, max_len = self._build_prefix(
             text_tokens, prompt_text, prompt_speech_token, spk_embedding,
-            max_len_cap)
+            max_len_cap, voice=voice)
+        bank, vid, _ = self._voice(voice)
         res = self._decode_jit(
             self.llm_params, rng, prefix, jnp.asarray(min_len),
-            jnp.asarray(max_len),
+            jnp.asarray(max_len), bank, vid,
             prefix_len=prefix.shape[1], max_len=_cap_bucket(max_len),
             top_p=self.icfg.sampling_top_p, top_k=self.icfg.sampling_top_k,
             win_size=self.icfg.ras_win_size, tau_r=self.icfg.ras_tau_r,
@@ -435,6 +525,7 @@ class TTSPipeline:
         prompt_speech_token: Optional[np.ndarray] = None,
         spk_embedding: Optional[np.ndarray] = None,
         max_len_cap: int = 2048,
+        voice: Optional[str] = None,
     ):
         """Incremental token producer: yields (tokens_so_far (1, n), done)
         after each decode segment — the TPU-native replacement for the
@@ -442,7 +533,8 @@ class TTSPipeline:
         streams are identical to generate_tokens under the same rng."""
         prefix, min_len, max_len = self._build_prefix(
             text_tokens, prompt_text, prompt_speech_token, spk_embedding,
-            max_len_cap)
+            max_len_cap, voice=voice)
+        bank, vid, _ = self._voice(voice)
         kw = dict(prefix_len=prefix.shape[1], max_len=_cap_bucket(max_len),
                   top_p=self.icfg.sampling_top_p, top_k=self.icfg.sampling_top_k,
                   win_size=self.icfg.ras_win_size, tau_r=self.icfg.ras_tau_r)
@@ -452,7 +544,7 @@ class TTSPipeline:
         while True:
             res, state = self._decode_seg_jit(
                 self.llm_params, rng, prefix, jnp.asarray(min_len),
-                jnp.asarray(target), state, **kw)
+                jnp.asarray(target), state, bank, vid, **kw)
             n = int(res.length)
             done = bool(state.done) or n >= max_len
             yield np.asarray(res.tokens)[None, :n], done
@@ -602,9 +694,13 @@ class TTSPipeline:
         finalize: bool = True,
         speed: float = 1.0,
         sync: bool = True,
+        voice: Optional[str] = None,
     ) -> Tuple[np.ndarray, Optional[StreamState]]:
         """Flow + boundary trim + (stream fades/caches) + HiFT
         (reference: model.py:171-219).
+
+        ``voice`` applies that registered voice's flow adapters
+        (set_voices) inside the flow solve, un-merged.
 
         ``sync=False`` (honored on the fused non-streaming path) returns the
         un-synced device array instead of host numpy, so callers can enqueue
@@ -621,14 +717,17 @@ class TTSPipeline:
         k_flow, k_hift = jax.random.split(rng)
         prompt_token = prompt_token if prompt_token is not None else np.zeros((1, 0), np.int32)
         prompt_feat = prompt_feat if prompt_feat is not None else np.zeros((1, 0, 80), np.float32)
+        _, _, flow_lora = self._voice(voice)
 
         fut = self._token2wav_fused(rng, token, prompt_token, prompt_feat,
-                                    spk_embedding, stream_state, finalize, speed)
+                                    spk_embedding, stream_state, finalize,
+                                    speed, flow_lora=flow_lora)
         if fut is not None:
             return (fut if not sync else np.asarray(fut)), None
         sres = self._token2wav_stream_fused(rng, token, prompt_token,
                                             prompt_feat, spk_embedding,
-                                            stream_state, finalize, speed)
+                                            stream_state, finalize, speed,
+                                            flow_lora=flow_lora)
         if sres is not None:
             return sres
 
@@ -640,7 +739,8 @@ class TTSPipeline:
                 and prompt_feat.shape[1] == 0
                 and 0 < token.shape[1] <= self._final_tok_bucket):
             return self._token2wav_final_bucketed(rng, token, spk_embedding,
-                                                  stream_state, sync)
+                                                  stream_state, sync,
+                                                  flow_lora=flow_lora)
 
         carry = stream_state.flow_cache if stream_state is not None else None
         mel, new_flow_cache = self._flow_jit(
@@ -648,6 +748,7 @@ class TTSPipeline:
             jnp.asarray(token, jnp.int32), jnp.asarray(prompt_token, jnp.int32),
             jnp.asarray(prompt_feat), jnp.asarray(spk_embedding),
             jnp.asarray(carry) if carry is not None else None,
+            flow_lora,
         )
         mel = np.asarray(mel)  # (1, 80, Tmel)
 
@@ -689,7 +790,7 @@ class TTSPipeline:
         return wav, None
 
     def _token2wav_final_bucketed(self, rng, token, spk_embedding,
-                                  stream_state, sync=True):
+                                  stream_state, sync=True, flow_lora=None):
         """Host wrapper for the bucketed final-chunk program (_t2w_final_jit):
         pad the token window to the bucket, pass the traced true lengths,
         slice the wav back to the true length.  n_timesteps is chosen from
@@ -718,12 +819,13 @@ class TTSPipeline:
             jnp.asarray(_z(st.hift_source, 1, 1, 0)),
             jnp.asarray(_z(st.hift_speech, 1, 0)),
             jnp.asarray(_z(st.flow_cache, 1, 80, 0, 2)),
-            n_timesteps=nfe)
+            flow_lora, n_timesteps=nfe)
         wav = wav[:, : (hift_mel_w + mel2) * 256]
         return (wav if not sync else np.asarray(wav)), None
 
     def _token2wav_fused(self, rng, token, prompt_token, prompt_feat,
-                         spk_embedding, stream_state, finalize, speed):
+                         spk_embedding, stream_state, finalize, speed,
+                         flow_lora=None):
         """Dispatch the single-program token2wav when the host-side stages
         between flow and HiFT are no-ops (non-streaming finalize at natural
         speed).  Returns the un-synced device array (async — callers may
@@ -737,10 +839,12 @@ class TTSPipeline:
         return self._t2w_jit(
             self.flow_params, self.hift_params, rng,
             jnp.asarray(token, jnp.int32), jnp.asarray(prompt_token, jnp.int32),
-            jnp.asarray(prompt_feat), jnp.asarray(spk_embedding), trim=trim)
+            jnp.asarray(prompt_feat), jnp.asarray(spk_embedding), flow_lora,
+            trim=trim)
 
     def _token2wav_stream_fused(self, rng, token, prompt_token, prompt_feat,
-                                spk_embedding, state, finalize, speed):
+                                spk_embedding, state, finalize, speed,
+                                flow_lora=None):
         """One-program streaming chunk (non-final): flow + trim + fades +
         caches + HiFT (see _t2w_stream_jit).  Returns (wav, updated state) or
         None when the staged path must run (finalize or speed != 1.0).
@@ -763,7 +867,7 @@ class TTSPipeline:
             jnp.asarray(_or_empty(state.hift_source, 1, 1, 0)),
             jnp.asarray(_or_empty(state.hift_speech, 1, 0)),
             jnp.asarray(_or_empty(state.flow_cache, 1, 80, 0, 2)),
-            trim=trim)
+            flow_lora, trim=trim)
         wav, mo, hm, hs, hsp, fc = out
         state.mel_overlap = np.asarray(mo)
         state.hift_mel = np.asarray(hm)
@@ -797,6 +901,7 @@ class TTSPipeline:
         source_speech_token: Optional[np.ndarray] = None,
         stream: bool = False,
         speed: float = 1.0,
+        voice: Optional[str] = None,
     ) -> Iterator[Dict[str, np.ndarray]]:
         """Yields {'tts_speech': (1, n) float32} chunks (one chunk when
         stream=False), mirroring CosyVoiceModel.tts (model.py:221-288).
@@ -805,6 +910,10 @@ class TTSPipeline:
         LLM entirely (model.py:167-169).  The llm_/flow_-prefixed arguments
         mirror the reference's split conditioning; the unprefixed ones are a
         convenience that applies to both stages.
+
+        ``voice`` selects a registered multi-voice LoRA adapter set
+        (set_voices): the request decodes and solves through that voice's
+        un-merged adapters.
         """
         if stream and speed != 1.0:
             # reference: 'speed change only support non-stream inference
@@ -827,10 +936,11 @@ class TTSPipeline:
         spk_embedding = flow_emb
         if not stream:
             tokens = vc_tokens if vc_tokens is not None else self.generate_tokens(
-                k_llm, text_tokens, prompt_text, llm_prompt, llm_emb)
+                k_llm, text_tokens, prompt_text, llm_prompt, llm_emb,
+                voice=voice)
             wav, _ = self.token2wav(
                 k_wav, tokens, prompt_speech_token, prompt_feat, spk_embedding,
-                finalize=True, speed=speed)
+                finalize=True, speed=speed, voice=voice)
             yield {"tts_speech": wav}
             return
 
@@ -842,7 +952,8 @@ class TTSPipeline:
             producer = iter([(vc_tokens, True)])
         else:
             producer = self.generate_tokens_stream(
-                k_llm, text_tokens, prompt_text, llm_prompt, llm_emb)
+                k_llm, text_tokens, prompt_text, llm_prompt, llm_emb,
+                voice=voice)
 
         state = StreamState(mel_overlap=np.zeros((1, 80, 0), np.float32))
         hop = self.token_min_hop_len
@@ -857,7 +968,8 @@ class TTSPipeline:
                 window = tokens[:, pos : pos + hop + self.token_overlap_len]
                 wav, state = self.token2wav(
                     jax.random.fold_in(k_wav, ki), window, prompt_speech_token,
-                    prompt_feat, spk_embedding, stream_state=state, finalize=False)
+                    prompt_feat, spk_embedding, stream_state=state,
+                    finalize=False, voice=voice)
                 yield {"tts_speech": wav}
                 pos += hop
                 # hop stays at token_min_hop_len: the reference's
@@ -870,6 +982,7 @@ class TTSPipeline:
                 window = tokens[:, pos:]
                 wav, _ = self.token2wav(
                     jax.random.fold_in(k_wav, ki), window, prompt_speech_token,
-                    prompt_feat, spk_embedding, stream_state=state, finalize=True)
+                    prompt_feat, spk_embedding, stream_state=state,
+                    finalize=True, voice=voice)
                 yield {"tts_speech": wav}
                 return

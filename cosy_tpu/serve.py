@@ -34,6 +34,33 @@ def wav_bytes(wav: np.ndarray, sr: int) -> bytes:
     return hdr + pcm
 
 
+def load_voice_adapters(path: str) -> dict:
+    """Split an adapter checkpoint (JointTrainer.export_adapters /
+    merge_joint_weights.py --adapters-out) into the set_voices entry:
+    ``{"llm": {...}|None, "flow": {...}|None, "llm_scale": float|None,
+    "flow_scale": float|None}``.  Keys in the file are
+    ``llm.<param path>.lora_A/B`` and ``flow.<...>`` plus ``._scaling``
+    scalars recording the adapters' alpha/r."""
+    from .params import load_torch_checkpoint
+
+    blob = load_torch_checkpoint(path)
+    llm = {k[len("llm."):]: v for k, v in blob.items()
+           if k.startswith("llm.") and ".lora_" in k}
+    flow = {k[len("flow."):]: v for k, v in blob.items()
+            if k.startswith("flow.") and ".lora_" in k}
+    if not llm and not flow:
+        raise SystemExit(
+            f"{path}: no llm.*/flow.* adapter keys — pass an adapter-only "
+            "checkpoint (train_joint.py adapters_*.pt or "
+            "merge_joint_weights.py --adapters-out), not merged weights")
+    return {
+        "llm": llm or None,
+        "flow": flow or None,
+        "llm_scale": float(blob["llm._scaling"]) if "llm._scaling" in blob else None,
+        "flow_scale": float(blob["flow._scaling"]) if "flow._scaling" in blob else None,
+    }
+
+
 class TTSServer:
     def __init__(self, api, lock: Optional[threading.Lock] = None,
                  batch_window_ms: float = 20.0, max_batch: int = 8,
@@ -87,16 +114,21 @@ class TTSServer:
         return {key: self._zero_spk()}
 
     def synthesize(self, text: str, spk_id: str = "", speed: float = 1.0,
-                   stream: bool = False):
+                   stream: bool = False, voice: str = ""):
         if spk_id:
             gen = self.api.inference_sft(text, spk_id, stream=stream, speed=speed)
         else:
-            # prompt-free path with zero speaker embedding
+            # prompt-free path with zero speaker embedding; ``voice`` routes
+            # through that registered LoRA adapter set (multi-voice serving,
+            # pipeline.set_voices)
             ids = self.api.frontend.extract_text_token(
                 self.api.frontend.normalize(text, split=False))
+            kwargs = self._prompt_free_kwargs()
+            if voice:
+                kwargs["voice"] = voice
             gen = self.api.model.synthesize(
                 self.api._next_rng(), ids, stream=stream, speed=speed,
-                **self._prompt_free_kwargs())
+                **kwargs)
         # hold the device lock per CHUNK, not across the generator's yields:
         # this generator suspends at yield while the handler writes to the
         # client socket, and a slow client must not freeze the chip for
@@ -320,11 +352,18 @@ def make_handler(server: TTSServer, sample_rate: int):
                 stream = bool(req.get("stream", False))
                 spk_id = req.get("spk_id", "")
                 speed = float(req.get("speed", 1.0))
+                voice = req.get("voice", "")
             except (json.JSONDecodeError, KeyError, TypeError, ValueError) as e:
                 # TypeError: non-object JSON body ([1,2], "hi"); ValueError:
                 # non-numeric speed — both are client errors, not 500s
                 self._plain(400, f"bad request: {e}".encode())
                 return
+            if voice:
+                known = getattr(server.api.model, "_voice_names", [])
+                if voice not in known:
+                    self._plain(400, f"unknown voice {voice!r}; registered: "
+                                     f"{known}".encode())
+                    return
             if stream:
                 # true chunked streaming: WAV header with unknown-length
                 # markers, then PCM16 per synthesis chunk as it is produced
@@ -343,16 +382,21 @@ def make_handler(server: TTSServer, sample_rate: int):
                                 sample_rate * 2, 2, 16) + \
                     b"data" + struct.pack("<I", 0xFFFFFFFF)
                 send_chunk(hdr)
-                if not spk_id and speed == 1.0 and server.engine is not None:
+                if (not spk_id and not voice and speed == 1.0
+                        and server.engine is not None):
                     # continuous batching: join the persistent decode batch
                     pieces = server.synthesize_stream_engine(text)
-                elif (not spk_id and speed == 1.0
+                elif (not spk_id and not voice and speed == 1.0
                         and hasattr(server.api.model, "synthesize_stream_batch")):
                     # concurrent prompt-free streams share a lock-step
                     # segmented decode (cohort batching)
                     pieces = server.synthesize_stream_batched(text)
                 else:
-                    pieces = server.synthesize(text, spk_id, speed, stream=True)
+                    # voiced requests take the solo path: per-request adapter
+                    # routing (set_voices) — batch vids routing is a model
+                    # capability (llm_decode_batch vids) not yet wired here
+                    pieces = server.synthesize(text, spk_id, speed,
+                                               stream=True, voice=voice)
                 try:
                     for piece in pieces:
                         pcm = (np.clip(piece, -1, 1) * 32767).astype("<i2").tobytes()
@@ -364,12 +408,13 @@ def make_handler(server: TTSServer, sample_rate: int):
                     # slot cancel / cohort dead-mark / device-lock release)
                     pieces.close()
                 return
-            if not spk_id and hasattr(server.api.model, "synthesize_batch"):
+            if (not spk_id and not voice
+                    and hasattr(server.api.model, "synthesize_batch")):
                 # concurrent prompt-free requests share a micro-batched decode
                 wav = server.synthesize_batched(text, speed)
             else:
                 wav = np.concatenate(list(server.synthesize(
-                    text, spk_id, speed, stream=False)))
+                    text, spk_id, speed, stream=False, voice=voice)))
             body = wav_bytes(wav, sample_rate)
             self.send_response(200)
             self.send_header("Content-Type", "audio/wav")
@@ -403,6 +448,14 @@ def main():
     ap.add_argument("--flow-weights", default=None,
                     help="override the model dir's flow weights (e.g. a "
                          "merged fine-tune or a distill_flow.py output)")
+    ap.add_argument("--voices", default=None, metavar="NAME=ADAPTERS.pt,...",
+                    help="multi-voice LoRA serving: comma-separated "
+                         "name=path pairs of adapter checkpoints "
+                         "(train_joint.py adapters_*.pt or "
+                         "merge_joint_weights.py --adapters-out).  ONE base "
+                         "model serves every voice through per-request "
+                         "un-merged adapter routing (~2M params/voice); "
+                         "clients select with {\"voice\": \"name\"}")
     ap.add_argument("--sampler", default="euler", choices=["euler", "meanflow"],
                     help="meanflow: few-step distilled flow sampler (1-2 "
                          "estimator calls instead of 20-40; needs "
@@ -441,6 +494,30 @@ def main():
             "decoder.estimator.time_mlp_s.linear_1.weight" not in api.model.flow_params:
         raise SystemExit("--sampler meanflow needs distilled flow weights "
                          "(distill_flow.py; pass them via --flow-weights)")
+    if args.voices:
+        if args.cosyvoice2:
+            raise SystemExit("--voices is CosyVoice(1)-only for now (the CV2 "
+                             "pipeline has no multi-voice decode wiring)")
+        voices, llm_s, flow_s = {}, None, None
+        for pair in args.voices.split(","):
+            name, _, path = pair.partition("=")
+            name, path = name.strip(), path.strip()
+            if not name or not path:
+                raise SystemExit(f"--voices: bad pair {pair!r} (want name=path)")
+            v = load_voice_adapters(path)
+            for stage, cur in (("llm_scale", llm_s), ("flow_scale", flow_s)):
+                if v[stage] is not None and cur is not None and v[stage] != cur:
+                    raise SystemExit(
+                        f"--voices: {name} {stage}={v[stage]} differs from "
+                        f"an earlier voice's {cur}; all voices must share "
+                        "one adapter scaling per stage")
+            llm_s = v["llm_scale"] if v["llm_scale"] is not None else llm_s
+            flow_s = v["flow_scale"] if v["flow_scale"] is not None else flow_s
+            voices[name] = {"llm": v["llm"], "flow": v["flow"]}
+        api.model.set_voices(voices,
+                             llm_scale=2.0 if llm_s is None else llm_s,
+                             flow_scale=2.0 if flow_s is None else flow_s)
+        print(f"voices: {list(voices)} (un-merged adapter routing)")
     if args.tp > 1:
         import jax
 

@@ -412,3 +412,21 @@ class JointTrainer:
                 save_torch_checkpoint(params, path)
                 print(f"saved merged {name} weights -> {path}")
         return out
+
+    def export_adapters(self, state: TrainState, path: Optional[str] = None) -> Params:
+        """Adapter-only export (reference: lora.py:230-256 save_lora_weights)
+        for multi-voice serving: one base model + this file per voice
+        (serve.py --voices name=adapters.pt).  Flat keys are
+        ``llm.<param path>.lora_A/B`` / ``flow.<...>`` plus ``._scaling``
+        scalars recording the adapters' alpha/r."""
+        out: Params = {}
+        for name, cfg in (("llm", self.tcfg.llm_lora),
+                          ("flow", self.tcfg.flow_lora)):
+            if name in state.loras:
+                out.update({f"{name}.{k}": jnp.asarray(v, jnp.float32)
+                            for k, v in state.loras[name].items()})
+                out[f"{name}._scaling"] = jnp.asarray(cfg.scaling, jnp.float32)
+        if path is not None:
+            save_torch_checkpoint(out, path)
+            print(f"saved LoRA adapters -> {path}")
+        return out

@@ -41,6 +41,10 @@ def main():
     ap.add_argument("--output", default="output")
     ap.add_argument("--tiny", action="store_true",
                     help="smoke-test topology (toy widths; not checkpoint-compatible)")
+    ap.add_argument("--adapters-out", default=None, metavar="PATH",
+                    help="also write the raw (un-merged) LoRA adapters for "
+                         "multi-voice serving (serve.py --voices name=PATH); "
+                         "reference analogue: lora.py save_lora_weights")
     args = ap.parse_args()
 
     from cosy_tpu.config import tiny_model_config
@@ -57,6 +61,8 @@ def main():
     state = trainer.init_state(rng)
     state = trainer.load_checkpoint(ckpt, state)
     trainer.export_merged(state, save=True)
+    if args.adapters_out:
+        trainer.export_adapters(state, args.adapters_out)
 
 
 if __name__ == "__main__":

@@ -104,6 +104,10 @@ def main():
 
     print("\nsaving merged weights...")
     trainer.export_merged(state, save=True)
+    # adapter-only export for multi-voice serving (one base model + this
+    # file per voice: python -m cosy_tpu.serve --voices name=adapters_*.pt)
+    trainer.export_adapters(state, os.path.join(
+        args.output, f"adapters_{tcfg.training_mode}.pt"))
     print("done; next: python inference_joint.py --text '...'")
 
 
