@@ -197,6 +197,10 @@ class HiFTConfig:
     audio_limit: float = 0.99
     f0_predictor_num_class: int = 1
     f0_predictor_cond_channels: int = 512
+    # im2col-GEMM formulation of the stride-1 decode convs (the MXU-shaped
+    # contraction; layers/basic.conv1d_gemm).  Opt-in until the on-chip A/B
+    # (tools/probe_hift_gemm.py) decides; COSY_TPU_HIFT_GEMM=0/1 overrides.
+    gemm_convs: bool = False
 
 
 @dataclass(frozen=True)

@@ -161,6 +161,7 @@ class TTSPipeline:
         self._voice_names: list = []
         self._voice_llm_bank: Optional[Params] = None  # voice-stacked
         self._voice_flow: list = []  # per-voice flat flow adapter dict | None
+        self._voice_vids: list = []  # per-voice device int32 ids
         self._llm_lora_scale = 1.0
         self._flow_lora_scale = 1.0
 
@@ -183,14 +184,20 @@ class TTSPipeline:
         # jitted stages — eager execution through a remote-TPU runtime is
         # per-op RPC (seconds per stage); jit makes each stage one program
         # per shape bucket.  static config rides via closure.
+        # None = flow_inference's dynamic NFE by length (euler); under the
+        # distilled sampler honor icfg.meanflow_steps on EVERY path (the
+        # in-model default would silently pin 2)
+        _nfe_default = (self.icfg.meanflow_steps
+                        if self.icfg.sampler == "meanflow" else None)
+
         def _flow_fn(params, rng, token, prompt_token, prompt_feat, spk, cache,
                      lora=None):
             return F.flow_inference(
                 P(params), self.cfg.flow, rng, token, prompt_token, prompt_feat,
-                spk, finetuned_norm=self.finetuned_norm,
+                spk, finetuned_norm=self.finetuned_norm or lora is not None,
                 mel_norm=(self.cfg.mel_mean, self.cfg.mel_std),
                 flow_cache=cache, return_cache=True,
-                sampler=self.icfg.sampler,
+                sampler=self.icfg.sampler, n_timesteps=_nfe_default,
                 lora=lora, lora_scale=self._flow_lora_scale)
 
         self._flow_jit = jax.jit(_flow_fn)
@@ -212,10 +219,11 @@ class TTSPipeline:
             k_flow, k_hift = jax.random.split(rng)  # matches token2wav
             mel, new_cache = F.flow_inference(
                 P(flow_p), self.cfg.flow, k_flow, token, prompt_token,
-                prompt_feat, spk, finetuned_norm=self.finetuned_norm,
+                prompt_feat, spk, finetuned_norm=self.finetuned_norm or lora is not None,
                 mel_norm=(self.cfg.mel_mean, self.cfg.mel_std),
                 flow_cache=flow_cache if flow_cache.shape[2] else None,
                 return_cache=True, sampler=self.icfg.sampler,
+                n_timesteps=_nfe_default,
                 lora=lora, lora_scale=self._flow_lora_scale)
             if trim > 0:
                 mel = mel[:, :, trim:]
@@ -253,7 +261,7 @@ class TTSPipeline:
             mel = F.flow_inference(
                 P(flow_p), self.cfg.flow, k_flow, token,
                 jnp.zeros((1, 0), jnp.int32), jnp.zeros((1, 0, 80)), spk,
-                n_timesteps=n_timesteps, finetuned_norm=self.finetuned_norm,
+                n_timesteps=n_timesteps, finetuned_norm=self.finetuned_norm or lora is not None,
                 mel_norm=(self.cfg.mel_mean, self.cfg.mel_std),
                 flow_cache=flow_cache if flow_cache.shape[2] else None,
                 token_valid=tok_valid, mel_valid=mel_valid,
@@ -286,9 +294,9 @@ class TTSPipeline:
             k_flow, k_hift = jax.random.split(rng)  # matches token2wav's split
             mel = F.flow_inference(
                 P(flow_p), self.cfg.flow, k_flow, token, prompt_token,
-                prompt_feat, spk, finetuned_norm=self.finetuned_norm,
+                prompt_feat, spk, finetuned_norm=self.finetuned_norm or lora is not None,
                 mel_norm=(self.cfg.mel_mean, self.cfg.mel_std),
-                sampler=self.icfg.sampler,
+                sampler=self.icfg.sampler, n_timesteps=_nfe_default,
                 lora=lora, lora_scale=self._flow_lora_scale)
             if trim > 0:
                 mel = mel[:, :, trim:]
@@ -330,13 +338,14 @@ class TTSPipeline:
             _decode_seg_fn, static_argnames=("prefix_len", "max_len", "top_p",
                                              "top_k", "win_size", "tau_r"))
 
-        def _decode_batch_fn(params, rng, prefix, valid, min_lens, max_lens, *,
-                             max_len):
+        def _decode_batch_fn(params, rng, prefix, valid, min_lens, max_lens,
+                             lora=None, vids=None, *, max_len):
             return L.llm_decode_batch(
                 P(params), self.cfg.llm, rng, prefix, valid, min_lens, max_len,
                 top_p=self.icfg.sampling_top_p, top_k=self.icfg.sampling_top_k,
                 win_size=self.icfg.ras_win_size, tau_r=self.icfg.ras_tau_r,
-                int8_weights=self.icfg.int8_decode, max_lens=max_lens)
+                int8_weights=self.icfg.int8_decode, max_lens=max_lens,
+                lora=lora, vids=vids, lora_scale=self._llm_lora_scale)
 
         self._decode_batch_jit = jax.jit(_decode_batch_fn,
                                          static_argnames=("max_len",))
@@ -344,15 +353,16 @@ class TTSPipeline:
         # segment-wise batched decode for streaming cohorts (lock-step
         # stop_at + resumable state; bit-identical to the uninterrupted run)
         def _decode_batch_seg_fn(params, rng, prefix, valid, min_lens,
-                                 max_lens, stop_at, state, *, max_len,
-                                 attend_width=None):
+                                 max_lens, stop_at, state, lora=None,
+                                 vids=None, *, max_len, attend_width=None):
             return L.llm_decode_batch(
                 P(params), self.cfg.llm, rng, prefix, valid, min_lens, max_len,
                 top_p=self.icfg.sampling_top_p, top_k=self.icfg.sampling_top_k,
                 win_size=self.icfg.ras_win_size, tau_r=self.icfg.ras_tau_r,
                 int8_weights=self.icfg.int8_decode, max_lens=max_lens,
                 stop_at=stop_at, state=state, return_state=True,
-                attend_width=attend_width)
+                attend_width=attend_width,
+                lora=lora, vids=vids, lora_scale=self._llm_lora_scale)
 
         self._decode_batch_seg_jit = jax.jit(
             _decode_batch_seg_fn,
@@ -402,16 +412,61 @@ class TTSPipeline:
                 raise ValueError(
                     f"voices {missing} lack llm adapters; the voice-stacked "
                     "decode bank needs every voice to cover the same keys")
-            self._voice_llm_bank = stack_voice_loras(llm_dicts)
+            bank = stack_voice_loras(llm_dicts)
+            # one extra ALL-ZERO row (vid == len(names)): the base voice for
+            # MIXED batched/cohort decodes — zero A/B factors give an exactly
+            # zero delta, so unvoiced rows in a voiced cohort decode
+            # bit-identically to the adapter-free program
+            self._voice_llm_bank = {
+                k: jnp.concatenate([v, jnp.zeros_like(v[:1])], axis=0)
+                for k, v in bank.items()}
         else:
             self._voice_llm_bank = None
-        self._voice_flow = [voices[n].get("flow") for n in names]
+        # device-resident per-voice routing tuples, built ONCE here: _voice
+        # is called per request (and per streaming chunk by token2wav), so
+        # it must not re-upload adapter dicts each time
+        self._voice_flow = [
+            None if voices[n].get("flow") is None
+            else {k: jnp.asarray(v) for k, v in voices[n]["flow"].items()}
+            for n in names
+        ]
+        self._voice_vids = [jnp.asarray(i, jnp.int32) for i in range(len(names))]
         self._voice_names = names
         self._llm_lora_scale = float(llm_scale)
         self._flow_lora_scale = float(flow_scale)
 
+    @property
+    def voice_names(self) -> list:
+        """Registered multi-voice names (set_voices); [] when unset.  The
+        public registry accessor for serving-layer validation."""
+        return list(self._voice_names)
+
+    def _voice_batch(self, voices, B: int):
+        """(bank, vids (B,) int32) for per-row cohort/batch routing, or
+        (None, None) when no row is voiced.  Unvoiced rows route through the
+        bank's trailing ALL-ZERO base row (vid == len(voice_names)): exact
+        zero delta, bit-identical to the adapter-free program."""
+        if voices is None or all(not v for v in voices):
+            return None, None
+        if self._voice_llm_bank is None:
+            return None, None
+        base = len(self._voice_names)
+        idx = []
+        for v in voices:
+            if not v:
+                idx.append(base)
+            else:
+                try:
+                    idx.append(self._voice_names.index(v))
+                except ValueError:
+                    raise KeyError(
+                        f"unknown voice {v!r}; registered: "
+                        f"{self._voice_names} (set_voices)") from None
+        return self._voice_llm_bank, jnp.asarray(idx, jnp.int32)
+
     def _voice(self, voice):
-        """(llm_bank, vid, flow_lora) for a request's voice (None = base)."""
+        """(llm_bank, vid, flow_lora) for a request's voice (None = base).
+        Pure cached lookup — all device arrays were staged by set_voices."""
         if voice is None:
             return None, None, None
         try:
@@ -420,11 +475,7 @@ class TTSPipeline:
             raise KeyError(
                 f"unknown voice {voice!r}; registered: {self._voice_names} "
                 "(set_voices)") from None
-        vid = jnp.asarray(i, jnp.int32)
-        flow_lora = self._voice_flow[i]
-        if flow_lora is not None:
-            flow_lora = {k: jnp.asarray(v) for k, v in flow_lora.items()}
-        return self._voice_llm_bank, vid, flow_lora
+        return self._voice_llm_bank, self._voice_vids[i], self._voice_flow[i]
 
     # ------------------------------------------------------------------
     # stage 1: AR speech-token generation
@@ -559,23 +610,32 @@ class TTSPipeline:
         spk_embeddings=None,  # list of (1, 192) or None entries
         speed=1.0,  # float or per-request list
         max_len_cap: int = 2048,
+        voices=None,  # per-request voice names ("" / None = base)
     ):
         """Micro-batched non-streaming synthesis for serving: one
         llm_decode_batch call amortizes the per-token weight read across
         requests (PERF.md: 2.5x aggregate tok/s at B=8), then flow+vocoder
-        run per request.  Returns a list of (1, n) wavs."""
+        run per request.  Returns a list of (1, n) wavs.
+
+        ``voices`` routes each row through its registered LoRA adapters
+        (set_voices) inside the SHARED decode — mixed voiced/base batches
+        are fine (base rows take the bank's zero row)."""
         B = len(text_tokens_list)
         if spk_embeddings is None:
             spk_embeddings = [None] * B
+        if voices is None:
+            voices = [None] * B
         speeds = list(speed) if isinstance(speed, (list, tuple)) else [speed] * B
-        built = [self._build_prefix(t, None, None, s, max_len_cap)
-                 for t, s in zip(text_tokens_list, spk_embeddings)]
+        built = [self._build_prefix(t, None, None, s, max_len_cap,
+                                    voice=v or None)
+                 for t, s, v in zip(text_tokens_list, spk_embeddings, voices)]
         prefix, valid, min_lens, max_lens, max_len = _batch_prefixes(built)
+        bank, vids = self._voice_batch(voices, B)
 
         k_llm, k_wav = jax.random.split(rng)
         res = self._decode_batch_jit(
             self.llm_params, k_llm, prefix, valid, min_lens, max_lens,
-            max_len=max_len)
+            bank, vids, max_len=max_len)
         # dispatch every request's fused token2wav before syncing any of them:
         # the per-program host round-trips overlap with device execution
         futs = []
@@ -585,17 +645,20 @@ class TTSPipeline:
             spk = (np.zeros((1, self.cfg.llm.spk_embed_dim), np.float32)
                    if spk_embeddings[b] is None else np.asarray(spk_embeddings[b]))
             rng_b = jax.random.fold_in(k_wav, b)
+            _, _, flow_lora = self._voice(voices[b] or None)
             fut = self._token2wav_fused(
                 rng_b, tokens, np.zeros((1, 0), np.int32),
-                np.zeros((1, 0, 80), np.float32), spk, None, True, speeds[b])
-            futs.append((fut, rng_b, tokens, spk, speeds[b]))
+                np.zeros((1, 0, 80), np.float32), spk, None, True, speeds[b],
+                flow_lora=flow_lora)
+            futs.append((fut, rng_b, tokens, spk, speeds[b], voices[b]))
         wavs = []
-        for fut, rng_b, tokens, spk, sp in futs:
+        for fut, rng_b, tokens, spk, sp, v in futs:
             if fut is not None:
                 wavs.append(np.asarray(fut))
             else:
                 wav, _ = self.token2wav(rng_b, tokens, None, None, spk,
-                                        finalize=True, speed=sp)
+                                        finalize=True, speed=sp,
+                                        voice=v or None)
                 wavs.append(wav)
         return wavs
 
@@ -605,6 +668,7 @@ class TTSPipeline:
         text_tokens_list,  # list of (1, Tt) arrays
         spk_embeddings=None,  # list of (1, 192) or None entries
         max_len_cap: int = 2048,
+        voices=None,  # per-request voice names ("" / None = base)
     ):
         """Batched streaming synthesis for serving: one lock-step segmented
         decode (llm_decode_batch stop_at/state) amortizes the per-token
@@ -615,13 +679,21 @@ class TTSPipeline:
         Yields (request_index, wav (1, n), done).  Token streams are
         bit-identical to per-request llm_decode runs (same fold_in(rng, b)
         streams as synthesize_batch).
+
+        ``voices``: per-row LoRA adapter routing inside the shared decode
+        (set_voices; mixed voiced/base cohorts supported — base rows take
+        the bank's zero row).
         """
         B = len(text_tokens_list)
         if spk_embeddings is None:
             spk_embeddings = [None] * B
-        built = [self._build_prefix(t, None, None, s, max_len_cap)
-                 for t, s in zip(text_tokens_list, spk_embeddings)]
+        if voices is None:
+            voices = [None] * B
+        built = [self._build_prefix(t, None, None, s, max_len_cap,
+                                    voice=v or None)
+                 for t, s, v in zip(text_tokens_list, spk_embeddings, voices)]
         prefix, valid, min_lens, max_lens, max_len = _batch_prefixes(built)
+        bank, vids = self._voice_batch(voices, B)
 
         k_llm, k_wav = jax.random.split(rng)
         spks = [np.zeros((1, self.cfg.llm.spk_embed_dim), np.float32)
@@ -639,7 +711,7 @@ class TTSPipeline:
         while not all(finished):
             res, dstate = self._decode_batch_seg_jit(
                 self.llm_params, k_llm, prefix, valid, min_lens, max_lens,
-                jnp.asarray(target), dstate, max_len=max_len,
+                jnp.asarray(target), dstate, bank, vids, max_len=max_len,
                 attend_width=attend_rung(prefix.shape[1], target, max_len))
             lengths = np.asarray(res.lengths)
             done_dev = np.asarray(dstate.done)
@@ -656,7 +728,8 @@ class TTSPipeline:
                     wav, states[b] = self.token2wav(
                         jax.random.fold_in(jax.random.fold_in(k_wav, b), ki[b]),
                         window, None, None, spks[b],
-                        stream_state=states[b], finalize=False)
+                        stream_state=states[b], finalize=False,
+                        voice=voices[b] or None)
                     yield b, wav, False
                     pos[b] += hop
                     ki[b] += 1
@@ -665,7 +738,8 @@ class TTSPipeline:
                     wav, _ = self.token2wav(
                         jax.random.fold_in(jax.random.fold_in(k_wav, b), ki[b]),
                         window, None, None, spks[b],
-                        stream_state=states[b], finalize=True)
+                        stream_state=states[b], finalize=True,
+                        voice=voices[b] or None)
                     finished[b] = True
                     yield b, wav, True
             target = min(target + hop, max_len)
@@ -717,6 +791,15 @@ class TTSPipeline:
         k_flow, k_hift = jax.random.split(rng)
         prompt_token = prompt_token if prompt_token is not None else np.zeros((1, 0), np.int32)
         prompt_feat = prompt_feat if prompt_feat is not None else np.zeros((1, 0, 80), np.float32)
+        if (self.icfg.sampler == "meanflow" and prompt_token.shape[1]
+                and not getattr(self, "_warned_mf_prompt", False)):
+            # flow_distill_loss trains the student prompt-free (conds == 0,
+            # the fine-tune serving configuration); prompted conds are
+            # out-of-distribution for the distilled u-field
+            print("WARNING: meanflow sampler with a prompt — the distilled "
+                  "student was trained prompt-free; expect degraded output "
+                  "(use the euler sampler for prompted synthesis)")
+            self._warned_mf_prompt = True
         _, _, flow_lora = self._voice(voice)
 
         fut = self._token2wav_fused(rng, token, prompt_token, prompt_feat,

@@ -81,6 +81,37 @@ def embedding(p: P, name: str, ids: jax.Array, clamp_min: Optional[int] = None) 
 # ---------------------------------------------------------------------------
 
 
+def _conv1x1_lora_delta(ctx: Ctx, full_name: str, x: jax.Array,
+                        layout: str) -> Optional[jax.Array]:
+    """LoRA delta for a 1x1 conv (reference: lora.py:79-131); adapters are
+    stored as (r, in, 1)/(out, r, 1) conv kernels, voice-stacked with a
+    leading V axis for multi-voice routing.  ``layout`` is "bct" (NCW) or
+    "btc" (NWC) — the single routing rule serves both conv layouts (and
+    mirrors _lora_delta's dense rule)."""
+    a = ctx.lora.get(full_name + ".lora_A.weight")
+    if a is None:
+        return None
+    bb = ctx.lora[full_name + ".lora_B.weight"]
+    xd = ctx.dropout(x, ctx.lora_dropout)
+    if layout == "bct":
+        hs, os, hs1, os1 = ("bct,brc->brt", "brt,bor->bot",
+                            "bct,rc->brt", "brt,or->bot")
+    else:
+        hs, os, hs1, os1 = ("btc,brc->btr", "btr,bor->bto",
+                            "btc,rc->btr", "btr,or->bto")
+    if a.ndim == 4:  # voice-stacked (V, r, in, 1): per-row routing
+        vids = ctx.lora_vids
+        if vids is None:
+            raise ValueError(
+                f"stacked LoRA adapters for {full_name} need Ctx.lora_vids")
+        a_sel = jnp.take(a[..., 0], vids, axis=0).astype(x.dtype)
+        b_sel = jnp.take(bb[..., 0], vids, axis=0).astype(x.dtype)
+        h = jnp.einsum(hs, xd, a_sel)
+        return jnp.einsum(os, h, b_sel) * ctx.lora_scale
+    h = jnp.einsum(hs1, xd, a[:, :, 0].astype(x.dtype))
+    return jnp.einsum(os1, h, bb[:, :, 0].astype(x.dtype)) * ctx.lora_scale
+
+
 def _weight(p: P, name: str, dtype) -> jax.Array:
     """Fetch a conv/linear weight, computing the weight-norm parameterization
     w = g * v / ||v|| on the fly when the params store g/v factors (training
@@ -120,20 +151,9 @@ def conv1d(
     if b is not None:
         y = y + b.astype(x.dtype)[None, :, None]
     if ctx.lora is not None and w.shape[-1] == 1 and groups == 1:
-        # 1x1 conv LoRA (reference: lora.py:79-131); adapters stored as
-        # (r, in, 1) / (out, r, 1) conv kernels
-        a = ctx.lora.get(p.full(name) + ".lora_A.weight")
-        if a is not None:
-            bb = ctx.lora[p.full(name) + ".lora_B.weight"]
-            xd = ctx.dropout(x, ctx.lora_dropout)
-            if a.ndim == 4:  # voice-stacked (V, r, in, 1): per-row routing
-                a_sel = jnp.take(a[..., 0], ctx.lora_vids, axis=0).astype(x.dtype)
-                b_sel = jnp.take(bb[..., 0], ctx.lora_vids, axis=0).astype(x.dtype)
-                h = jnp.einsum("bct,brc->brt", xd, a_sel)
-                y = y + jnp.einsum("brt,bor->bot", h, b_sel) * ctx.lora_scale
-            else:
-                h = jnp.einsum("bct,rc->brt", xd, a[:, :, 0].astype(x.dtype))
-                y = y + jnp.einsum("brt,or->bot", h, bb[:, :, 0].astype(x.dtype)) * ctx.lora_scale
+        delta = _conv1x1_lora_delta(ctx, p.full(name), x, "bct")
+        if delta is not None:
+            y = y + delta
     return y
 
 
@@ -168,18 +188,38 @@ def conv1d_nwc(
     if b is not None:
         y = y + b.astype(x.dtype)
     if ctx.lora is not None and w.shape[-1] == 1 and groups == 1:
-        a = ctx.lora.get(p.full(name) + ".lora_A.weight")
-        if a is not None:
-            bb = ctx.lora[p.full(name) + ".lora_B.weight"]
-            xd = ctx.dropout(x, ctx.lora_dropout)
-            if a.ndim == 4:  # voice-stacked (V, r, in, 1): per-row routing
-                a_sel = jnp.take(a[..., 0], ctx.lora_vids, axis=0).astype(x.dtype)
-                b_sel = jnp.take(bb[..., 0], ctx.lora_vids, axis=0).astype(x.dtype)
-                h = jnp.einsum("btc,brc->btr", xd, a_sel)
-                y = y + jnp.einsum("btr,bor->bto", h, b_sel) * ctx.lora_scale
-            else:
-                h = jnp.einsum("btc,rc->btr", xd, a[:, :, 0].astype(x.dtype))
-                y = y + jnp.einsum("btr,or->bto", h, bb[:, :, 0].astype(x.dtype)) * ctx.lora_scale
+        delta = _conv1x1_lora_delta(ctx, p.full(name), x, "btc")
+        if delta is not None:
+            y = y + delta
+    return y
+
+
+def conv1d_gemm(
+    p: P,
+    name: str,
+    x: jax.Array,  # (B, C, T)
+    padding: int = 0,
+    dilation: int = 1,
+    ctx: Ctx = EVAL,  # accepted for call-site symmetry; HiFT has no LoRA
+) -> jax.Array:
+    """Stride-1, groups-1 nn.Conv1d expressed as an explicit im2col GEMM:
+    k dilation-shifted views of the input stacked and contracted with the
+    (out, in, k) kernel in ONE einsum — an (T, k*C) x (k*C, out) matmul the
+    MXU tiles directly.  XLA's native conv lowering sustains only
+    ~15 TFLOP/s on HiFT's dilated C=128-512 resblock stacks (PERF.md);
+    this trades k-fold activation reads (HBM) for MXU-shaped flops.
+    Opt-in via HiFTConfig.gemm_convs / COSY_TPU_HIFT_GEMM until the
+    on-chip A/B decides the default (tools/probe_hift_gemm.py)."""
+    w = _weight(p, name, x.dtype)  # (O, C, k)
+    k = int(w.shape[-1])
+    xp = jnp.pad(x, ((0, 0), (0, 0), (padding, padding)))
+    t_out = xp.shape[-1] - (k - 1) * dilation
+    taps = jnp.stack([xp[:, :, i * dilation: i * dilation + t_out]
+                      for i in range(k)], axis=0)  # (k, B, C, T)
+    y = jnp.einsum("kbct,ock->bot", taps, w)
+    b = p.get(name + ".bias")
+    if b is not None:
+        y = y + b.astype(x.dtype)[None, :, None]
     return y
 
 

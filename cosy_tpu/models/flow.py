@@ -267,6 +267,9 @@ def cfm_solve_mean(
     folded into the student during distillation, so each of the 1-2 steps is
     ONE estimator call (vs 2x10..2x20 for the Euler path).  Requires params
     with the ``time_mlp_s`` branch (add_meanflow_time_branch)."""
+    if n_timesteps < 1:
+        # 0 steps would silently return the initial noise as the mel
+        raise ValueError(f"meanflow n_timesteps must be >= 1, got {n_timesteps}")
     B = z.shape[0]
     t_span = jnp.linspace(0.0, 1.0, n_timesteps + 1)
 

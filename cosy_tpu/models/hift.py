@@ -14,6 +14,7 @@ TPU-first notes:
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -23,7 +24,8 @@ import numpy as np
 from ..config import HiFTConfig
 from ..ctx import Ctx, EVAL
 from ..params import P, Params
-from ..layers.basic import conv1d, conv_transpose1d, dense, leaky_relu, snake
+from ..layers.basic import (conv1d, conv1d_gemm, conv_transpose1d, dense,
+                            leaky_relu, snake)
 from ..ops.audio import istft, stft_center
 from .flow import interpolate_linear
 
@@ -102,21 +104,23 @@ def sine_source(
 
 
 def resblock(p: P, name: str, x: jax.Array, kernel: int, dilations: Tuple[int, ...], ctx: Ctx,
-             mask=None) -> jax.Array:
+             mask=None, gemm: bool = False) -> jax.Array:
     """Snake-activated dilated residual block (generator.py:46-101).
 
     ``mask`` (B, 1, L) or None: length-masked serving variant — conv outputs
     are re-zeroed in the pad region (conv bias makes it nonzero, and the next
     conv's window would leak it back into the valid tail).  snake(0)=0, so
-    activations preserve the zeros."""
+    activations preserve the zeros.  ``gemm``: im2col-GEMM conv formulation
+    (HiFTConfig.gemm_convs)."""
+    conv = conv1d_gemm if gemm else conv1d
     sp = p.sub(name)
     for i, d in enumerate(dilations):
         xt = snake(x, p[f"{name}.activations1.{i}.alpha"].astype(jnp.float32))
-        xt = conv1d(sp, f"convs1.{i}", xt, padding=_get_padding(kernel, d), dilation=d, ctx=ctx)
+        xt = conv(sp, f"convs1.{i}", xt, padding=_get_padding(kernel, d), dilation=d, ctx=ctx)
         if mask is not None:
             xt = xt * mask
         xt = snake(xt, p[f"{name}.activations2.{i}.alpha"].astype(jnp.float32))
-        xt = conv1d(sp, f"convs2.{i}", xt, padding=_get_padding(kernel, 1), ctx=ctx)
+        xt = conv(sp, f"convs2.{i}", xt, padding=_get_padding(kernel, 1), ctx=ctx)
         if mask is not None:
             xt = xt * mask
         x = xt + x
@@ -157,7 +161,11 @@ def hift_decode(
         sf_valid = mel_valid * int(np.prod(cfg.upsample_rates)) + 1
         s_stft = s_stft * vmask(s_stft.shape[-1], sf_valid)
 
-    x = conv1d(p, "conv_pre", mel, padding=3, ctx=ctx)
+    gemm = (cfg.gemm_convs if os.environ.get("COSY_TPU_HIFT_GEMM") is None
+            else os.environ.get("COSY_TPU_HIFT_GEMM") == "1")
+    conv_s1 = conv1d_gemm if gemm else conv1d  # stride-1 decode convs only
+
+    x = conv_s1(p, "conv_pre", mel, padding=3, ctx=ctx)
     if mel_valid is not None:
         x = x * vmask(x.shape[-1], mel_valid)
     num_up = len(cfg.upsample_rates)
@@ -190,19 +198,20 @@ def hift_decode(
         si = resblock(p, f"source_resblocks.{i}", si,
                       cfg.source_resblock_kernel_sizes[i],
                       cfg.source_resblock_dilation_sizes[i], ctx,
-                      mask=None if m is None else m[:, :, : si.shape[-1]])
+                      mask=None if m is None else m[:, :, : si.shape[-1]],
+                      gemm=gemm)
         x = x + si
 
         xs = None
         for j in range(nk):
             r = resblock(p, f"resblocks.{i * nk + j}", x,
                          cfg.resblock_kernel_sizes[j], cfg.resblock_dilation_sizes[j], ctx,
-                         mask=m)
+                         mask=m, gemm=gemm)
             xs = r if xs is None else xs + r
         x = xs / nk
 
     x = leaky_relu(x)  # default slope (generator.py:545 uses F.leaky_relu w/o slope)
-    x = conv1d(p, "conv_post", x, padding=3, ctx=ctx)
+    x = conv_s1(p, "conv_post", x, padding=3, ctx=ctx)
     magnitude = jnp.exp(x[:, : n_fft // 2 + 1, :])
     magnitude = jnp.minimum(magnitude, 1e2)
     phase = jnp.sin(x[:, n_fft // 2 + 1 :, :])

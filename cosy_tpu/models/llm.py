@@ -285,6 +285,23 @@ def _stack_decode_loras(lora: Params, nl: int,
     V=1).  Returns ``{f"{module}.A": (V, nl, r, in), f"{module}.B":
     (V, nl, out, r)}`` for every targeted module present (multi-voice
     continuous-batching decode — the TPU equivalent of vLLM multi-LoRA)."""
+    # every adapter key outside the covered set would be applied in
+    # training/prefill (via Ctx) but silently DROPPED by the decode loop —
+    # tokens would diverge from the merged-weights build.  Fail loudly.
+    # text_encoder.* adapters are prefill-only (the decode loop never runs
+    # the text encoder) and stay Ctx-routed.
+    unsupported = sorted({
+        k for k in lora
+        if ".lora_" in k and not k.startswith("text_encoder.")
+        and not any(f".{mod}.lora_" in k for mod in _DECODE_LORA_MODS)})
+    if unsupported:
+        raise ValueError(
+            "decode-loop LoRA routing covers the llm-block modules "
+            f"{_DECODE_LORA_MODS} (plus text_encoder.* in prefill); these "
+            f"adapter keys would be silently ignored at decode: "
+            f"{unsupported[:6]}{'...' if len(unsupported) > 6 else ''} — "
+            "merge them into the weights or retrain with the default "
+            "target list")
     out: Dict[str, jax.Array] = {}
     for mod in _DECODE_LORA_MODS:
         if f"{prefix}.0.{mod}.lora_A" not in lora:
@@ -294,6 +311,16 @@ def _stack_decode_loras(lora: Params, nl: int,
                       for i in range(nl)]
             leaves = [v if v.ndim == 3 else v[None] for v in leaves]
             out[f"{mod}.{s}"] = jnp.stack(leaves, axis=1)  # (V, nl, ...)
+    qkv_mods = ("self_attn.linear_q", "self_attn.linear_k",
+                "self_attn.linear_v")
+    if all(f"{m}.A" in out for m in qkv_mods):
+        # fuse q/k/v adapter factors into ONE pair of batched einsums per
+        # token (the decode body is op-count-bound — PERF.md; 3x2 einsums
+        # + zeros + concat per layer would undo the fused-wqkv economy)
+        out["qkv.A"] = jnp.stack([out.pop(f"{m}.A") for m in qkv_mods],
+                                 axis=2)  # (V, nl, 3, r, in)
+        out["qkv.B"] = jnp.stack([out.pop(f"{m}.B") for m in qkv_mods],
+                                 axis=2)  # (V, nl, 3, out, r)
     return out
 
 
@@ -301,7 +328,17 @@ def _lora_qkv_delta(x, la, D, scale):
     """Concatenated q/k/v adapter delta matching the fused wqkv matmul.
     x: (..., D); per-layer slices la[mod.A] (..., r, D) / la[mod.B]
     (..., D, r) with a leading batch axis iff x has one beyond the feature
-    axis."""
+    axis.  The fused ``qkv.A/B`` form (all three targeted — the default)
+    computes the whole delta in two einsums."""
+    if la is not None and "qkv.A" in la:
+        a, b = la["qkv.A"], la["qkv.B"]
+        if a.ndim == 4:  # (B, 3, r, in) — batch decode, per-row routing
+            h = jnp.einsum("bi,bsri->bsr", x, a.astype(x.dtype))
+            d = jnp.einsum("bsr,bsor->bso", h, b.astype(x.dtype)) * scale
+            return d.reshape(x.shape[0], 3 * D)
+        h = jnp.einsum("i,sri->sr", x, a.astype(x.dtype))  # (3, r)
+        d = jnp.einsum("sr,sor->so", h, b.astype(x.dtype)) * scale
+        return d.reshape(3 * D)
     parts = []
     for mod in ("self_attn.linear_q", "self_attn.linear_k",
                 "self_attn.linear_v"):

@@ -141,16 +141,18 @@ class TTSServer:
                     break
             yield out["tts_speech"][0]
 
-    def synthesize_batched(self, text: str, speed: float = 1.0) -> np.ndarray:
+    def synthesize_batched(self, text: str, speed: float = 1.0,
+                           voice: str = "") -> np.ndarray:
         """Enqueue a prompt-free request; a leader thread drains the queue
         into one micro-batched decode.  Blocks until this request's wav is
-        ready."""
+        ready.  ``voice`` routes this row's LoRA adapters inside the shared
+        decode (mixed voiced/base batches supported)."""
         import time
 
         ids = self.api.frontend.extract_text_token(
             self.api.frontend.normalize(text, split=False))
-        item = {"ids": ids, "speed": speed, "event": threading.Event(),
-                "wav": None, "err": None}
+        item = {"ids": ids, "speed": speed, "voice": voice,
+                "event": threading.Event(), "wav": None, "err": None}
         with self._queue_lock:
             self._queue.append(item)
         # one request thread becomes the leader and runs the batch
@@ -165,12 +167,15 @@ class TTSServer:
                 if batch:
                     try:
                         zero = self._zero_spk()
+                        vkw = ({"voices": [b.get("voice") or None
+                                           for b in batch]}
+                               if any(b.get("voice") for b in batch) else {})
                         with self.lock:
                             wavs = self.api.model.synthesize_batch(
                                 self.api._next_rng(),
                                 [b["ids"] for b in batch],
                                 [zero] * len(batch),
-                                speed=[b["speed"] for b in batch])
+                                speed=[b["speed"] for b in batch], **vkw)
                         for b, w in zip(batch, wavs):
                             b["wav"] = w[0]
                     except Exception as e:  # noqa: BLE001
@@ -206,7 +211,7 @@ class TTSServer:
             # dead consumer
             self.engine.cancel(req)
 
-    def synthesize_stream_batched(self, text: str):
+    def synthesize_stream_batched(self, text: str, voice: str = ""):
         """Streaming with cohort batching: requests arriving within the
         window share one lock-step segmented decode
         (pipeline.synthesize_stream_batch) — concurrent streams amortize the
@@ -221,7 +226,8 @@ class TTSServer:
 
         ids = self.api.frontend.extract_text_token(
             self.api.frontend.normalize(text, split=False))
-        item = {"ids": ids, "q": _queue.Queue(), "err": None, "dead": False}
+        item = {"ids": ids, "voice": voice, "q": _queue.Queue(), "err": None,
+                "dead": False}
         with self._queue_lock:
             self._stream_queue.append(item)
             # respawn if the worker died (it is hardened below, but a dead
@@ -286,10 +292,12 @@ class TTSServer:
         finished = [False] * len(cohort)
         try:
             zero = self._zero_spk()
+            vkw = ({"voices": [it.get("voice") or None for it in cohort]}
+                   if any(it.get("voice") for it in cohort) else {})
             gen = self.api.model.synthesize_stream_batch(
                 self.api._next_rng(),
                 [it["ids"] for it in cohort],
-                [zero] * len(cohort))
+                [zero] * len(cohort), **vkw)
             while True:
                 # the device lock is held per SEGMENT, not per cohort:
                 # concurrent cohorts interleave their decode/token2wav
@@ -359,7 +367,13 @@ def make_handler(server: TTSServer, sample_rate: int):
                 self._plain(400, f"bad request: {e}".encode())
                 return
             if voice:
-                known = getattr(server.api.model, "_voice_names", [])
+                if spk_id:
+                    # spk_id routes to inference_sft, which has no voice
+                    # wiring — honoring one silently would drop the other
+                    self._plain(400, b"voice and spk_id are mutually "
+                                     b"exclusive; pass one")
+                    return
+                known = getattr(server.api.model, "voice_names", [])
                 if voice not in known:
                     self._plain(400, f"unknown voice {voice!r}; registered: "
                                      f"{known}".encode())
@@ -385,16 +399,16 @@ def make_handler(server: TTSServer, sample_rate: int):
                 if (not spk_id and not voice and speed == 1.0
                         and server.engine is not None):
                     # continuous batching: join the persistent decode batch
+                    # (voiced requests skip the engine — its persistent
+                    # program has no vids wiring — and join a cohort below)
                     pieces = server.synthesize_stream_engine(text)
-                elif (not spk_id and not voice and speed == 1.0
+                elif (not spk_id and speed == 1.0
                         and hasattr(server.api.model, "synthesize_stream_batch")):
                     # concurrent prompt-free streams share a lock-step
-                    # segmented decode (cohort batching)
-                    pieces = server.synthesize_stream_batched(text)
+                    # segmented decode (cohort batching); voiced rows route
+                    # their adapters per row inside the SHARED decode
+                    pieces = server.synthesize_stream_batched(text, voice)
                 else:
-                    # voiced requests take the solo path: per-request adapter
-                    # routing (set_voices) — batch vids routing is a model
-                    # capability (llm_decode_batch vids) not yet wired here
                     pieces = server.synthesize(text, spk_id, speed,
                                                stream=True, voice=voice)
                 try:
@@ -408,10 +422,11 @@ def make_handler(server: TTSServer, sample_rate: int):
                     # slot cancel / cohort dead-mark / device-lock release)
                     pieces.close()
                 return
-            if (not spk_id and not voice
+            if (not spk_id
                     and hasattr(server.api.model, "synthesize_batch")):
-                # concurrent prompt-free requests share a micro-batched decode
-                wav = server.synthesize_batched(text, speed)
+                # concurrent prompt-free requests share a micro-batched
+                # decode (voiced rows route adapters per row)
+                wav = server.synthesize_batched(text, speed, voice)
             else:
                 wav = np.concatenate(list(server.synthesize(
                     text, spk_id, speed, stream=False, voice=voice)))
@@ -463,6 +478,11 @@ def main():
                          "measured 3.5-8.5x solve speedup, PERF.md; "
                          "validate quality per voice)")
     ap.add_argument("--meanflow-steps", type=int, default=2)
+    ap.add_argument("--finetuned-norm", type=int, choices=[0, 1], default=None,
+                    help="treat the flow weights as normalized-mel "
+                         "(fine-tuned/distilled v1) and denormalize on "
+                         "output; default: auto — on when --flow-weights "
+                         "is given on the v1 family")
     ap.add_argument("--attn-window", type=int, default=0,
                     help="opt-in local-band estimator attention: each mel "
                          "frame attends only this many neighbor frames "
@@ -479,21 +499,51 @@ def main():
     from .api import CosyVoice, CosyVoice2
     from .config import InferenceConfig, replace as creplace
 
-    icfg = InferenceConfig()
+    # infer_cfg=None lets CosyVoice apply the model dir's yaml-derived
+    # sampling knobs (api.py yaml ingestion); only build an explicit config
+    # when the sampler must be overridden — and then start FROM the yaml
+    # config so those knobs survive the override
+    icfg = None
     if args.sampler != "euler":
-        icfg = creplace(icfg, sampler=args.sampler,
+        import os as _os
+        yaml_path = _os.path.join(args.model_dir, "cosyvoice.yaml")
+        if not args.cosyvoice2 and _os.path.exists(yaml_path):
+            from .compat.yaml_config import inference_config_from_yaml
+
+            icfg = inference_config_from_yaml(yaml_path)
+        icfg = creplace(icfg or InferenceConfig(), sampler=args.sampler,
                         meanflow_steps=args.meanflow_steps)
+    # v1 fine-tuned/distilled flow weights operate in normalized mel space
+    # (flow_distill_loss / the fine-tune loss, MEL −6.0/2.0) and need the
+    # denorm on the way out, exactly like inference_joint.py; CV2 flows
+    # train in raw mel space and take no such flag
+    fnorm = (bool(args.finetuned_norm) if args.finetuned_norm is not None
+             else bool(args.flow_weights) and not args.cosyvoice2)
     api = (CosyVoice2 if args.cosyvoice2 else CosyVoice)(
-        args.model_dir, infer_cfg=icfg)
+        args.model_dir, infer_cfg=icfg,
+        **({} if args.cosyvoice2 else {"finetuned_norm": fnorm}))
+    if fnorm:
+        print("flow: finetuned_norm on (normalized-mel weights; "
+              "--finetuned-norm 0 to disable)")
     if args.flow_weights:
         from .params import load_torch_checkpoint
 
         api.model.flow_params = load_torch_checkpoint(args.flow_weights)
         print(f"flow weights <- {args.flow_weights}")
-    if args.sampler == "meanflow" and \
-            "decoder.estimator.time_mlp_s.linear_1.weight" not in api.model.flow_params:
-        raise SystemExit("--sampler meanflow needs distilled flow weights "
-                         "(distill_flow.py; pass them via --flow-weights)")
+    _distilled = ("decoder.estimator.time_mlp_s.linear_1.weight"
+                  in api.model.flow_params)
+    if args.sampler == "meanflow":
+        if not _distilled:
+            raise SystemExit("--sampler meanflow needs distilled flow weights "
+                             "(distill_flow.py; pass them via --flow-weights)")
+        if args.meanflow_steps < 1:
+            raise SystemExit("--meanflow-steps must be >= 1")
+    elif _distilled:
+        # distillation retrains the WHOLE estimator as part of the
+        # (base + s-branch) sum — the Euler solver on those weights
+        # evaluates neither v nor u and serves garbled audio
+        raise SystemExit("these flow weights are MeanFlow-distilled; pass "
+                         "--sampler meanflow (or serve un-distilled weights)")
     if args.voices:
         if args.cosyvoice2:
             raise SystemExit("--voices is CosyVoice(1)-only for now (the CV2 "
@@ -504,7 +554,15 @@ def main():
             name, path = name.strip(), path.strip()
             if not name or not path:
                 raise SystemExit(f"--voices: bad pair {pair!r} (want name=path)")
+            if name in voices:
+                raise SystemExit(f"--voices: duplicate voice name {name!r}")
             v = load_voice_adapters(path)
+            # a file without recorded ._scaling was trained at the default
+            # alpha/r = 2.0 (config.py JOINT defaults) — pin it to that
+            # rather than letting it inherit another voice's explicit scale
+            for stage in ("llm_scale", "flow_scale"):
+                if v[stage] is None and v[stage.split("_")[0]] is not None:
+                    v[stage] = 2.0
             for stage, cur in (("llm_scale", llm_s), ("flow_scale", flow_s)):
                 if v[stage] is not None and cur is not None and v[stage] != cur:
                     raise SystemExit(
@@ -544,6 +602,18 @@ def main():
             pass
         for wav in server.synthesize("warmup.", stream=True):
             pass
+        vnames = getattr(api.model, "voice_names", [])
+        if vnames:
+            # voiced programs have their own jit signature (lora bank + vid
+            # args) — warm them too or the first voiced request pays the
+            # cold compile this flag exists to avoid; one voice suffices
+            # (every voice shares the same program)
+            for wav in server.synthesize("warmup.", stream=False,
+                                         voice=vnames[0]):
+                pass
+            for wav in server.synthesize("warmup.", stream=True,
+                                         voice=vnames[0]):
+                pass
         # the serving path proper is cohort streaming at B>1 — compile the
         # segmented batch decode + fused batch token2wav too, or the first
         # live concurrent-stream batch pays the minutes-long cold compile

@@ -113,6 +113,9 @@ def meanflow_distill_loss(
     target: str = "integral",  # "integral" (teacher sub-steps) | "jvp"
     teacher_substeps: int = 4,
     causal: bool = False,  # CosyVoice2 causal estimator (models/flow2.py)
+    streaming: bool = False,  # CV2 chunked-causal attention (serving's
+    #                           streaming windows run the student this way)
+    static_chunk_size: int = 50,
 ) -> jax.Array:
     """One distillation step's loss.
 
@@ -156,7 +159,8 @@ def meanflow_distill_loss(
         v2 = conditional_decoder(
             tp, est_cfg, jnp.concatenate([y_, y_], axis=0), mask2, mu2,
             jnp.concatenate([t_, t_], axis=0), spks2, cond2, EVAL,
-            causal=causal)
+            causal=causal, streaming=streaming,
+            static_chunk_size=static_chunk_size)
         return (1.0 + w) * v2[:B] - w * v2[B:]
 
     sp = P(student, "decoder.estimator.")
@@ -165,7 +169,9 @@ def meanflow_distill_loss(
         # train=True keeps the student on the differentiable XLA path (the
         # fused-block Pallas kernel is inference-only, ops/fused_block.py)
         return conditional_decoder(sp, est_cfg, y_, mask, mu, t_, spks,
-                                   cond, Ctx(train=True), causal=causal, s=s_)
+                                   cond, Ctx(train=True), causal=causal,
+                                   streaming=streaming,
+                                   static_chunk_size=static_chunk_size, s=s_)
 
     if target == "integral":
         m = teacher_substeps
@@ -203,8 +209,9 @@ def meanflow_distill_loss(
     per_valid = (jnp.full((B,), float(T), jnp.float32) if mask is None
                  else jnp.sum(mask, axis=(1, 2))) * C
     per = jnp.sum(sq, axis=(1, 2)) / jnp.maximum(per_valid, 1.0)  # (B,)
-    w = jax.lax.stop_gradient(1.0 / jnp.power(per + 1e-3, adaptive_p))
-    return jnp.mean(w * per)
+    # NOT named ``w`` — that's the CFG rate captured by teacher_v above
+    aw = jax.lax.stop_gradient(1.0 / jnp.power(per + 1e-3, adaptive_p))
+    return jnp.mean(aw * per)
 
 
 def flow_distill_loss(
@@ -260,13 +267,17 @@ def flow2_distill_loss(
     adaptive_p: float = 0.75,
     target: str = "integral",
     teacher_substeps: int = 4,
+    streaming: bool = False,
 ) -> jax.Array:
     """CosyVoice2 wrapper: the causal estimator distills through the same
     core loss (it shares conditional_decoder, causal=True).  Conditioning is
     sampled like flow2_forward_train (50% prompt dropout, U(0, 0.3) prompt
     length — models/flow2.py:126-131) so the student's u covers the
     zero-shot prompted serving patterns; no mel normalization (CosyVoice2
-    trains on raw mel)."""
+    trains on raw mel).  ``streaming`` runs the chunked-causal attention
+    variant — the caller draws it 50/50 per step like flow2_forward_train,
+    so the student also covers the chunked windows pipeline2's streaming
+    serving runs it under."""
     from ..models.flow2 import flow2_encode
 
     token = batch["speech_token"]
@@ -278,7 +289,7 @@ def flow2_distill_loss(
     tpv = P(teacher)
     spk = dense(tpv, "spk_embed_affine_layer",
                 _l2_normalize(batch["embedding"], axis=1), EVAL)
-    h = flow2_encode(tpv, cfg, token, token_len, EVAL, streaming=False)
+    h = flow2_encode(tpv, cfg, token, token_len, EVAL, streaming=streaming)
     if h.shape[1] < T:
         h = jnp.pad(h, ((0, 0), (0, T - h.shape[1]), (0, 0)))
     else:
@@ -301,7 +312,9 @@ def flow2_distill_loss(
         student, teacher, cfg, k_core, feat.transpose(0, 2, 1), mask,
         h.transpose(0, 2, 1), spk, conds, cfg_rate=cfg_rate,
         inst_frac=inst_frac, adaptive_p=adaptive_p, target=target,
-        teacher_substeps=teacher_substeps, causal=True)
+        teacher_substeps=teacher_substeps, causal=True,
+        streaming=streaming,
+        static_chunk_size=cfg.decoder_static_chunk_size)
 
 
 # ---------------------------------------------------------------------------
@@ -370,12 +383,14 @@ class FlowDistiller:
         teacher_substeps, family = self.teacher_substeps, self.family
         optimizer = self.optimizer
 
-        def train_step(student, opt_state, teacher, batch, rng):
+        def train_step(student, opt_state, teacher, batch, rng,
+                       streaming=False):
             def loss_fn(st):
                 if family == "cv2":
                     return flow2_distill_loss(st, teacher, cfg, rng, batch,
                                               cfg_rate, inst_frac, adaptive_p,
-                                              target, teacher_substeps)
+                                              target, teacher_substeps,
+                                              streaming=streaming)
                 return flow_distill_loss(st, teacher, cfg, rng, batch,
                                          mel_norm, cfg_rate, inst_frac,
                                          adaptive_p, target, teacher_substeps)
@@ -385,15 +400,22 @@ class FlowDistiller:
             student = optax.apply_updates(student, updates)
             return student, opt_state, loss
 
-        return jax.jit(train_step, donate_argnums=(0, 1))
+        return jax.jit(train_step, donate_argnums=(0, 1),
+                       static_argnames=("streaming",))
 
     def step(self, state: DistillState, batch: Dict[str, np.ndarray]) -> float:
         if self._step_fn is None:
             self._step_fn = self._build_step()
         rng = jax.random.fold_in(self.rng, state.step)
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        # CV2: draw the 50/50 streaming flag on the host per step (two
+        # cached programs), exactly like flow2_forward_train's contract —
+        # serving runs the student under chunked-causal attention in its
+        # streaming windows, so the distillation must cover both modes
+        streaming = self.family == "cv2" and state.step % 2 == 1
         state.student, state.opt_state, loss = self._step_fn(
-            state.student, state.opt_state, self.teacher, batch, rng)
+            state.student, state.opt_state, self.teacher, batch, rng,
+            streaming=streaming)
         state.step += 1
         return loss  # device scalar; callers batch the fetch
 
@@ -407,7 +429,17 @@ class FlowDistiller:
                 batch = next(it)
             except StopIteration:
                 it = iter(batches)
-                batch = next(it)
+                try:
+                    batch = next(it)
+                except StopIteration:
+                    # iter() on an exhausted generator returns the same
+                    # exhausted generator — a finite generator cannot be
+                    # cycled; fail with the reason instead of a bare
+                    # StopIteration out of the loop
+                    raise ValueError(
+                        "batches exhausted before reaching the step count "
+                        "and cannot be restarted (pass a list or a "
+                        "restartable/endless iterable)") from None
             pending.append(self.step(state, batch))
             if state.step % log_every == 0 or state.step == steps:
                 vals = np.asarray(jnp.stack(pending))  # one fetch

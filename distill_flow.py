@@ -19,7 +19,36 @@ import os
 
 import jax
 
-from cosy_tpu.config import ModelConfig, TrainConfig, replace
+from cosy_tpu.config import ModelConfig
+
+
+def _make_batches(args):
+    """Shared data plumbing for both families: the flow-only TrainConfig,
+    the parquet dataset, and an endless generator of flow-key batches.
+    Returns None when the data dir is empty (caller prints and exits)."""
+    from cosy_tpu.config import TrainConfig, replace as creplace
+    from cosy_tpu.data.dataset import FlowFinetuneDataset, DataLoader
+
+    tcfg = TrainConfig(training_mode="flow_only", batch_size=args.batch_size,
+                       accumulate_grad_batches=1)
+    if args.max_feat_len:
+        tcfg = creplace(tcfg, max_feat_len=args.max_feat_len)
+    dataset = FlowFinetuneDataset(args.data_dir, augmentation=False,
+                                  seed=args.seed)
+    if len(dataset) == 0:
+        print(f"no data in {args.data_dir}; run prepare_joint_data.py first")
+        return None, tcfg
+
+    def batches():
+        loader = DataLoader(dataset, tcfg, seed=args.seed)
+        while True:
+            for super_batch in loader:
+                # (accum=1, B, ...) -> (B, ...), flow keys only
+                yield {k: v[0] for k, v in super_batch.items()
+                       if k in ("speech_token", "speech_token_len",
+                                "speech_feat", "speech_feat_len", "embedding")}
+
+    return batches, tcfg
 
 
 def main():
@@ -58,44 +87,34 @@ def main():
 
     from cosy_tpu.config import tiny_model_config
     model_cfg = tiny_model_config() if args.tiny else ModelConfig()
-    tcfg = TrainConfig(training_mode="flow_only", batch_size=args.batch_size,
-                       accumulate_grad_batches=1)
-    if args.max_feat_len:
-        tcfg = replace(tcfg, max_feat_len=args.max_feat_len)
+    batches, tcfg = _make_batches(args)
+    if batches is None:
+        return
 
-    from cosy_tpu.compat.loader import load_or_init
     from cosy_tpu.ctx import root_key
     from cosy_tpu.params import load_torch_checkpoint
-    rng = root_key(args.seed, tcfg.prng_impl)
-    pretrained = load_or_init(args.pretrained, model_cfg, rng)
-    flow_params = pretrained["flow"]
     teacher_path = args.flow or os.path.join("output", "flow_merged_joint.pt")
     if os.path.exists(teacher_path):
         print(f"teacher: merged flow weights {teacher_path}")
         flow_params = load_torch_checkpoint(teacher_path)
+    elif args.flow:
+        # an EXPLICIT teacher path that doesn't exist is a typo, not a
+        # fallback — distilling 2000 steps from the base voice instead
+        # would silently ship the wrong voice
+        raise SystemExit(f"--flow {args.flow}: file not found")
     else:
+        # only the implicit default falls back to the pretrained flow
+        # (loaded alone — llm/hift are never touched by distillation)
+        from cosy_tpu.compat.loader import load_or_init
+
+        rng = root_key(args.seed, tcfg.prng_impl)
+        flow_params = load_or_init(args.pretrained, model_cfg, rng)["flow"]
         print(f"teacher: base flow weights ({teacher_path} not found)")
-
-    from cosy_tpu.data.dataset import FlowFinetuneDataset, DataLoader
-    dataset = FlowFinetuneDataset(args.data_dir, augmentation=False,
-                                  seed=args.seed)
-    if len(dataset) == 0:
-        print(f"no data in {args.data_dir}; run prepare_joint_data.py first")
-        return
-
-    def batches():
-        loader = DataLoader(dataset, tcfg, seed=args.seed)
-        while True:
-            for super_batch in loader:
-                # (accum=1, B, ...) -> (B, ...), flow keys only
-                yield {k: v[0] for k, v in super_batch.items()
-                       if k in ("speech_token", "speech_token_len",
-                                "speech_feat", "speech_feat_len", "embedding")}
 
     from cosy_tpu.train.distill import FlowDistiller
     print(f"devices: {jax.devices()}")
     print(f"distilling: steps={args.steps} lr={args.lr} bs={args.batch_size} "
-          f"cfg_rate={args.cfg_rate or model_cfg.flow.cfm.inference_cfg_rate} "
+          f"cfg_rate={model_cfg.flow.cfm.inference_cfg_rate if args.cfg_rate is None else args.cfg_rate} "
           f"inst_frac={args.inst_frac}")
     distiller = FlowDistiller(
         model_cfg.flow, flow_params, lr=args.lr, cfg_rate=args.cfg_rate,
@@ -158,38 +177,23 @@ def _main_cv2(args):
         if os.path.exists(teacher_path):
             print(f"teacher: CV2 flow weights {teacher_path}")
             flow_params = load_torch_checkpoint(teacher_path)
+        elif args.flow:
+            raise SystemExit(f"--flow {args.flow}: file not found")
         else:
             print(f"WARNING: {teacher_path} not found — random init "
                   "(smoke-test mode)")
             flow_params = init_flow2_params(root_key(args.seed, "threefry2x32"),
                                             flow_cfg)
 
-    from cosy_tpu.config import TrainConfig, replace as creplace
-    tcfg = TrainConfig(training_mode="flow_only", batch_size=args.batch_size,
-                       accumulate_grad_batches=1)
-    if args.max_feat_len:
-        tcfg = creplace(tcfg, max_feat_len=args.max_feat_len)
-
-    from cosy_tpu.data.dataset import FlowFinetuneDataset, DataLoader
-    dataset = FlowFinetuneDataset(args.data_dir, augmentation=False,
-                                  seed=args.seed)
-    if len(dataset) == 0:
-        print(f"no data in {args.data_dir}; run prepare_joint_data.py first")
+    batches, tcfg = _make_batches(args)
+    if batches is None:
         return
-
-    def batches():
-        loader = DataLoader(dataset, tcfg, seed=args.seed)
-        while True:
-            for super_batch in loader:
-                yield {k: v[0] for k, v in super_batch.items()
-                       if k in ("speech_token", "speech_token_len",
-                                "speech_feat", "speech_feat_len", "embedding")}
 
     from cosy_tpu.train.distill import FlowDistiller
     print(f"devices: {jax.devices()}")
     print(f"distilling (cv2): steps={args.steps} lr={args.lr} "
           f"bs={args.batch_size} "
-          f"cfg_rate={args.cfg_rate or flow_cfg.cfm.inference_cfg_rate} "
+          f"cfg_rate={flow_cfg.cfm.inference_cfg_rate if args.cfg_rate is None else args.cfg_rate} "
           f"inst_frac={args.inst_frac}")
     distiller = FlowDistiller(
         flow_cfg, flow_params, lr=args.lr, cfg_rate=args.cfg_rate,

@@ -91,14 +91,25 @@ def main():
           f"(lang={'zh' if contains_chinese(args.text) else 'en'})")
 
     icfg = InferenceConfig()
+    _distilled = any(k in params["flow"] for k in (
+        "flow.decoder.estimator.time_mlp_s.linear_1.weight",
+        "decoder.estimator.time_mlp_s.linear_1.weight"))
     if args.meanflow:
-        if "flow.decoder.estimator.time_mlp_s.linear_1.weight" not in params["flow"] \
-                and "decoder.estimator.time_mlp_s.linear_1.weight" not in params["flow"]:
+        if not _distilled:
             raise SystemExit("--meanflow needs distilled flow weights "
                              "(run distill_flow.py first)")
+        if args.meanflow_steps < 1:
+            raise SystemExit("--meanflow-steps must be >= 1")
         from cosy_tpu.config import replace as creplace
         icfg = creplace(icfg, sampler="meanflow",
                         meanflow_steps=args.meanflow_steps)
+    elif _distilled:
+        # a distilled checkpoint under the Euler solver evaluates a field
+        # that is neither v nor u (distillation retrains the whole
+        # estimator as part of the (base + s-branch) sum) — garbled audio
+        raise SystemExit("these flow weights are MeanFlow-distilled "
+                         "(time_mlp_s branch present); pass --meanflow, or "
+                         "point --flow at un-distilled weights")
     pipe = TTSPipeline(model_cfg, params["llm"], params["flow"], params["hift"],
                        icfg, finetuned_norm=True)
 

@@ -310,3 +310,27 @@ def test_flow2_distillation_and_meanflow_sampler():
     print("cv2 err distilled:", err1, err2)
     assert err1 < 0.8 * err1_init, (err1_init, err1)
     assert err2 < 0.8 * err2_init, (err2_init, err2)
+
+
+def test_flow2_distill_streaming_mode():
+    """The CV2 distillation covers the chunked-causal (streaming) attention
+    variant that pipeline2's streaming serving runs the student under:
+    the streaming loss is finite and differs from the non-streaming one
+    (different attention pattern), and FlowDistiller alternates the flag
+    host-side (two cached programs, flow2_forward_train's contract)."""
+    cfg, teacher = _tiny_flow2()
+    distiller = D.FlowDistiller(cfg, teacher, family="cv2", lr=1e-3, seed=0,
+                                prng_impl="threefry2x32")
+    state = distiller.init_state()
+    batch = {k: jnp.asarray(v) for k, v in _batch2(seed=1).items()}
+    rng = jax.random.PRNGKey(5)
+    l_ns = float(D.flow2_distill_loss(state.student, teacher, cfg, rng, batch,
+                                      streaming=False))
+    l_st = float(D.flow2_distill_loss(state.student, teacher, cfg, rng, batch,
+                                      streaming=True))
+    assert np.isfinite(l_ns) and np.isfinite(l_st)
+    assert l_ns != l_st  # chunked-causal attention actually engaged
+    # the distiller's step alternates the static flag per step
+    l0 = distiller.step(state, batch)
+    l1 = distiller.step(state, batch)
+    assert np.isfinite(float(l0)) and np.isfinite(float(l1))

@@ -205,3 +205,58 @@ def test_flow_inference_adapters_match_merged():
         # and the adapters actually change the output
         r_0 = np.asarray(run(params, None))
         assert np.abs(r_a - r_0).max() > 1e-3
+
+
+def test_stacked_conv1x1_routing_both_layouts():
+    """The voice-stacked 1x1-conv LoRA branches (layers/basic.py
+    _conv1x1_lora_delta): per-row routing equals each voice's solo delta in
+    BOTH conv layouts, and a stacked dict without Ctx.lora_vids raises the
+    explicit error (not an opaque trace failure)."""
+    from cosy_tpu.layers.basic import conv1d, conv1d_nwc
+
+    with jax.enable_x64(True):
+        rng = np.random.default_rng(0)
+        V, B, Cin, Cout, T, r = 3, 4, 6, 5, 7, 2
+        params = {"c.weight": jnp.asarray(rng.standard_normal((Cout, Cin, 1))),
+                  "c.bias": jnp.asarray(rng.standard_normal((Cout,)))}
+        a = jnp.asarray(rng.standard_normal((V, r, Cin, 1)))
+        b = jnp.asarray(rng.standard_normal((V, Cout, r, 1)))
+        vids = jnp.asarray(rng.integers(0, V, (B,)), jnp.int32)
+        x_nct = jnp.asarray(rng.standard_normal((B, Cin, T)))
+
+        stacked = Ctx(lora={"c.lora_A.weight": a, "c.lora_B.weight": b},
+                      lora_scale=2.0, lora_vids=vids)
+        got = conv1d(P(params), "c", x_nct, ctx=stacked)
+        got_nwc = conv1d_nwc(P(params), "c", x_nct.transpose(0, 2, 1),
+                             ctx=stacked)
+        for i in range(B):
+            solo = Ctx(lora={"c.lora_A.weight": a[vids[i]],
+                             "c.lora_B.weight": b[vids[i]]}, lora_scale=2.0)
+            want = conv1d(P(params), "c", x_nct[i:i + 1], ctx=solo)
+            np.testing.assert_allclose(np.asarray(got[i]),
+                                       np.asarray(want[0]), atol=1e-12)
+            np.testing.assert_allclose(np.asarray(got_nwc[i]),
+                                       np.asarray(want[0]).T, atol=1e-12)
+
+        no_vids = Ctx(lora={"c.lora_A.weight": a, "c.lora_B.weight": b},
+                      lora_scale=2.0)
+        with pytest.raises(ValueError, match="lora_vids"):
+            conv1d(P(params), "c", x_nct, ctx=no_vids)
+        with pytest.raises(ValueError, match="lora_vids"):
+            conv1d_nwc(P(params), "c", x_nct.transpose(0, 2, 1), ctx=no_vids)
+
+
+def test_decode_lora_unsupported_target_raises(llm_setup):
+    """Adapter keys the decode loop cannot route (e.g. a custom 'decoder'
+    target hitting llm_decoder) fail loudly at stack time instead of being
+    silently dropped mid-decode."""
+    cfg, params, voices, prefix = llm_setup
+    bad = dict(voices[0])
+    bad["llm_decoder.lora_A"] = jnp.zeros((2, 16))
+    bad["llm_decoder.lora_B"] = jnp.zeros((cfg.speech_token_size + 1, 2))
+    with pytest.raises(ValueError, match="silently ignored"):
+        L._stack_decode_loras(LORA.ensure_voice_stacked(bad),
+                              cfg.llm.num_blocks)
+    # text_encoder adapters are prefill-only and stay allowed
+    ok = {k: v for k, v in voices[0].items()}
+    L._stack_decode_loras(LORA.ensure_voice_stacked(ok), cfg.llm.num_blocks)

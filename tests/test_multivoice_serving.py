@@ -214,3 +214,121 @@ def test_http_voice_routing(setup):
         assert b"unknown voice" in ei.value.read()
     finally:
         httpd.shutdown()
+
+
+def test_voice_names_accessor(setup):
+    pipe, _, _ = setup
+    assert pipe.voice_names == ["alice", "bob"]
+    # returns a copy, not the live registry
+    pipe.voice_names.append("mallory")
+    assert pipe.voice_names == ["alice", "bob"]
+
+
+def test_voiced_request_denormalizes_on_base_pipeline():
+    """Serving reality: --voices on a BASE model dir builds the pipeline
+    with finetuned_norm=False, but the fine-tuned adapters operate in
+    normalized mel space — the denorm must apply exactly when adapters are
+    routed (lora is not None is static per trace), matching a merged
+    finetuned_norm=True pipeline."""
+    llm_p, flow_p, hift_p = _params()
+    base = TTSPipeline(MODEL_CFG, llm_p, flow_p, hift_p, InferenceConfig(),
+                       finetuned_norm=False)
+    voices = {"alice": _voice_adapters(llm_p, flow_p, 7)}
+    base.set_voices(voices, llm_scale=LLM_LORA.scaling,
+                    flow_scale=FLOW_LORA.scaling)
+    merged = TTSPipeline(
+        MODEL_CFG,
+        LORA.merge_lora(llm_p, voices["alice"]["llm"], LLM_LORA.scaling),
+        LORA.merge_lora(flow_p, voices["alice"]["flow"], FLOW_LORA.scaling),
+        hift_p, InferenceConfig(), finetuned_norm=True)
+    got = _wav(base, "alice")
+    want = _wav(merged, None)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_http_voice_spk_conflict(setup):
+    pipe, _, _ = setup
+
+    class _Api:
+        model = pipe
+        sample_rate = MODEL_CFG.sample_rate
+
+        @staticmethod
+        def _next_rng():
+            return jax.random.PRNGKey(11)
+
+    server = TTSServer(_Api())
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(
+        server, MODEL_CFG.sample_rate))
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/tts",
+            data=json.dumps({"text": "hi.", "voice": "alice",
+                             "spk_id": "x"}).encode(),
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=60)
+        assert ei.value.code == 400
+        assert b"mutually exclusive" in ei.value.read()
+    finally:
+        httpd.shutdown()
+
+
+def _cohort_wavs(pipe, ids, voices, seed=5):
+    """Run synthesize_stream_batch and return per-row concatenated audio."""
+    spk = np.zeros((1, MODEL_CFG.llm.spk_embed_dim), np.float32)
+    parts = {}
+    for b, wav, done in pipe.synthesize_stream_batch(
+            jax.random.PRNGKey(seed), [ids] * len(voices),
+            [spk] * len(voices), voices=voices):
+        parts.setdefault(b, []).append(wav)
+    return {b: np.concatenate(ws, axis=1) for b, ws in parts.items()}
+
+
+def test_voiced_cohort_streaming(setup):
+    """Voiced rows route their adapters inside the SHARED cohort decode:
+    a voiced B=1 cohort equals the same cohort on a merged-weights pipeline,
+    and in a mixed cohort the base row is unaffected by its voiced
+    neighbor (the bank's zero base row gives an exactly-zero delta)."""
+    pipe, voices, (llm_p, flow_p, hift_p) = setup
+    ids = np.asarray([[3, 9, 2, 7, 1, 4]], np.int32)
+
+    merged = TTSPipeline(
+        MODEL_CFG,
+        LORA.merge_lora(llm_p, voices["alice"]["llm"], LLM_LORA.scaling),
+        LORA.merge_lora(flow_p, voices["alice"]["flow"], FLOW_LORA.scaling),
+        hift_p, InferenceConfig(), finetuned_norm=True)
+
+    got = _cohort_wavs(pipe, ids, ["alice"])[0]
+    want = _cohort_wavs(merged, ids, [None])[0]
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+    mixed = _cohort_wavs(pipe, ids, ["alice", None])
+    pure = _cohort_wavs(pipe, ids, [None, None])
+    # base row: zero-row routing == adapter-free decode
+    np.testing.assert_allclose(mixed[1], pure[1], atol=1e-6)
+    # voiced row actually differs from base
+    assert (mixed[0].shape != pure[0].shape
+            or not np.allclose(mixed[0], pure[0], atol=1e-4))
+
+
+def test_voiced_batch_nonstreaming(setup):
+    """synthesize_batch with per-row voices == solo voiced synthesis rng-for-
+    rng (same fold_in(k_wav, b) streams), mixed with a base row."""
+    pipe, voices, (llm_p, flow_p, hift_p) = setup
+    ids = np.asarray([[3, 9, 2, 7, 1, 4]], np.int32)
+    spk = np.zeros((1, MODEL_CFG.llm.spk_embed_dim), np.float32)
+    rng = jax.random.PRNGKey(9)
+    wavs = pipe.synthesize_batch(rng, [ids, ids], [spk, spk],
+                                 voices=["bob", None])
+    assert all(np.all(np.isfinite(w)) for w in wavs)
+    # rows differ (bob's adapters vs base)
+    assert (wavs[0].shape != wavs[1].shape
+            or not np.allclose(wavs[0], wavs[1], atol=1e-4))
+    # the base row matches a voice-free batch bit-for-bit (zero-row delta)
+    base = pipe.synthesize_batch(rng, [ids, ids], [spk, spk])
+    np.testing.assert_allclose(wavs[1], base[1], atol=1e-6)
