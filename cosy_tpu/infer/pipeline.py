@@ -441,14 +441,15 @@ class TTSPipeline:
         public registry accessor for serving-layer validation."""
         return list(self._voice_names)
 
-    def _voice_batch(self, voices, B: int):
+    def _voice_batch(self, voices):
         """(bank, vids (B,) int32) for per-row cohort/batch routing, or
-        (None, None) when no row is voiced.  Unvoiced rows route through the
-        bank's trailing ALL-ZERO base row (vid == len(voice_names)): exact
-        zero delta, bit-identical to the adapter-free program."""
+        (None, None) when no row needs LLM adapter routing.  Unvoiced rows
+        route through the bank's trailing ALL-ZERO base row (vid ==
+        len(voice_names)): exact zero delta, bit-identical to the
+        adapter-free program.  Voice names are always validated here — a
+        flow-only registry (no llm bank) still rejects unknown names, so
+        callers need no prior _build_prefix screening."""
         if voices is None or all(not v for v in voices):
-            return None, None
-        if self._voice_llm_bank is None:
             return None, None
         base = len(self._voice_names)
         idx = []
@@ -462,6 +463,8 @@ class TTSPipeline:
                     raise KeyError(
                         f"unknown voice {v!r}; registered: "
                         f"{self._voice_names} (set_voices)") from None
+        if self._voice_llm_bank is None:  # flow-only voices: no LLM routing
+            return None, None
         return self._voice_llm_bank, jnp.asarray(idx, jnp.int32)
 
     def _voice(self, voice):
@@ -630,7 +633,7 @@ class TTSPipeline:
                                     voice=v or None)
                  for t, s, v in zip(text_tokens_list, spk_embeddings, voices)]
         prefix, valid, min_lens, max_lens, max_len = _batch_prefixes(built)
-        bank, vids = self._voice_batch(voices, B)
+        bank, vids = self._voice_batch(voices)
 
         k_llm, k_wav = jax.random.split(rng)
         res = self._decode_batch_jit(
@@ -693,7 +696,7 @@ class TTSPipeline:
                                     voice=v or None)
                  for t, s, v in zip(text_tokens_list, spk_embeddings, voices)]
         prefix, valid, min_lens, max_lens, max_len = _batch_prefixes(built)
-        bank, vids = self._voice_batch(voices, B)
+        bank, vids = self._voice_batch(voices)
 
         k_llm, k_wav = jax.random.split(rng)
         spks = [np.zeros((1, self.cfg.llm.spk_embed_dim), np.float32)

@@ -161,8 +161,11 @@ def hift_decode(
         sf_valid = mel_valid * int(np.prod(cfg.upsample_rates)) + 1
         s_stft = s_stft * vmask(s_stft.shape[-1], sf_valid)
 
-    gemm = (cfg.gemm_convs if os.environ.get("COSY_TPU_HIFT_GEMM") is None
-            else os.environ.get("COSY_TPU_HIFT_GEMM") == "1")
+    _genv = os.environ.get("COSY_TPU_HIFT_GEMM")
+    if _genv not in (None, "0", "1"):
+        raise ValueError(
+            f"COSY_TPU_HIFT_GEMM must be '0' or '1', got {_genv!r}")
+    gemm = cfg.gemm_convs if _genv is None else _genv == "1"
     conv_s1 = conv1d_gemm if gemm else conv1d  # stride-1 decode convs only
 
     x = conv_s1(p, "conv_pre", mel, padding=3, ctx=ctx)

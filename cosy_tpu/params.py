@@ -161,6 +161,33 @@ def save_torch_checkpoint(params: Params, path: str):
     torch.save(state, path)
 
 
+def save_weight_meta(path: str, **meta):
+    """Write a ``<path>.meta.json`` provenance sidecar next to a weight file.
+
+    The state dict itself stays byte-compatible with stock CosyVoice loaders
+    (reference: merge_joint_weights.py saves plain ``.pt``); provenance that
+    consumers need to serve the weights correctly — e.g. whether a flow
+    checkpoint operates in normalized mel space (``mel_space: normalized`` for
+    fine-tune/distill outputs vs ``raw`` for pretrained-space weights) —
+    rides in the sidecar so ``serve.py --flow-weights`` can pick the right
+    ``finetuned_norm`` default instead of guessing."""
+    import json
+
+    with open(path + ".meta.json", "w") as f:
+        json.dump(meta, f, indent=0, sort_keys=True)
+
+
+def load_weight_meta(path: str) -> Optional[dict]:
+    """Read the ``<path>.meta.json`` sidecar; None if absent/unreadable."""
+    import json
+
+    try:
+        with open(path + ".meta.json") as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+
+
 def strip_prefix(params: Params, prefix: str) -> Params:
     """Select keys under ``prefix`` and strip it (e.g. Lightning ``model.llm.``)."""
     out = {}

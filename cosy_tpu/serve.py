@@ -440,6 +440,40 @@ def make_handler(server: TTSServer, sample_rate: int):
     return Handler
 
 
+def resolve_finetuned_norm(flow_weights_path, override_flow, explicit,
+                           cosyvoice2) -> bool:
+    """Decide whether served v1 flow weights operate in normalized mel space
+    (fine-tune/distill outputs, which need the output denorm like
+    inference_joint.py:129-151) or raw mel space (pretrained-style).
+
+    Precedence: explicit --finetuned-norm > the weights' .meta.json
+    provenance sidecar (written by cosy_tpu's export tools) > the distilled
+    time_mlp_s key signature.  Unknown provenance raises — a raw-mel
+    checkpoint served with the denorm on fails SILENTLY as garbled audio, so
+    guessing from the flag's mere presence is not acceptable."""
+    if explicit is not None:
+        return bool(explicit)
+    if cosyvoice2 or override_flow is None:
+        return False  # CV2 has no denorm; stock model-dir weights are raw
+    from .params import load_weight_meta
+
+    meta = load_weight_meta(flow_weights_path)
+    if meta and "mel_space" in meta:
+        print(f"flow: mel_space={meta['mel_space']} "
+              f"({flow_weights_path}.meta.json)")
+        return meta["mel_space"] == "normalized"
+    if "decoder.estimator.time_mlp_s.linear_1.weight" in override_flow:
+        return True  # distill_flow.py v1 output (normalized space)
+    raise SystemExit(
+        f"--flow-weights {flow_weights_path}: cannot tell whether these "
+        "weights operate in normalized mel space (fine-tune/distill "
+        "outputs) or raw mel space (pretrained-style) — no .meta.json "
+        "sidecar was found next to the file.  Pass --finetuned-norm 1 "
+        "(merged fine-tune / v1 distill outputs) or --finetuned-norm 0 "
+        "(raw-mel-space weights); cosy_tpu's own export tools write the "
+        "sidecar automatically.")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model-dir", default="pretrained_models/CosyVoice-300M")
@@ -481,8 +515,10 @@ def main():
     ap.add_argument("--finetuned-norm", type=int, choices=[0, 1], default=None,
                     help="treat the flow weights as normalized-mel "
                          "(fine-tuned/distilled v1) and denormalize on "
-                         "output; default: auto — on when --flow-weights "
-                         "is given on the v1 family")
+                         "output; default: read from the weights' "
+                         ".meta.json provenance sidecar (written by "
+                         "cosy_tpu's export tools) — required explicitly "
+                         "when --flow-weights points at a file without one")
     ap.add_argument("--attn-window", type=int, default=0,
                     help="opt-in local-band estimator attention: each mel "
                          "frame attends only this many neighbor frames "
@@ -516,19 +552,25 @@ def main():
     # v1 fine-tuned/distilled flow weights operate in normalized mel space
     # (flow_distill_loss / the fine-tune loss, MEL −6.0/2.0) and need the
     # denorm on the way out, exactly like inference_joint.py; CV2 flows
-    # train in raw mel space and take no such flag
-    fnorm = (bool(args.finetuned_norm) if args.finetuned_norm is not None
-             else bool(args.flow_weights) and not args.cosyvoice2)
+    # train in raw mel space and take no such flag.  The default is keyed
+    # off CHECKPOINT PROVENANCE, not off the flag's mere presence: a raw
+    # mel-space v1 checkpoint served with the denorm on would fail silently
+    # as garbled audio, so unknown provenance demands an explicit choice.
+    override_flow = None
+    if args.flow_weights:
+        from .params import load_torch_checkpoint
+
+        override_flow = load_torch_checkpoint(args.flow_weights)
+    fnorm = resolve_finetuned_norm(args.flow_weights, override_flow,
+                                   args.finetuned_norm, args.cosyvoice2)
     api = (CosyVoice2 if args.cosyvoice2 else CosyVoice)(
         args.model_dir, infer_cfg=icfg,
         **({} if args.cosyvoice2 else {"finetuned_norm": fnorm}))
     if fnorm:
         print("flow: finetuned_norm on (normalized-mel weights; "
               "--finetuned-norm 0 to disable)")
-    if args.flow_weights:
-        from .params import load_torch_checkpoint
-
-        api.model.flow_params = load_torch_checkpoint(args.flow_weights)
+    if override_flow is not None:
+        api.model.flow_params = override_flow
         print(f"flow weights <- {args.flow_weights}")
     _distilled = ("decoder.estimator.time_mlp_s.linear_1.weight"
                   in api.model.flow_params)
@@ -603,32 +645,55 @@ def main():
         for wav in server.synthesize("warmup.", stream=True):
             pass
         vnames = getattr(api.model, "voice_names", [])
+        # the live non-streaming route is synthesize_batched (a lone request
+        # runs it at B=1) — warm the batch-decode program, not just the solo
+        # one
+        if hasattr(api.model, "synthesize_batch"):
+            server.synthesize_batched("warmup.")
         if vnames:
-            # voiced programs have their own jit signature (lora bank + vid
-            # args) — warm them too or the first voiced request pays the
-            # cold compile this flag exists to avoid; one voice suffices
-            # (every voice shares the same program)
+            # voiced programs have their own jit signatures (lora bank + vid
+            # args).  The handler routes voiced requests to the BATCHED
+            # paths (synthesize_batched / synthesize_stream_batched), whose
+            # bank-routed decode programs differ from the solo ones — warm
+            # both the solo programs (used when speed != 1.0) and the
+            # batched ones; one voice suffices (every voice shares the same
+            # program)
             for wav in server.synthesize("warmup.", stream=False,
                                          voice=vnames[0]):
                 pass
             for wav in server.synthesize("warmup.", stream=True,
                                          voice=vnames[0]):
                 pass
+            if hasattr(api.model, "synthesize_batch"):
+                server.synthesize_batched("warmup.", voice=vnames[0])
         # the serving path proper is cohort streaming at B>1 — compile the
         # segmented batch decode + fused batch token2wav too, or the first
-        # live concurrent-stream batch pays the minutes-long cold compile
-        def _drain():
-            if server.engine is not None:
+        # live concurrent-stream batch pays the minutes-long cold compile;
+        # with voices registered, drain a voiced cohort so the bank-routed
+        # segmented decode compiles too
+        def _drain(voice=""):
+            if server.engine is not None and not voice:
                 for _ in server.synthesize_stream_engine("warmup cohort."):
                     pass
             else:
-                for _ in server.synthesize_stream_batched("warmup cohort."):
+                for _ in server.synthesize_stream_batched("warmup cohort.",
+                                                          voice=voice):
                     pass
-        cohort = [threading.Thread(target=_drain) for _ in range(2)]
-        for t in cohort:
-            t.start()
-        for t in cohort:
-            t.join()
+
+        def _run_cohort(voice=""):
+            cohort = [threading.Thread(target=_drain, args=(voice,))
+                      for _ in range(2)]
+            for t in cohort:
+                t.start()
+            for t in cohort:
+                t.join()
+
+        _run_cohort()
+        if vnames:
+            # a separate all-voiced cohort: mixing it into the unvoiced one
+            # would compile only the bank-routed program and leave the
+            # plain cohort decode cold
+            _run_cohort(vnames[0])
         print(f"warmup done in {_time.time() - t0:.0f}s "
               f"({server.batches_run} batch programs)")
     httpd = ThreadingHTTPServer(("0.0.0.0", args.port),

@@ -456,6 +456,15 @@ class FlowDistiller:
         merged = {**self.teacher, **state.student}
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         save_torch_checkpoint(merged, path)
+        from ..params import save_weight_meta
+
+        # v1 distillation runs in normalized mel space (flow_distill_loss
+        # mirrors the fine-tune loss); CV2 trains in raw mel like its own
+        # flow — record it so serving picks the right denorm default
+        save_weight_meta(
+            path,
+            mel_space="normalized" if self.family == "v1" else "raw",
+            producer="cosy_tpu.distill", sampler="meanflow")
         return merged
 
 

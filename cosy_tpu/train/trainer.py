@@ -407,9 +407,18 @@ class JointTrainer:
             out["flow"] = merge_lora(_cast(self.flow_params, jnp.float32),
                                      state.loras["flow"], self.tcfg.flow_lora.scaling)
         if save:
+            from ..params import save_weight_meta
+
             for name, params in out.items():
                 path = os.path.join(self.out_dir, f"{name}_merged_{self.tcfg.training_mode}.pt")
                 save_torch_checkpoint(params, path)
+                if name == "flow":
+                    # fine-tuned flow weights operate in normalized mel
+                    # space (the fine-tune loss, MEL -6.0/2.0) — record it
+                    # so serve.py --flow-weights defaults finetuned_norm
+                    # from provenance instead of guessing
+                    save_weight_meta(path, mel_space="normalized",
+                                     producer="cosy_tpu.export_merged")
                 print(f"saved merged {name} weights -> {path}")
         return out
 
