@@ -67,38 +67,52 @@ def resample(wav: np.ndarray, sr: int, target_sr: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-class OnnxSpeechTokenizer:
-    """ONNX speech tokenizer (frontend.py:131-141): 16 kHz -> whisper 128-mel
-    -> onnx session -> 50 Hz tokens.  Requires onnxruntime + the model file."""
-
-    def __init__(self, onnx_path: str):
+def _onnx_backend(onnx_path: str):
+    """(input_names, run(feeds) -> [np arrays]) over onnxruntime when it is
+    installed, else over the native ONNX->XLA ingestion
+    (cosy_tpu.compat.onnx) — the frozen extractor models then run as jitted
+    device programs with no extra runtime dependency."""
+    try:
         import onnxruntime  # gated import
 
-        self.session = onnxruntime.InferenceSession(
+        session = onnxruntime.InferenceSession(
             onnx_path, providers=["CPUExecutionProvider"])
+        names = [i.name for i in session.get_inputs()]
+        return names, lambda feeds: [np.asarray(o) for o in session.run(None, feeds)]
+    except ImportError:
+        from ..compat.onnx import OnnxModel
+
+        model = OnnxModel.load(onnx_path)
+        return list(model.input_names), lambda feeds: [
+            np.asarray(o) for o in model(*[feeds[n] for n in model.input_names])]
+
+
+class OnnxSpeechTokenizer:
+    """ONNX speech tokenizer (frontend.py:131-141): 16 kHz -> whisper 128-mel
+    -> onnx graph -> 50 Hz tokens.  Runs via onnxruntime when installed,
+    else natively through compat.onnx (jitted XLA)."""
+
+    def __init__(self, onnx_path: str):
+        self._input_names, self._run = _onnx_backend(onnx_path)
 
     def __call__(self, wav16k: np.ndarray) -> np.ndarray:
         mel = whisper_log_mel(wav16k, n_mels=128)[None]
-        out = self.session.run(
-            None, {self.session.get_inputs()[0].name: mel.astype(np.float32),
-                   self.session.get_inputs()[1].name: np.array([mel.shape[2]], np.int32)})
+        out = self._run({self._input_names[0]: mel.astype(np.float32),
+                         self._input_names[1]: np.array([mel.shape[2]], np.int32)})
         return np.asarray(out[0]).reshape(-1).astype(np.int64)
 
 
 class OnnxCampplus:
     """ONNX campplus speaker encoder (frontend.py:143-152): kaldi fbank 80,
-    mean-normalized."""
+    mean-normalized.  onnxruntime or native compat.onnx execution."""
 
     def __init__(self, onnx_path: str):
-        import onnxruntime
-
-        self.session = onnxruntime.InferenceSession(
-            onnx_path, providers=["CPUExecutionProvider"])
+        self._input_names, self._run = _onnx_backend(onnx_path)
 
     def __call__(self, wav16k: np.ndarray) -> np.ndarray:
         feat = kaldi_fbank(wav16k, sr=16000, n_mels=80)
         feat = feat - feat.mean(axis=0, keepdims=True)
-        out = self.session.run(None, {self.session.get_inputs()[0].name: feat[None]})
+        out = self._run({self._input_names[0]: feat[None]})
         return np.asarray(out[0]).reshape(-1).astype(np.float32)
 
 

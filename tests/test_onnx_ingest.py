@@ -1,0 +1,453 @@
+"""Native ONNX ingestion (compat/onnx.py) vs torch/numpy oracles.
+
+The test-local writer below serializes ONNX protobuf wire data independently
+of the module's reader (field numbers straight from onnx.proto), so the
+round trip exercises both directions of the format; op semantics are checked
+against torch eager / numpy, which is what the reference's onnxruntime
+sessions compute (cosyvoice/cli/frontend.py:54-63).
+"""
+
+import struct
+
+import numpy as np
+import pytest
+import jax
+
+from cosy_tpu.compat.onnx import OnnxModel
+
+# ---------------------------------------------------------------------------
+# minimal ONNX protobuf WRITER (test-local, independent of the reader)
+# ---------------------------------------------------------------------------
+
+_NP2ONNX = {np.dtype(np.float32): 1, np.dtype(np.uint8): 2,
+            np.dtype(np.int8): 3, np.dtype(np.int32): 6,
+            np.dtype(np.int64): 7, np.dtype(np.bool_): 9,
+            np.dtype(np.float16): 10, np.dtype(np.float64): 11}
+
+
+def _uv(v: int) -> bytes:  # unsigned varint
+    v &= (1 << 64) - 1
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _f(fno: int, wt: int) -> bytes:
+    return _uv((fno << 3) | wt)
+
+
+def _ld(fno: int, payload: bytes) -> bytes:  # length-delimited field
+    return _f(fno, 2) + _uv(len(payload)) + payload
+
+
+def tensor(arr: np.ndarray, name: str = "") -> bytes:
+    arr = np.asarray(arr)
+    out = b"".join(_f(1, 0) + _uv(d) for d in arr.shape)
+    out += _f(2, 0) + _uv(_NP2ONNX[arr.dtype])
+    if name:
+        out += _ld(8, name.encode())
+    out += _ld(9, arr.astype(arr.dtype.newbyteorder("<")).tobytes())
+    return out
+
+
+def _attr(name: str, val) -> bytes:
+    out = _ld(1, name.encode())
+    if isinstance(val, float):
+        out += _f(2, 5) + struct.pack("<f", val)
+    elif isinstance(val, bool) or isinstance(val, int):
+        out += _f(3, 0) + _uv(int(val))
+    elif isinstance(val, str):
+        out += _ld(4, val.encode())
+    elif isinstance(val, bytes):
+        out += _ld(4, val)
+    elif isinstance(val, np.ndarray):
+        out += _ld(5, tensor(val))
+    elif isinstance(val, (list, tuple)) and val and isinstance(val[0], float):
+        out += b"".join(_f(7, 5) + struct.pack("<f", v) for v in val)
+    elif isinstance(val, (list, tuple)):
+        out += b"".join(_f(8, 0) + _uv(int(v)) for v in val)
+    else:
+        raise TypeError(type(val))
+    return out
+
+
+def node(op: str, inputs, outputs, **attrs) -> bytes:
+    out = b"".join(_ld(1, i.encode()) for i in inputs)
+    out += b"".join(_ld(2, o.encode()) for o in outputs)
+    out += _ld(4, op.encode())
+    out += b"".join(_ld(5, _attr(k, v)) for k, v in attrs.items())
+    return out
+
+
+def vinfo(name: str, dtype=np.float32, shape=()) -> bytes:
+    dims = b"".join(_ld(1, _f(1, 0) + _uv(d)) for d in shape)
+    ttype = _f(1, 0) + _uv(_NP2ONNX[np.dtype(dtype)]) + _ld(2, dims)
+    return _ld(1, name.encode()) + _ld(2, _ld(1, ttype))
+
+
+def model(nodes, inputs, outputs, initializers=None, opset: int = 17) -> bytes:
+    g = b"".join(_ld(1, n) for n in nodes)
+    g += b"".join(_ld(5, tensor(a, name)) for name, a in (initializers or {}).items())
+    g += b"".join(_ld(11, v) for v in inputs)
+    g += b"".join(_ld(12, v) for v in outputs)
+    m = _f(1, 0) + _uv(8)  # ir_version
+    m += _ld(7, g)
+    m += _ld(8, _ld(1, b"") + _f(2, 0) + _uv(opset))  # opset_import
+    return m
+
+
+# ---------------------------------------------------------------------------
+# op tests vs torch / numpy
+# ---------------------------------------------------------------------------
+
+
+def test_conv_bn_relu_matches_torch():
+    import torch
+
+    torch.manual_seed(0)
+    conv = torch.nn.Conv1d(4, 8, 3, stride=2, padding=2, dilation=2)
+    bn = torch.nn.BatchNorm1d(8)
+    bn.eval(), conv.eval()
+    with torch.no_grad():
+        bn.running_mean.uniform_(-1, 1)
+        bn.running_var.uniform_(0.5, 2)
+        x = torch.randn(2, 4, 21)
+        want = torch.relu(bn(conv(x))).numpy()
+
+    m = OnnxModel(model(
+        nodes=[
+            node("Conv", ["x", "w", "b"], ["c"], strides=[2], pads=[2, 2],
+                 dilations=[2], kernel_shape=[3]),
+            node("BatchNormalization", ["c", "sc", "bb", "mu", "var"], ["n"],
+                 epsilon=float(bn.eps)),
+            node("Relu", ["n"], ["y"]),
+        ],
+        inputs=[vinfo("x", np.float32, (2, 4, 21))],
+        outputs=[vinfo("y")],
+        initializers={
+            "w": conv.weight.detach().numpy(), "b": conv.bias.detach().numpy(),
+            "sc": bn.weight.detach().numpy(), "bb": bn.bias.detach().numpy(),
+            "mu": bn.running_mean.numpy(), "var": bn.running_var.numpy(),
+        }))
+    got = np.asarray(m(x.numpy())[0])
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_grouped_conv2d_matches_torch():
+    import torch
+
+    torch.manual_seed(1)
+    conv = torch.nn.Conv2d(8, 12, (3, 5), stride=(1, 2), padding=(1, 2), groups=4)
+    conv.eval()
+    with torch.no_grad():
+        x = torch.randn(2, 8, 9, 11)
+        want = conv(x).numpy()
+    m = OnnxModel(model(
+        nodes=[node("Conv", ["x", "w", "b"], ["y"], strides=[1, 2],
+                    pads=[1, 2, 1, 2], group=4, kernel_shape=[3, 5])],
+        inputs=[vinfo("x", np.float32, tuple(x.shape))], outputs=[vinfo("y")],
+        initializers={"w": conv.weight.detach().numpy(),
+                      "b": conv.bias.detach().numpy()}))
+    np.testing.assert_allclose(np.asarray(m(x.numpy())[0]), want,
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_conv_transpose_matches_torch():
+    import torch
+
+    torch.manual_seed(2)
+    ct = torch.nn.ConvTranspose1d(6, 4, 4, stride=2, padding=1)
+    ct.eval()
+    with torch.no_grad():
+        x = torch.randn(1, 6, 10)
+        want = ct(x).numpy()
+    m = OnnxModel(model(
+        nodes=[node("ConvTranspose", ["x", "w", "b"], ["y"], strides=[2],
+                    pads=[1, 1], kernel_shape=[4])],
+        inputs=[vinfo("x", np.float32, (1, 6, 10))], outputs=[vinfo("y")],
+        initializers={"w": ct.weight.detach().numpy(),
+                      "b": ct.bias.detach().numpy()}))
+    np.testing.assert_allclose(np.asarray(m(x.numpy())[0]), want,
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_grouped_conv_transpose_matches_torch():
+    import torch
+
+    torch.manual_seed(3)
+    ct = torch.nn.ConvTranspose1d(8, 6, 3, stride=3, padding=0, groups=2)
+    ct.eval()
+    with torch.no_grad():
+        x = torch.randn(2, 8, 7)
+        want = ct(x).numpy()
+    m = OnnxModel(model(
+        nodes=[node("ConvTranspose", ["x", "w", "b"], ["y"], strides=[3],
+                    group=2, kernel_shape=[3])],
+        inputs=[vinfo("x", np.float32, (2, 8, 7))], outputs=[vinfo("y")],
+        initializers={"w": ct.weight.detach().numpy(),
+                      "b": ct.bias.detach().numpy()}))
+    np.testing.assert_allclose(np.asarray(m(x.numpy())[0]), want,
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_pools_match_torch():
+    import torch
+
+    torch.manual_seed(4)
+    x = torch.randn(2, 3, 17)
+    mp = torch.nn.functional.max_pool1d(x, 3, stride=2, padding=1)
+    ap = torch.nn.functional.avg_pool1d(x, 4, stride=3, padding=1,
+                                        count_include_pad=False)
+    gp = x.mean(dim=2, keepdim=True)
+    m = OnnxModel(model(
+        nodes=[
+            node("MaxPool", ["x"], ["m"], kernel_shape=[3], strides=[2], pads=[1, 1]),
+            node("AveragePool", ["x"], ["a"], kernel_shape=[4], strides=[3],
+                 pads=[1, 1], count_include_pad=0),
+            node("GlobalAveragePool", ["x"], ["g"]),
+        ],
+        inputs=[vinfo("x", np.float32, (2, 3, 17))],
+        outputs=[vinfo("m"), vinfo("a"), vinfo("g")]))
+    got = m(x.numpy())
+    np.testing.assert_allclose(np.asarray(got[0]), mp.numpy(), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(got[1]), ap.numpy(), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got[2]), gp.numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_attention_block_matches_numpy():
+    """Gemm/MatMul/Transpose/Softmax/LayerNormalization — the transformer
+    core the speech-tokenizer encoder is built from."""
+    rng = np.random.default_rng(0)
+    T, D, H = 6, 16, 4
+    x = rng.standard_normal((1, T, D)).astype(np.float32)
+    wq = rng.standard_normal((D, D)).astype(np.float32)
+    wk = rng.standard_normal((D, D)).astype(np.float32)
+    wv = rng.standard_normal((D, D)).astype(np.float32)
+    g = np.abs(rng.standard_normal(D)).astype(np.float32)
+    b = rng.standard_normal(D).astype(np.float32)
+
+    # numpy oracle
+    def ln(v):
+        mu = v.mean(-1, keepdims=True)
+        var = v.var(-1, keepdims=True)
+        return (v - mu) / np.sqrt(var + 1e-5) * g + b
+
+    xl = ln(x)
+    q = (xl @ wq).reshape(1, T, H, D // H).transpose(0, 2, 1, 3)
+    k = (xl @ wk).reshape(1, T, H, D // H).transpose(0, 2, 1, 3)
+    v = (xl @ wv).reshape(1, T, H, D // H).transpose(0, 2, 1, 3)
+    s = q @ k.transpose(0, 1, 3, 2) / np.sqrt(D // H)
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p = p / p.sum(-1, keepdims=True)
+    want = (p @ v).transpose(0, 2, 1, 3).reshape(1, T, D)
+
+    def proj(name, w, out):
+        return [
+            node("MatMul", ["xl", w], [f"{name}0"]),
+            node("Reshape", [f"{name}0", "hshape"], [f"{name}1"]),
+            node("Transpose", [f"{name}1"], [out], perm=[0, 2, 1, 3]),
+        ]
+
+    nodes = [node("LayerNormalization", ["x", "g", "b"], ["xl"], axis=-1,
+                  epsilon=1e-5)]
+    nodes += proj("q", "wq", "q") + proj("k", "wk", "k") + proj("v", "wv", "v")
+    nodes += [
+        node("Transpose", ["k"], ["kT"], perm=[0, 1, 3, 2]),
+        node("MatMul", ["q", "kT"], ["s0"]),
+        node("Div", ["s0", "scale"], ["s"]),
+        node("Softmax", ["s"], ["p"], axis=-1),
+        node("MatMul", ["p", "v"], ["o0"]),
+        node("Transpose", ["o0"], ["o1"], perm=[0, 2, 1, 3]),
+        node("Reshape", ["o1", "oshape"], ["y"]),
+    ]
+    m = OnnxModel(model(
+        nodes, inputs=[vinfo("x", np.float32, (1, T, D))], outputs=[vinfo("y")],
+        initializers={
+            "wq": wq, "wk": wk, "wv": wv, "g": g, "b": b,
+            "hshape": np.array([1, T, H, D // H], np.int64),
+            "oshape": np.array([1, T, D], np.int64),
+            "scale": np.array(np.sqrt(D // H), np.float32),
+        }))
+    np.testing.assert_allclose(np.asarray(m(x)[0]), want, rtol=1e-4, atol=1e-5)
+
+
+def test_shape_machinery_folds_under_jit():
+    """Shape->Gather->Concat->Reshape + Slice + Expand: the dynamic-looking
+    view chains torch exporters emit must constant-fold to a static XLA
+    program and still match eager numpy."""
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, 3, 8)).astype(np.float32)
+    nodes = [
+        node("Shape", ["x"], ["shp"]),
+        node("Gather", ["shp", "i0"], ["d0"], axis=0),        # 2
+        node("Gather", ["shp", "i2"], ["d2"], axis=0),        # 8
+        node("Unsqueeze", ["d0", "ax0"], ["d0u"]),
+        node("Unsqueeze", ["d2", "ax0"], ["d2u"]),
+        node("Concat", ["d0u", "negone", "d2u"], ["nshape"], axis=0),
+        node("Reshape", ["x", "nshape"], ["r"]),              # (2, 3, 8)
+        node("Slice", ["r", "st", "en", "axs", "steps"], ["s"]),  # [:, 1:3, ::2]
+        node("Expand", ["s", "eshape"], ["e"]),
+        node("ReduceMean", ["e"], ["y"], axes=[0, 1], keepdims=0),
+    ]
+    inits = {
+        "i0": np.array(0, np.int64), "i2": np.array(2, np.int64),
+        "ax0": np.array([0], np.int64),
+        "negone": np.array([-1], np.int64),
+        "st": np.array([1, 0], np.int64), "en": np.array([3, 2**31], np.int64),
+        "axs": np.array([1, 2], np.int64), "steps": np.array([1, 2], np.int64),
+        "eshape": np.array([2, 2, 2, 4], np.int64),
+    }
+    m = OnnxModel(model(nodes, [vinfo("x", np.float32, (2, 3, 8))],
+                        [vinfo("y")], inits))
+    want = np.broadcast_to(x.reshape(2, -1, 8)[:, 1:3, ::2],
+                           (2, 2, 2, 4)).mean(axis=(0, 1))
+    got = np.asarray(m(x)[0])  # __call__ jits
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    # and the jit cache holds a compiled program for this signature
+    assert len(m._jit_cache) == 1
+
+
+def test_vq_argmin_gather():
+    """Codebook nearest-neighbor (the S3 tokenizer's quantizer shape):
+    distances -> ArgMin -> token ids, checked against numpy."""
+    rng = np.random.default_rng(2)
+    T, D, K = 12, 8, 32
+    z = rng.standard_normal((T, D)).astype(np.float32)
+    cb = rng.standard_normal((K, D)).astype(np.float32)
+    want = np.argmin(((z[:, None] - cb[None]) ** 2).sum(-1), axis=1)
+    nodes = [
+        node("Unsqueeze", ["z", "ax1"], ["zu"]),        # (T, 1, D)
+        node("Sub", ["zu", "cb"], ["d"]),               # (T, K, D)
+        node("Mul", ["d", "d"], ["d2"]),
+        node("ReduceSum", ["d2"], ["dist"], axes=[-1], keepdims=0),
+        node("ArgMin", ["dist"], ["ids"], axis=1, keepdims=0),
+    ]
+    m = OnnxModel(model(nodes, [vinfo("z", np.float32, (T, D))],
+                        [vinfo("ids", np.int64)],
+                        {"cb": cb, "ax1": np.array([1], np.int64)}))
+    np.testing.assert_array_equal(np.asarray(m(z)[0]), want)
+
+
+def test_stats_pooling_gemm_head():
+    """campplus-style head: mean+std stats pooling -> Flatten -> Gemm."""
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((1, 6, 20)).astype(np.float32)
+    w = rng.standard_normal((4, 12)).astype(np.float32)
+    b = rng.standard_normal(4).astype(np.float32)
+    mu = x.mean(2)
+    sd = np.sqrt(x.var(2) + 1e-7)
+    want = np.concatenate([mu, sd], axis=1) @ w.T + b
+    nodes = [
+        node("ReduceMean", ["x"], ["mu"], axes=[2], keepdims=0),
+        node("ReduceMean", ["x"], ["muk"], axes=[2], keepdims=1),
+        node("Sub", ["x", "muk"], ["c"]),
+        node("Mul", ["c", "c"], ["c2"]),
+        node("ReduceMean", ["c2"], ["var"], axes=[2], keepdims=0),
+        node("Add", ["var", "eps"], ["vare"]),
+        node("Sqrt", ["vare"], ["sd"]),
+        node("Concat", ["mu", "sd"], ["stats"], axis=1),
+        node("Gemm", ["stats", "w", "b"], ["y"], transB=1),
+    ]
+    m = OnnxModel(model(nodes, [vinfo("x", np.float32, (1, 6, 20))],
+                        [vinfo("y")],
+                        {"w": w, "b": b, "eps": np.array(1e-7, np.float32)}))
+    np.testing.assert_allclose(np.asarray(m(x)[0]), want, rtol=1e-4, atol=1e-5)
+
+
+def test_misc_ops():
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((3, 5)).astype(np.float32)
+    nodes = [
+        node("Cast", ["x"], ["xi"], to=7),
+        node("Clip", ["x", "lo", "hi"], ["cl"]),
+        node("Pad", ["x", "pads"], ["pd"]),
+        node("Transpose", ["x"], ["tr"]),
+        node("Split", ["x"], ["s0", "s1"], axis=1, split=[2, 3]),
+        node("Tile", ["x", "reps"], ["tl"]),
+        node("Where", ["cond", "x", "zero"], ["wh"]),
+        node("Flatten", ["x"], ["fl"], axis=1),
+    ]
+    inits = {"lo": np.array(-0.5, np.float32), "hi": np.array(0.5, np.float32),
+             "pads": np.array([1, 0, 0, 2], np.int64),
+             "reps": np.array([2, 1], np.int64),
+             "cond": (x > 0), "zero": np.zeros_like(x)}
+    m = OnnxModel(model(nodes, [vinfo("x", np.float32, (3, 5))],
+                        [vinfo(n) for n in
+                         ("xi", "cl", "pd", "tr", "s0", "s1", "tl", "wh", "fl")],
+                        inits))
+    xi, cl, pd, tr, s0, s1, tl, wh, fl = (np.asarray(v) for v in m(x))
+    np.testing.assert_array_equal(xi, x.astype(np.int64))
+    np.testing.assert_allclose(cl, np.clip(x, -0.5, 0.5))
+    np.testing.assert_allclose(pd, np.pad(x, [(1, 0), (0, 2)]))
+    np.testing.assert_allclose(tr, x.T)
+    np.testing.assert_allclose(s0, x[:, :2])
+    np.testing.assert_allclose(s1, x[:, 2:])
+    np.testing.assert_allclose(tl, np.tile(x, (2, 1)))
+    np.testing.assert_allclose(wh, np.where(x > 0, x, 0))
+    np.testing.assert_allclose(fl, x.reshape(3, 5))
+
+
+def test_unsupported_op_raises_loudly():
+    m = OnnxModel(model([node("NonMaxSuppression", ["x"], ["y"])],
+                        [vinfo("x", np.float32, (2,))], [vinfo("y")]))
+    with pytest.raises(NotImplementedError, match="NonMaxSuppression"):
+        m.run({"x": np.zeros(2, np.float32)})
+
+
+def test_prepare_extractors_route_through_native_runtime(tmp_path):
+    """With onnxruntime absent (this image), OnnxSpeechTokenizer/OnnxCampplus
+    execute the graph through compat.onnx — tokens/embeddings come from the
+    MODEL, not the random fallback (reference requires onnxruntime here:
+    prepare_joint_data.py:106-158)."""
+    from cosy_tpu.data.prepare import OnnxCampplus, OnnxSpeechTokenizer
+
+    rng = np.random.default_rng(5)
+    # tokenizer-like graph: (1, 128, T) mel + (1,) len -> conv stride 2 -> VQ ids
+    K = 16
+    wconv = (rng.standard_normal((8, 128, 3)) * 0.1).astype(np.float32)
+    cb = rng.standard_normal((K, 8)).astype(np.float32)
+    tok_nodes = [
+        node("Conv", ["mel", "wconv"], ["h"], strides=[2], pads=[1, 1],
+             kernel_shape=[3]),
+        node("Transpose", ["h"], ["ht"], perm=[0, 2, 1]),     # (1, T', 8)
+        node("Unsqueeze", ["ht", "ax2"], ["hu"]),             # (1, T', 1, 8)
+        node("Sub", ["hu", "cb"], ["d"]),
+        node("Mul", ["d", "d"], ["d2"]),
+        node("ReduceSum", ["d2"], ["dist"], axes=[-1], keepdims=0),
+        node("ArgMin", ["dist"], ["ids"], axis=2, keepdims=0),
+    ]
+    tok_path = str(tmp_path / "speech_tokenizer.onnx")
+    with open(tok_path, "wb") as f:
+        f.write(model(tok_nodes,
+                      [vinfo("mel", np.float32, (1, 128, 100)),
+                       vinfo("mel_len", np.int32, (1,))],
+                      [vinfo("ids", np.int64)],
+                      {"wconv": wconv, "cb": cb,
+                       "ax2": np.array([2], np.int64)}))
+
+    tok = OnnxSpeechTokenizer(tok_path)
+    wav = rng.standard_normal(16000).astype(np.float32) * 0.1
+    ids = tok(wav)
+    assert ids.dtype == np.int64 and ids.ndim == 1 and len(ids) > 10
+    assert ids.min() >= 0 and ids.max() < K
+    np.testing.assert_array_equal(tok(wav), ids)  # deterministic
+
+    # campplus-like graph: (1, T, 80) fbank -> Gemm head -> (1, 192)
+    w1 = (rng.standard_normal((192, 80)) * 0.05).astype(np.float32)
+    camp_nodes = [
+        node("ReduceMean", ["feat"], ["mu"], axes=[1], keepdims=0),  # (1, 80)
+        node("Gemm", ["mu", "w1"], ["emb"], transB=1),
+    ]
+    camp_path = str(tmp_path / "campplus.onnx")
+    with open(camp_path, "wb") as f:
+        f.write(model(camp_nodes, [vinfo("feat", np.float32, (1, 100, 80))],
+                      [vinfo("emb")], {"w1": w1}))
+    spk = OnnxCampplus(camp_path)
+    emb = spk(wav)
+    assert emb.shape == (192,) and np.isfinite(emb).all()
