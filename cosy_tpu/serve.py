@@ -11,15 +11,24 @@ responses.
 POST /tts  {"text": "...", "speed": 1.0, "stream": false}
     -> audio/wav (complete) or chunked WAV stream
 GET /healthz
+GET /stats    -> JSON serving statistics (requests/route, RTF percentiles,
+                 queue depths, errors) — the server-side superset of the
+                 reference's per-chunk RTF logging (cli/cosyvoice.py:86-89)
+GET /metrics  -> the same counters in Prometheus text exposition format
+
+SIGTERM/SIGINT drain gracefully: the listener closes, in-flight requests
+finish (bounded by --drain-timeout), then the process exits.
 """
 
 from __future__ import annotations
 
 import argparse
+import collections
 import io
 import json
 import struct
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
@@ -98,6 +107,97 @@ class TTSServer:
         self.max_concurrent_cohorts = 2
         self._cohort_slots = threading.Semaphore(self.max_concurrent_cohorts)
         self.batches_run = 0  # observability
+        # -- serving statistics (GET /stats, /metrics) ------------------
+        self._stats_lock = threading.Lock()
+        self._t_started = time.time()
+        self.active_requests = 0
+        self._route_counts: collections.Counter = collections.Counter()
+        self._route_errors: collections.Counter = collections.Counter()
+        self._audio_seconds = 0.0
+        self._busy_seconds = 0.0
+        # rolling per-request RTF window (synthesis wall / audio duration)
+        self._rtf_ring: collections.deque = collections.deque(maxlen=256)
+        self._ttfa_ring: collections.deque = collections.deque(maxlen=256)
+
+    # -- observability --------------------------------------------------
+
+    def record_request(self, route: str, wall_s: float, audio_s: float,
+                       ttfa_s: Optional[float] = None, error: bool = False):
+        with self._stats_lock:
+            self._route_counts[route] += 1
+            if error:
+                self._route_errors[route] += 1
+            self._busy_seconds += wall_s
+            if audio_s > 0:
+                self._audio_seconds += audio_s
+                self._rtf_ring.append(wall_s / audio_s)
+            if ttfa_s is not None:
+                self._ttfa_ring.append(ttfa_s)
+
+    @staticmethod
+    def _pct(ring, q):
+        if not ring:
+            return None
+        return float(np.percentile(np.asarray(ring), q))
+
+    def stats(self) -> dict:
+        with self._stats_lock:
+            with self._queue_lock:
+                q_batch, q_stream = len(self._queue), len(self._stream_queue)
+            out = {
+                "uptime_s": round(time.time() - self._t_started, 1),
+                "active_requests": self.active_requests,
+                "requests": dict(self._route_counts),
+                "errors": dict(self._route_errors),
+                "batches_run": self.batches_run,
+                "audio_seconds": round(self._audio_seconds, 2),
+                "busy_seconds": round(self._busy_seconds, 2),
+                "queue_depth": {"batched": q_batch, "stream": q_stream},
+                "rtf": {"p50": self._pct(self._rtf_ring, 50),
+                        "p95": self._pct(self._rtf_ring, 95),
+                        "window": len(self._rtf_ring)},
+                "ttfa_s": {"p50": self._pct(self._ttfa_ring, 50),
+                           "p95": self._pct(self._ttfa_ring, 95),
+                           "window": len(self._ttfa_ring)},
+            }
+            if self.engine is not None:
+                out["engine"] = {
+                    "slots": self.engine.B,
+                    "active": sum(s is not None for s in self.engine._slots),
+                    "segments_run": self.engine.segments_run,
+                }
+            return out
+
+    def metrics_text(self) -> str:
+        """Prometheus text exposition of stats() counters/gauges."""
+        s = self.stats()
+        lines = [
+            "# TYPE cosy_tpu_uptime_seconds gauge",
+            f"cosy_tpu_uptime_seconds {s['uptime_s']}",
+            "# TYPE cosy_tpu_active_requests gauge",
+            f"cosy_tpu_active_requests {s['active_requests']}",
+            "# TYPE cosy_tpu_requests_total counter",
+        ]
+        for route, n in sorted(s["requests"].items()):
+            lines.append('cosy_tpu_requests_total{route="%s"} %d' % (route, n))
+        lines.append("# TYPE cosy_tpu_errors_total counter")
+        for route, n in sorted(s["errors"].items()):
+            lines.append('cosy_tpu_errors_total{route="%s"} %d' % (route, n))
+        lines += [
+            "# TYPE cosy_tpu_batches_run_total counter",
+            f"cosy_tpu_batches_run_total {s['batches_run']}",
+            "# TYPE cosy_tpu_audio_seconds_total counter",
+            f"cosy_tpu_audio_seconds_total {s['audio_seconds']}",
+            "# TYPE cosy_tpu_busy_seconds_total counter",
+            f"cosy_tpu_busy_seconds_total {s['busy_seconds']}",
+        ]
+        for name, key in (("rtf", "rtf"), ("ttfa_seconds", "ttfa_s")):
+            for q in ("p50", "p95"):
+                v = s[key][q]
+                if v is not None:
+                    lines.append(
+                        'cosy_tpu_%s{quantile="%s"} %.6f' % (name, q, v))
+        return "\n".join(lines) + "\n"
 
     def _zero_spk(self) -> np.ndarray:
         """Zero speaker embedding sized for whichever pipeline is loaded."""
@@ -346,13 +446,40 @@ def make_handler(server: TTSServer, sample_rate: int):
         def do_GET(self):
             if self.path == "/healthz":
                 self._plain(200, b"ok")
+            elif self.path == "/stats":
+                body = json.dumps(server.stats(), indent=1).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif self.path == "/metrics":
+                self._plain(200, server.metrics_text().encode())
             else:
                 self._plain(404, b"not found")
 
         def do_POST(self):
+            t_req = time.time()
+            route = "bad_request"
+            audio_samples = 0
+            ttfa = None
+            ok = False
+            with server._stats_lock:
+                server.active_requests += 1
+            try:
+                route, audio_samples, ttfa, ok = self._tts(t_req)
+            finally:
+                with server._stats_lock:
+                    server.active_requests -= 1
+                server.record_request(
+                    route, time.time() - t_req,
+                    audio_samples / sample_rate, ttfa_s=ttfa, error=not ok)
+
+        def _tts(self, t_req):
+            """Returns (route, audio_samples, ttfa_s | None, ok)."""
             if self.path != "/tts":
                 self._plain(404, b"not found")
-                return
+                return "not_found", 0, None, False
             n = int(self.headers.get("Content-Length", 0))
             try:
                 req = json.loads(self.rfile.read(n) or b"{}")
@@ -365,19 +492,19 @@ def make_handler(server: TTSServer, sample_rate: int):
                 # TypeError: non-object JSON body ([1,2], "hi"); ValueError:
                 # non-numeric speed — both are client errors, not 500s
                 self._plain(400, f"bad request: {e}".encode())
-                return
+                return "bad_request", 0, None, False
             if voice:
                 if spk_id:
                     # spk_id routes to inference_sft, which has no voice
                     # wiring — honoring one silently would drop the other
                     self._plain(400, b"voice and spk_id are mutually "
                                      b"exclusive; pass one")
-                    return
+                    return "bad_request", 0, None, False
                 known = getattr(server.api.model, "voice_names", [])
                 if voice not in known:
                     self._plain(400, f"unknown voice {voice!r}; registered: "
                                      f"{known}".encode())
-                    return
+                    return "bad_request", 0, None, False
             if stream:
                 # true chunked streaming: WAV header with unknown-length
                 # markers, then PCM16 per synthesis chunk as it is produced
@@ -401,18 +528,25 @@ def make_handler(server: TTSServer, sample_rate: int):
                     # continuous batching: join the persistent decode batch
                     # (voiced requests skip the engine — its persistent
                     # program has no vids wiring — and join a cohort below)
+                    route = "stream_engine"
                     pieces = server.synthesize_stream_engine(text)
                 elif (not spk_id and speed == 1.0
                         and hasattr(server.api.model, "synthesize_stream_batch")):
                     # concurrent prompt-free streams share a lock-step
                     # segmented decode (cohort batching); voiced rows route
                     # their adapters per row inside the SHARED decode
+                    route = "stream_cohort"
                     pieces = server.synthesize_stream_batched(text, voice)
                 else:
+                    route = "stream_solo"
                     pieces = server.synthesize(text, spk_id, speed,
                                                stream=True, voice=voice)
+                samples, ttfa = 0, None
                 try:
                     for piece in pieces:
+                        if ttfa is None:
+                            ttfa = time.time() - t_req
+                        samples += int(np.size(piece))
                         pcm = (np.clip(piece, -1, 1) * 32767).astype("<i2").tobytes()
                         send_chunk(pcm)
                     self.wfile.write(b"0\r\n\r\n")
@@ -421,13 +555,15 @@ def make_handler(server: TTSServer, sample_rate: int):
                     # is abandoned: close() runs its finally block (engine
                     # slot cancel / cohort dead-mark / device-lock release)
                     pieces.close()
-                return
+                return route, samples, ttfa, True
             if (not spk_id
                     and hasattr(server.api.model, "synthesize_batch")):
                 # concurrent prompt-free requests share a micro-batched
                 # decode (voiced rows route adapters per row)
+                route = "batched"
                 wav = server.synthesize_batched(text, speed, voice)
             else:
+                route = "solo_sft" if spk_id else "solo"
                 wav = np.concatenate(list(server.synthesize(
                     text, spk_id, speed, stream=False, voice=voice)))
             body = wav_bytes(wav, sample_rate)
@@ -436,6 +572,7 @@ def make_handler(server: TTSServer, sample_rate: int):
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
+            return route, int(np.size(wav)), None, True
 
     return Handler
 
@@ -519,6 +656,9 @@ def main():
                          ".meta.json provenance sidecar (written by "
                          "cosy_tpu's export tools) — required explicitly "
                          "when --flow-weights points at a file without one")
+    ap.add_argument("--drain-timeout", type=float, default=30.0,
+                    help="seconds to wait for in-flight requests after "
+                         "SIGTERM/SIGINT before exiting")
     ap.add_argument("--attn-window", type=int, default=0,
                     help="opt-in local-band estimator attention: each mel "
                          "frame attends only this many neighbor frames "
@@ -698,8 +838,26 @@ def main():
               f"({server.batches_run} batch programs)")
     httpd = ThreadingHTTPServer(("0.0.0.0", args.port),
                                 make_handler(server, api.sample_rate))
+    # graceful drain: SIGTERM/SIGINT close the listener; in-flight requests
+    # (handler threads) run to completion bounded by --drain-timeout — the
+    # preemption-safe serving analogue of the trainers' SIGTERM snapshots
+    import signal
+
+    def _drain(signum, frame):
+        print(f"signal {signum}: draining "
+              f"({server.active_requests} in flight) ...", flush=True)
+        threading.Thread(target=httpd.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _drain)
+    signal.signal(signal.SIGINT, _drain)
     print(f"cosy_tpu TTS server on :{args.port}")
-    httpd.serve_forever()
+    httpd.serve_forever()  # returns after shutdown()
+    deadline = time.time() + args.drain_timeout
+    while server.active_requests > 0 and time.time() < deadline:
+        time.sleep(0.1)
+    httpd.server_close()
+    print(f"drained; served {sum(server.stats()['requests'].values())} "
+          "requests total")
 
 
 if __name__ == "__main__":

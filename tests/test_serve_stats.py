@@ -1,0 +1,117 @@
+"""Serving observability: /stats and /metrics over a real socket.
+
+Exceeds-parity subsystem: the reference logs only per-chunk RTF to stdout
+(cosyvoice/cli/cosyvoice.py:86-89); the server exposes route counters, RTF/
+TTFA percentiles, queue depths, and error counts as JSON and Prometheus
+text."""
+
+import json
+import threading
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import numpy as np
+
+from cosy_tpu.serve import TTSServer, make_handler
+
+from test_api import _make_api
+
+
+def _spin_up(server, sample_rate=22050):
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0),
+                                make_handler(server, sample_rate))
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    return httpd, port
+
+
+def test_stats_and_metrics_round_trip(monkeypatch):
+    api = _make_api()
+    orig = api.frontend.extract_text_token
+    api.frontend.extract_text_token = lambda text: orig(text) % 40
+    server = TTSServer(api)
+
+    def synth(text, spk_id="", speed=1.0, stream=False, voice=""):
+        ids = api.frontend.extract_text_token(text)
+        zero = np.zeros((1, 12), np.float32)
+        gen = api.model.synthesize(api._next_rng(), ids, spk_embedding=zero,
+                                   stream=stream, speed=speed)
+        for out in gen:
+            yield out["tts_speech"][0]
+
+    server.synthesize = synth
+    # force the solo route (the tiny-topology batch path needs its own
+    # embedding patching; routing is not what this test is about)
+    if hasattr(api.model, "synthesize_batch"):
+        monkeypatch.delattr(type(api.model), "synthesize_batch")
+
+    httpd, port = _spin_up(server)
+    try:
+        # fresh server: empty stats
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/stats") as r:
+            s0 = json.loads(r.read())
+        assert s0["requests"] == {} and s0["active_requests"] == 0
+
+        # one ok request + one client error
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/tts",
+            data=json.dumps({"text": "hi.", "speed": 1.1}).encode())
+        with urllib.request.urlopen(req, timeout=300) as r:
+            body = r.read()
+        assert body[:4] == b"RIFF"
+        try:
+            urllib.request.urlopen(urllib.request.Request(
+                f"http://127.0.0.1:{port}/tts", data=b"{}"), timeout=30)
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/stats") as r:
+            s = json.loads(r.read())
+        assert s["requests"].get("solo") == 1
+        assert s["requests"].get("bad_request") == 1
+        assert s["errors"].get("bad_request") == 1
+        assert "solo" not in s["errors"]
+        assert s["audio_seconds"] > 0
+        assert s["rtf"]["p50"] is not None and s["rtf"]["window"] == 1
+        assert s["active_requests"] == 0
+
+        # prometheus text exposition carries the same counters
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/metrics") as r:
+            text = r.read().decode()
+        assert 'cosy_tpu_requests_total{route="solo"} 1' in text
+        assert 'cosy_tpu_errors_total{route="bad_request"} 1' in text
+        assert "cosy_tpu_rtf{quantile=" in text
+        assert "cosy_tpu_audio_seconds_total" in text
+    finally:
+        httpd.shutdown()
+
+
+def test_streaming_records_ttfa():
+    api = _make_api()
+    orig = api.frontend.extract_text_token
+    api.frontend.extract_text_token = lambda text: orig(text) % 40
+    server = TTSServer(api)
+
+    def synth(text, spk_id="", speed=1.0, stream=False, voice=""):
+        ids = api.frontend.extract_text_token(text)
+        zero = np.zeros((1, 12), np.float32)
+        gen = api.model.synthesize(api._next_rng(), ids, spk_embedding=zero,
+                                   stream=stream, speed=speed)
+        for out in gen:
+            yield out["tts_speech"][0]
+
+    server.synthesize = synth
+
+    httpd, port = _spin_up(server)
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/tts",
+            data=json.dumps({"text": "hello there.", "stream": True}).encode())
+        with urllib.request.urlopen(req, timeout=300) as r:
+            assert len(r.read()) > 44
+        s = server.stats()
+        assert s["requests"].get("stream_cohort") == 1
+        assert s["ttfa_s"]["p50"] is not None and s["ttfa_s"]["p50"] > 0
+    finally:
+        httpd.shutdown()
