@@ -18,6 +18,7 @@ TPU-native design:
 
 from __future__ import annotations
 
+import os
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
@@ -214,3 +215,50 @@ class FullTrainer:
         keys = sorted(metrics)
         vals = np.asarray(jnp.stack([metrics[k] for k in keys]))
         return dict(zip(keys, vals.tolist()))
+
+    # ------------------------------------------------------------------
+    # checkpoint / resume (reference: train_utils.py:195-214 save_model +
+    # bin/train.py:135-153 resume; DeepSpeed save_checkpoint for ZeRO) —
+    # orbax sharded async saves, every host writes its own shards
+    # ------------------------------------------------------------------
+
+    def _checkpointer(self, directory: str, keep: int = 3,
+                      async_save: bool = True):
+        from .checkpoint import TrainCheckpointer
+
+        if getattr(self, "_ckptr", None) is None or \
+                self._ckptr.directory != os.path.abspath(directory):
+            self._ckptr = TrainCheckpointer(directory, keep=keep,
+                                            async_save=async_save)
+        return self._ckptr
+
+    def save_checkpoint(self, directory: str, keep: int = 3,
+                        async_save: bool = True) -> int:
+        """Save params + optimizer state + step at the current step number.
+        Async: returns once the device->host copy is done (donation-safe);
+        the write overlaps subsequent steps.  Returns the step saved."""
+        ck = self._checkpointer(directory, keep=keep, async_save=async_save)
+        ck.save(self.step_count,
+                {"params": self.params, "opt_state": self.opt_state})
+        return self.step_count
+
+    def load_checkpoint(self, directory: str, step=None) -> int:
+        """Restore params/opt_state onto their CURRENT shardings (dp/ZeRO-2/
+        TP layouts) and resume the step counter.  Returns the step loaded."""
+        ck = self._checkpointer(directory)
+        ck.wait()
+        step = step if step is not None else ck.latest_step()
+        restored = ck.restore(
+            {"params": self.params, "opt_state": self.opt_state}, step)
+        self.params, self.opt_state = restored["params"], restored["opt_state"]
+        self.step_count = int(step)
+        return self.step_count
+
+    def save_model(self, path: str, info: Optional[Dict] = None):
+        """Reference-format torch ``.pt`` + yaml sidecar (rank-0 only),
+        loadable by stock CosyVoice / compat.load_torch_checkpoint."""
+        from .checkpoint import save_model_pt
+
+        meta = {"step": self.step_count}
+        meta.update(info or {})
+        return save_model_pt(self.params, path, info=meta)

@@ -105,6 +105,42 @@ class HiFiGanTrainer:
         out.update({f"gen/{k}": v for k, v in zip(gk, vals[len(dk):].tolist())})
         return out
 
+    # -- checkpoint / resume (orbax; reference: executor.py:88-144 GAN path
+    # saves via the same rank-0 save_model, train_utils.py:195-214) --------
+
+    def save_checkpoint(self, directory: str, step: int, keep: int = 3,
+                        async_save: bool = True) -> int:
+        from .checkpoint import TrainCheckpointer
+
+        import os as _os
+
+        if getattr(self, "_ckptr", None) is None or \
+                self._ckptr.directory != _os.path.abspath(directory):
+            self._ckptr = TrainCheckpointer(directory, keep=keep,
+                                            async_save=async_save)
+        self._ckptr.save(step, {
+            "gen_params": self.gen_params, "disc_params": self.disc_params,
+            "gen_opt_state": self.gen_opt_state,
+            "disc_opt_state": self.disc_opt_state})
+        return step
+
+    def load_checkpoint(self, directory: str, step=None) -> int:
+        from .checkpoint import TrainCheckpointer
+
+        ck = getattr(self, "_ckptr", None) or TrainCheckpointer(directory)
+        self._ckptr = ck
+        ck.wait()
+        step = step if step is not None else ck.latest_step()
+        restored = ck.restore({
+            "gen_params": self.gen_params, "disc_params": self.disc_params,
+            "gen_opt_state": self.gen_opt_state,
+            "disc_opt_state": self.disc_opt_state}, step)
+        self.gen_params = restored["gen_params"]
+        self.disc_params = restored["disc_params"]
+        self.gen_opt_state = restored["gen_opt_state"]
+        self.disc_opt_state = restored["disc_opt_state"]
+        return int(step)
+
     def fit(self, loader: Iterable, epochs: int, rng: Optional[jax.Array] = None,
             log_every: int = 10):
         # "rbg" = TPU hardware RNG for the dropout/noise streams (see
