@@ -474,6 +474,13 @@ class OnnxModel:
     ``run(feeds)`` executes eagerly (numpy in, device out);
     ``__call__(*args)`` jits per input-shape signature, returning device
     arrays; positional args follow ``input_names`` order.
+
+    Each distinct input shape compiles its own program (XLA static shapes).
+    The extractors feed unpadded per-clip features to stay bit-compatible
+    with the reference's onnxruntime sessions (frontend.py:131-152 feeds
+    unpadded and never slices the output), so a many-clip dataset compiles
+    one program per distinct length — fine at fine-tune scale (10-50 clips);
+    bucket upstream if you batch-prepare thousands.
     """
 
     def __init__(self, data: bytes):
