@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from ..config import InferenceConfig, ModelConfig
 from ..ctx import EVAL
 from ..params import P, Params
+from ..utils.aot import aot_jit
 from ..layers.basic import dense
 from ..models import flow as F
 from ..models import llm as L
@@ -200,12 +201,12 @@ class TTSPipeline:
                 sampler=self.icfg.sampler, n_timesteps=_nfe_default,
                 lora=lora, lora_scale=self._flow_lora_scale)
 
-        self._flow_jit = jax.jit(_flow_fn)
+        self._flow_jit = aot_jit(_flow_fn)
 
         def _hift_fn(params, rng, mel, cache_source):
             return H.hift_inference(P(params), self.cfg.hift, rng, mel, cache_source)
 
-        self._hift_jit = jax.jit(_hift_fn)
+        self._hift_jit = aot_jit(_hift_fn)
 
         # fused STREAMING chunk: flow solve + trim + overlap fades + cache
         # management + HiFT in ONE program.  The staged path costs 2-3 host
@@ -244,7 +245,7 @@ class TTSPipeline:
             return (wav[:, : -self.source_cache_len], new_overlap,
                     new_hift_mel, new_source, new_speech, new_cache)
 
-        self._t2w_stream_jit = jax.jit(_t2w_stream_fn, static_argnames=("trim",))
+        self._t2w_stream_jit = aot_jit(_t2w_stream_fn, static_argnames=("trim",))
 
         # bucketed FINAL chunk (prompt-free): token window padded to a static
         # bucket + traced true lengths — ONE compiled program serves every
@@ -282,7 +283,7 @@ class TTSPipeline:
                 wav = fade_in_out_jnp(wav, hift_speech, self.speech_window)
             return wav  # callers slice [:, :(hift_valid)*256]
 
-        self._t2w_final_jit = jax.jit(_t2w_final_fn,
+        self._t2w_final_jit = aot_jit(_t2w_final_fn,
                                       static_argnames=("n_timesteps",))
 
         # fused non-streaming token2wav: flow solve + boundary trim + HiFT in
@@ -303,7 +304,7 @@ class TTSPipeline:
             wav, _ = H.hift_inference(P(hift_p), self.cfg.hift, k_hift, mel, None)
             return wav
 
-        self._t2w_jit = jax.jit(_t2w_fn, static_argnames=("trim",))
+        self._t2w_jit = aot_jit(_t2w_fn, static_argnames=("trim",))
 
         def _decode_fn(params, rng, prefix, min_len, cap, lora=None, vid=None,
                        *, prefix_len, max_len, top_p, top_k, win_size, tau_r):
@@ -316,7 +317,7 @@ class TTSPipeline:
                                 stop_at=cap, lora=lora, vid=vid,
                                 lora_scale=self._llm_lora_scale)
 
-        self._decode_jit = jax.jit(
+        self._decode_jit = aot_jit(
             _decode_fn, static_argnames=("prefix_len", "max_len", "top_p",
                                          "top_k", "win_size", "tau_r"))
 
@@ -334,7 +335,7 @@ class TTSPipeline:
                                 lora=lora, vid=vid,
                                 lora_scale=self._llm_lora_scale)
 
-        self._decode_seg_jit = jax.jit(
+        self._decode_seg_jit = aot_jit(
             _decode_seg_fn, static_argnames=("prefix_len", "max_len", "top_p",
                                              "top_k", "win_size", "tau_r"))
 
@@ -347,7 +348,7 @@ class TTSPipeline:
                 int8_weights=self.icfg.int8_decode, max_lens=max_lens,
                 lora=lora, vids=vids, lora_scale=self._llm_lora_scale)
 
-        self._decode_batch_jit = jax.jit(_decode_batch_fn,
+        self._decode_batch_jit = aot_jit(_decode_batch_fn,
                                          static_argnames=("max_len",))
 
         # segment-wise batched decode for streaming cohorts (lock-step
@@ -364,7 +365,7 @@ class TTSPipeline:
                 attend_width=attend_width,
                 lora=lora, vids=vids, lora_scale=self._llm_lora_scale)
 
-        self._decode_batch_seg_jit = jax.jit(
+        self._decode_batch_seg_jit = aot_jit(
             _decode_batch_seg_fn,
             static_argnames=("max_len", "attend_width"))
 
@@ -377,7 +378,7 @@ class TTSPipeline:
                 top_k=self.icfg.sampling_top_k,
                 win_size=self.icfg.ras_win_size, tau_r=self.icfg.ras_tau_r)
 
-        self._admit_jit = jax.jit(_admit_fn)
+        self._admit_jit = aot_jit(_admit_fn)
 
     # ------------------------------------------------------------------
     # multi-voice LoRA serving

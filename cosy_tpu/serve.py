@@ -656,6 +656,12 @@ def main():
                          ".meta.json provenance sidecar (written by "
                          "cosy_tpu's export tools) — required explicitly "
                          "when --flow-weights points at a file without one")
+    ap.add_argument("--aot-cache", default=None, metavar="DIR",
+                    help="persist compiled serving programs to this "
+                         "directory (jax serialize_executable): a restarted "
+                         "server loads executables instead of recompiling — "
+                         "cold --warmup drops from minutes to seconds on "
+                         "the second start (utils/aot.py)")
     ap.add_argument("--drain-timeout", type=float, default=30.0,
                     help="seconds to wait for in-flight requests after "
                          "SIGTERM/SIGINT before exiting")
@@ -671,6 +677,12 @@ def main():
         import os
 
         os.environ["COSY_TPU_ATTN_WINDOW"] = str(args.attn_window)
+    if args.aot_cache:
+        # before any pipeline construction: the jit programs are created in
+        # the pipeline __init__ and bind the cache at creation time
+        from .utils.aot import set_cache_dir
+
+        set_cache_dir(args.aot_cache)
 
     from .api import CosyVoice, CosyVoice2
     from .config import InferenceConfig, replace as creplace
