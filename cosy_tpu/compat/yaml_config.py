@@ -222,7 +222,16 @@ def cv2_configs_from_yaml(path_or_text: str, llm_base=None, flow_base=None,
 
     llm_y = _strip(y.get("llm") or {})
     if llm_y:
-        llm_cfg = _fill(Qwen2LMConfig, llm_y, base=llm_cfg)
+        qwen_base = llm_cfg.qwen
+        llm_cfg = _fill(Qwen2LMConfig, {k: v for k, v in llm_y.items()
+                                        if k != "qwen"}, base=llm_cfg)
+        # explicit qwen topology block (the stock yaml points at a HF
+        # pretrain_path instead; variant/synthetic yamls can spell dims out)
+        if isinstance(llm_y.get("qwen"), dict):
+            from ..layers.qwen2 import Qwen2Config
+
+            llm_cfg = replace(llm_cfg, qwen=_fill(
+                Qwen2Config, _strip(llm_y["qwen"]), base=qwen_base))
 
     flow_y = _strip(y.get("flow") or {})
     if flow_y:

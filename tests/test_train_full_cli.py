@@ -149,6 +149,56 @@ def test_flow_branch_vendored_style(tmp_path, yaml_path, capsys):
     assert any(k.startswith("decoder.estimator") for k in loaded)
 
 
+CV2_TINY_YAML = """
+sample_rate: 24000
+llm: !new:cosyvoice.llm.llm.Qwen2LM
+    llm_input_size: 32
+    llm_output_size: 32
+    speech_token_size: 30
+    qwen:
+        hidden_size: 32
+        intermediate_size: 64
+        num_hidden_layers: 2
+        num_attention_heads: 4
+        num_key_value_heads: 2
+        head_dim: 8
+        vocab_size: 50
+"""
+
+
+def test_dpo_branch(tmp_path, capsys):
+    """--dpo: CosyVoice2 Qwen2LM preference training from rows carrying
+    reject_speech_token (reference: bin/train.py --dpo)."""
+    import pandas as pd
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(16):
+        rows.append({
+            "utt": f"u{i}",
+            "text_token": rng.integers(0, 50, 5).tolist(),
+            "speech_token": np.full(12, 3, np.int64).tolist(),
+            "reject_speech_token": np.full(6, 7, np.int64).tolist(),
+            "utt_embedding": rng.standard_normal(12).astype(np.float32).tolist(),
+        })
+    pq = str(tmp_path / "dpo.parquet")
+    pd.DataFrame(rows).to_parquet(pq)
+    lst = str(tmp_path / "dpo.list")
+    open(lst, "w").write(pq + "\n")
+    ypath = str(tmp_path / "cv2.yaml")
+    open(ypath, "w").write(CV2_TINY_YAML)
+
+    mdir = str(tmp_path / "out_dpo")
+    rc = train_full.main(
+        ["--model", "llm", "--dpo", "--train_data", lst, "--config", ypath,
+         "--model_dir", mdir, "--batch_size", "8", "--max_steps", "2",
+         "--log_every", "1", "--shuffle_size", "8", "--sort_size", "4"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "dpo_acc=" in out and "sft_loss=" in out
+    assert os.path.exists(os.path.join(mdir, "llm_epoch0.pt"))
+
+
 @pytest.mark.slow
 def test_hifigan_branch(tmp_path, yaml_path, capsys):
     train = _write_dataset(tmp_path, "gan", n=8, raw_speech=True)

@@ -51,8 +51,13 @@ def build_loader(list_path: str, args, tokenizer=None, gan: bool = False):
     if first is None:
         raise SystemExit(f"{list_path}: no rows")
     have_feats = "speech_feat" in first
+    need_feats = gan or args.model == "flow"
     stages = [(Pr.tokenize, {"tokenizer": tokenizer}), (Pr.filter_stage, {})]
-    if not have_feats:
+    if need_feats and not have_feats:
+        if "speech" not in first:
+            raise SystemExit(f"{list_path}: rows carry neither speech_feat "
+                             "nor raw speech — cannot train "
+                             f"--model {args.model}")
         stages.append((Pr.resample_stage, {}))
         if gan:
             stages.append((Pr.truncate_stage,
@@ -77,6 +82,9 @@ _PAD_VALUES = {"speech_feat": -11.5}  # dataset.py:526 mel pad; rest pad 0
 _MODEL_KEYS = {
     "llm": ("text_token", "text_token_len", "speech_token",
             "speech_token_len", "embedding"),
+    "llm_dpo": ("text_token", "text_token_len", "speech_token",
+                "speech_token_len", "reject_speech_token",
+                "reject_speech_token_len"),
     "flow": ("speech_token", "speech_token_len", "speech_feat",
              "speech_feat_len", "embedding"),
 }
@@ -147,6 +155,13 @@ def main(argv=None):
                     help="vendored = stock CosyVoice flow training (no mel "
                          "norm, simple conds); finetune = the anti-leakage "
                          "normalized-mel objective")
+    ap.add_argument("--dpo", action="store_true",
+                    help="DPO preference training for the CosyVoice2 Qwen2 "
+                         "speech LLM (reference: bin/train.py --dpo): the "
+                         "frozen reference model is the init weights; rows "
+                         "must carry reject_speech_token (processor dpo "
+                         "padding)")
+    ap.add_argument("--dpo_beta", type=float, default=0.01)
     ap.add_argument("--no_zero2", action="store_true")
     ap.add_argument("--tensor_parallel", action="store_true")
     ap.add_argument("--sequence_parallel", action="store_true")
@@ -226,7 +241,29 @@ def main(argv=None):
     from cosy_tpu.params import P
     from cosy_tpu.train.full_trainer import FullTrainer
 
-    if args.model == "llm":
+    if args.model == "llm" and args.dpo:
+        # CosyVoice2 Qwen2LM preference training (bin/train.py:131-166):
+        # policy starts from the init weights; a frozen copy is the DPO
+        # reference model, folded into the same XLA program
+        from cosy_tpu.models.qwen2lm import init_qwen2lm_params
+        from cosy_tpu.train.dpo import make_dpo_loss_fn
+
+        lcfg = None
+        if args.config:
+            from cosy_tpu.compat.yaml_config import cv2_configs_from_yaml
+
+            lcfg = cv2_configs_from_yaml(args.config)[0]
+        if lcfg is None:
+            from cosy_tpu.models.qwen2lm import Qwen2LMConfig
+
+            lcfg = Qwen2LMConfig()
+        params = init_override or init_qwen2lm_params(key, lcfg)
+        ref = jax.tree.map(np.copy, params)
+        _dpo_fn = make_dpo_loss_fn(lcfg, ref, beta=args.dpo_beta)
+
+        def loss_fn(p, rng, batch, train=True):
+            return _dpo_fn(p, rng, batch)
+    elif args.model == "llm":
         from cosy_tpu.models import llm as L
 
         params = init_override or L.init_llm_params(key, cfg.llm)
@@ -271,7 +308,9 @@ def main(argv=None):
         if not args.cv_data:
             return None
         losses = []
-        cv_batches = ({k: v for k, v in b.items() if k in _MODEL_KEYS[args.model]}
+        cv_keep = _MODEL_KEYS["llm_dpo" if args.model == "llm" and args.dpo
+                              else args.model]
+        cv_batches = ({k: v for k, v in b.items() if k in cv_keep}
                       for b in build_loader(args.cv_data, args))
         for sb in stack_accum(cv_batches, 1, args.seq_bucket):
             b = {k: v[0] for k, v in sb.items()}  # accum=1 group -> bucketed batch
@@ -284,7 +323,8 @@ def main(argv=None):
             return cv
         return None
 
-    keep = _MODEL_KEYS[args.model]
+    keep = _MODEL_KEYS["llm_dpo" if args.model == "llm" and args.dpo
+                       else args.model]
     for epoch in range(args.epochs):
         t0 = time.time()
         batches = ({k: v for k, v in b.items() if k in keep}
