@@ -163,6 +163,30 @@ llm: !new:cosyvoice.llm.llm.Qwen2LM
         num_key_value_heads: 2
         head_dim: 8
         vocab_size: 50
+flow: !new:cosyvoice.flow.flow.CausalMaskedDiffWithXvec
+    input_size: 16
+    output_size: 8
+    spk_embed_dim: 12
+    vocab_size: 30
+    token_mel_ratio: 2
+    pre_lookahead_len: 1
+    num_up_blocks: 1
+    encoder: !new:cosyvoice.transformer.upsample_encoder.UpsampleConformerEncoder
+        input_size: 16
+        output_size: 16
+        attention_heads: 2
+        linear_units: 24
+        num_blocks: 1
+        static_chunk_size: 4
+    decoder: !new:cosyvoice.flow.flow_matching.CausalConditionalCFM
+        estimator: !new:cosyvoice.flow.decoder.CausalConditionalDecoder
+            in_channels: 32
+            out_channels: 8
+            channels: [16, 16]
+            attention_head_dim: 4
+            n_blocks: 1
+            num_mid_blocks: 1
+            num_heads: 2
 """
 
 
@@ -197,6 +221,37 @@ def test_dpo_branch(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "dpo_acc=" in out and "sft_loss=" in out
     assert os.path.exists(os.path.join(mdir, "llm_epoch0.pt"))
+
+
+def test_cv2_llm_and_flow_branches(tmp_path, capsys):
+    """--cosyvoice2: Qwen2LM training and the causal flow2 objective from
+    the same CLI (the reference trains CV2 through the same bin/train.py
+    with a CV2 yaml)."""
+    ypath = str(tmp_path / "cv2.yaml")
+    open(ypath, "w").write(CV2_TINY_YAML)
+    train = _write_dataset(tmp_path, "train", n=24)
+
+    mdir = str(tmp_path / "out_cv2_llm")
+    rc = train_full.main(
+        ["--model", "llm", "--cosyvoice2", "--train_data", train,
+         "--config", ypath, "--model_dir", mdir, "--batch_size", "8",
+         "--max_steps", "1", "--log_every", "1",
+         "--shuffle_size", "8", "--sort_size", "4"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "acc=" in out
+    assert os.path.exists(os.path.join(mdir, "llm_epoch0.pt"))
+
+    mdir2 = str(tmp_path / "out_cv2_flow")
+    rc = train_full.main(
+        ["--model", "flow", "--cosyvoice2", "--cv2_streaming",
+         "--train_data", train, "--config", ypath, "--model_dir", mdir2,
+         "--batch_size", "8", "--max_steps", "1", "--log_every", "1",
+         "--shuffle_size", "8", "--sort_size", "4"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "loss=" in out
+    assert os.path.exists(os.path.join(mdir2, "flow_epoch0.pt"))
 
 
 @pytest.mark.slow

@@ -155,6 +155,18 @@ def main(argv=None):
                     help="vendored = stock CosyVoice flow training (no mel "
                          "norm, simple conds); finetune = the anti-leakage "
                          "normalized-mel objective")
+    ap.add_argument("--cosyvoice2", action="store_true",
+                    help="train the CosyVoice2 family: llm = Qwen2LM "
+                         "(uni/bistream packing), flow = the causal "
+                         "chunked flow (flow2), hifigan = the 24 kHz HiFT; "
+                         "topology from the CV2 yaml (cv2_configs_from_yaml)")
+    ap.add_argument("--cv2_streaming", action="store_true",
+                    help="train the CV2 flow's STREAMING objective (chunked "
+                         "causal attention) instead of non-streaming.  The "
+                         "reference draws this 50/50 per batch "
+                         "(flow.py:196); one jitted program per mode here — "
+                         "alternate runs/epochs for the mixed recipe (the "
+                         "distiller alternates per step, train/distill.py)")
     ap.add_argument("--dpo", action="store_true",
                     help="DPO preference training for the CosyVoice2 Qwen2 "
                          "speech LLM (reference: bin/train.py --dpo): the "
@@ -174,7 +186,7 @@ def main(argv=None):
     import jax
     import optax
 
-    from cosy_tpu.config import ModelConfig
+    from cosy_tpu.config import ModelConfig, replace as creplace
     from cosy_tpu.ctx import Ctx
     from cosy_tpu.utils.tb import TBWriter
 
@@ -198,11 +210,27 @@ def main(argv=None):
     # ------------------------------------------------------------------
     # HiFiGAN branch: two-optimizer GAN turns (executor.py:88-144)
     # ------------------------------------------------------------------
+    cv2_cfgs = None
+    if args.cosyvoice2:
+        from cosy_tpu.compat.yaml_config import cv2_configs_from_yaml
+
+        if args.config:
+            cv2_cfgs = cv2_configs_from_yaml(args.config)
+        else:
+            from cosy_tpu.models.flow2 import Flow2Config
+            from cosy_tpu.models.qwen2lm import Qwen2LMConfig
+
+            cv2_cfgs = cv2_configs_from_yaml("sample_rate: 24000",
+                                             llm_base=Qwen2LMConfig(),
+                                             flow_base=Flow2Config())
+
     if args.model == "hifigan":
         from cosy_tpu.models.gan import init_discriminator_params
         from cosy_tpu.models.hift import init_hift_params
         from cosy_tpu.train.gan_trainer import HiFiGanTrainer
 
+        if cv2_cfgs is not None:
+            cfg = creplace(cfg, hift=cv2_cfgs[2])
         gen = init_override or init_hift_params(key, cfg.hift)
         disc = init_discriminator_params(jax.random.fold_in(key, 1))
         trainer = HiFiGanTrainer(cfg.hift, gen, disc, gen_lr=args.lr,
@@ -263,6 +291,17 @@ def main(argv=None):
 
         def loss_fn(p, rng, batch, train=True):
             return _dpo_fn(p, rng, batch)
+    elif args.model == "llm" and args.cosyvoice2:
+        from cosy_tpu.models.qwen2lm import (init_qwen2lm_params,
+                                             qwen2lm_forward_train)
+
+        lcfg = cv2_cfgs[0]
+        params = init_override or init_qwen2lm_params(key, lcfg)
+
+        def loss_fn(p, rng, batch, train=True):
+            out = qwen2lm_forward_train(P(p), lcfg, batch,
+                                        Ctx(rng=rng, train=train), rng=rng)
+            return out["loss"], {"acc": out["acc"]}
     elif args.model == "llm":
         from cosy_tpu.models import llm as L
 
@@ -272,6 +311,18 @@ def main(argv=None):
             out = L.llm_forward_train(P(p), cfg.llm, batch,
                                       Ctx(rng=rng, train=train))
             return out["loss"], {"acc": out["acc"]}
+    elif args.cosyvoice2:
+        from cosy_tpu.models.flow2 import flow2_forward_train, init_flow2_params
+
+        f2cfg = cv2_cfgs[1]
+        params = init_override or init_flow2_params(key, f2cfg)
+        streaming = bool(args.cv2_streaming)
+
+        def loss_fn(p, rng, batch, train=True):
+            loss = flow2_forward_train(P(p), f2cfg, rng, batch,
+                                       Ctx(rng=rng, train=train),
+                                       streaming=streaming)
+            return loss, {}
     else:
         from cosy_tpu.models import flow as F
 
