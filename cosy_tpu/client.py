@@ -85,11 +85,12 @@ class TTSClient:
         return _pcm16_to_float(blob[_WAV_HEADER_LEN:]), sr
 
     def tts_stream(self, text: str, spk_id: str = "", voice: str = "",
+                   speed: float = 1.0,
                    chunk_bytes: int = 8192) -> Iterator[np.ndarray]:
         """Stream synthesis: yields float32 chunks as the server produces
         them (chunked WAV; the header is consumed here).  An odd-length read
         carries its trailing byte into the next chunk so PCM16 framing holds."""
-        req = self._request(text, True, spk_id, 1.0, voice)
+        req = self._request(text, True, spk_id, speed, voice)
         r = urllib.request.urlopen(req, timeout=self.timeout)
         try:
             hdr = r.read(_WAV_HEADER_LEN)
@@ -136,7 +137,8 @@ def main():
     t0 = time.time()
     if args.stream:
         chunks, ttfa = [], None
-        for ch in c.tts_stream(args.text, spk_id=args.spk_id, voice=args.voice):
+        for ch in c.tts_stream(args.text, spk_id=args.spk_id,
+                               voice=args.voice, speed=args.speed):
             if ttfa is None:
                 ttfa = time.time() - t0
             chunks.append(ch)

@@ -568,6 +568,8 @@ class OnnxModel:
             if op == "Div" and _is_static(*a) and all(
                     np.issubdtype(np.asarray(v).dtype, np.integer) for v in a):
                 return np.asarray(a[0]) // np.asarray(a[1])  # proto int div
+            if op == "Mod" and int(node.attr("fmod", 0)):
+                return xp.fmod(a[0], a[1])  # C fmod (mandatory for floats)
             return binops[op](a[0], a[1])
         if op == "LeakyRelu":
             alpha = float(node.attr("alpha", 0.01))
@@ -812,12 +814,13 @@ class OnnxModel:
         if op in ("Softmax", "LogSoftmax"):
             import jax
 
-            axis = int(node.attr("axis", -1))
-            if self.opset < 13 and axis != -1:
-                # legacy coerce-to-2D semantics: normalize over ALL dims >= axis
+            if self.opset < 13:
+                # legacy semantics: default axis 1, coerce-to-2D — normalize
+                # over ALL dims >= axis
+                axis = int(node.attr("axis", 1))
                 ax = tuple(range(axis % np.ndim(a[0]), np.ndim(a[0])))
             else:
-                ax = axis
+                ax = int(node.attr("axis", -1))
             fn = jax.nn.softmax if op == "Softmax" else jax.nn.log_softmax
             return fn(jnp.asarray(a[0]), axis=ax)
 

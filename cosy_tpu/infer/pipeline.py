@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from ..config import InferenceConfig, ModelConfig
 from ..ctx import EVAL
 from ..params import P, Params
-from ..utils.aot import aot_jit
+from ..utils.aot import aot_jit as _aot_jit_base
 from ..layers.basic import dense
 from ..models import flow as F
 from ..models import llm as L
@@ -182,6 +182,28 @@ class TTSPipeline:
         self._final_tok_bucket = -(-(self.token_min_hop_len +
                                      self.token_overlap_len) // 32) * 32
 
+        # AOT-cache salt (utils/aot.py): everything the jit closures bake in
+        # that the abstract arg signature cannot see — a config flip must
+        # produce a different cache key, never a stale executable
+        import os as _os
+
+        def _salt():
+            # evaluated at compile/load time: the lora scales change when
+            # set_voices registers adapters after construction
+            return "|".join(
+                [repr(self.cfg), repr(self.icfg),
+                 f"fn={self.finetuned_norm}",
+                 f"ls={self._llm_lora_scale}",
+                 f"fs={self._flow_lora_scale}"]
+                + [f"{k}={_os.environ.get(k)}" for k in (
+                    "COSY_TPU_ATTN_WINDOW", "COSY_TPU_FLASH",
+                    "COSY_TPU_FUSED_BLOCK", "COSY_TPU_HIFT_GEMM",
+                    "COSY_TPU_FLASH_MIN_T")])
+
+        def _ajit(fn, static_argnames=(), name=None):
+            return _aot_jit_base(fn, static_argnames=static_argnames,
+                                 name=name, salt=_salt)
+
         # jitted stages — eager execution through a remote-TPU runtime is
         # per-op RPC (seconds per stage); jit makes each stage one program
         # per shape bucket.  static config rides via closure.
@@ -201,12 +223,12 @@ class TTSPipeline:
                 sampler=self.icfg.sampler, n_timesteps=_nfe_default,
                 lora=lora, lora_scale=self._flow_lora_scale)
 
-        self._flow_jit = aot_jit(_flow_fn)
+        self._flow_jit = _ajit(_flow_fn)
 
         def _hift_fn(params, rng, mel, cache_source):
             return H.hift_inference(P(params), self.cfg.hift, rng, mel, cache_source)
 
-        self._hift_jit = aot_jit(_hift_fn)
+        self._hift_jit = _ajit(_hift_fn)
 
         # fused STREAMING chunk: flow solve + trim + overlap fades + cache
         # management + HiFT in ONE program.  The staged path costs 2-3 host
@@ -245,7 +267,7 @@ class TTSPipeline:
             return (wav[:, : -self.source_cache_len], new_overlap,
                     new_hift_mel, new_source, new_speech, new_cache)
 
-        self._t2w_stream_jit = aot_jit(_t2w_stream_fn, static_argnames=("trim",))
+        self._t2w_stream_jit = _ajit(_t2w_stream_fn, static_argnames=("trim",))
 
         # bucketed FINAL chunk (prompt-free): token window padded to a static
         # bucket + traced true lengths — ONE compiled program serves every
@@ -283,7 +305,7 @@ class TTSPipeline:
                 wav = fade_in_out_jnp(wav, hift_speech, self.speech_window)
             return wav  # callers slice [:, :(hift_valid)*256]
 
-        self._t2w_final_jit = aot_jit(_t2w_final_fn,
+        self._t2w_final_jit = _ajit(_t2w_final_fn,
                                       static_argnames=("n_timesteps",))
 
         # fused non-streaming token2wav: flow solve + boundary trim + HiFT in
@@ -304,7 +326,7 @@ class TTSPipeline:
             wav, _ = H.hift_inference(P(hift_p), self.cfg.hift, k_hift, mel, None)
             return wav
 
-        self._t2w_jit = aot_jit(_t2w_fn, static_argnames=("trim",))
+        self._t2w_jit = _ajit(_t2w_fn, static_argnames=("trim",))
 
         def _decode_fn(params, rng, prefix, min_len, cap, lora=None, vid=None,
                        *, prefix_len, max_len, top_p, top_k, win_size, tau_r):
@@ -317,7 +339,7 @@ class TTSPipeline:
                                 stop_at=cap, lora=lora, vid=vid,
                                 lora_scale=self._llm_lora_scale)
 
-        self._decode_jit = aot_jit(
+        self._decode_jit = _ajit(
             _decode_fn, static_argnames=("prefix_len", "max_len", "top_p",
                                          "top_k", "win_size", "tau_r"))
 
@@ -335,7 +357,7 @@ class TTSPipeline:
                                 lora=lora, vid=vid,
                                 lora_scale=self._llm_lora_scale)
 
-        self._decode_seg_jit = aot_jit(
+        self._decode_seg_jit = _ajit(
             _decode_seg_fn, static_argnames=("prefix_len", "max_len", "top_p",
                                              "top_k", "win_size", "tau_r"))
 
@@ -348,7 +370,7 @@ class TTSPipeline:
                 int8_weights=self.icfg.int8_decode, max_lens=max_lens,
                 lora=lora, vids=vids, lora_scale=self._llm_lora_scale)
 
-        self._decode_batch_jit = aot_jit(_decode_batch_fn,
+        self._decode_batch_jit = _ajit(_decode_batch_fn,
                                          static_argnames=("max_len",))
 
         # segment-wise batched decode for streaming cohorts (lock-step
@@ -365,7 +387,7 @@ class TTSPipeline:
                 attend_width=attend_width,
                 lora=lora, vids=vids, lora_scale=self._llm_lora_scale)
 
-        self._decode_batch_seg_jit = aot_jit(
+        self._decode_batch_seg_jit = _ajit(
             _decode_batch_seg_fn,
             static_argnames=("max_len", "attend_width"))
 
@@ -378,7 +400,7 @@ class TTSPipeline:
                 top_k=self.icfg.sampling_top_k,
                 win_size=self.icfg.ras_win_size, tau_r=self.icfg.ras_tau_r)
 
-        self._admit_jit = aot_jit(_admit_fn)
+        self._admit_jit = _ajit(_admit_fn)
 
     # ------------------------------------------------------------------
     # multi-voice LoRA serving

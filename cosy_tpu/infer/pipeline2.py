@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from ..config import InferenceConfig
 from ..ctx import EVAL
 from ..params import P, Params
-from ..utils.aot import aot_jit
+from ..utils.aot import aot_jit as _aot_jit_base
 from ..layers.basic import embedding
 from ..models.flow2 import Flow2Config, flow2_inference
 from ..models.qwen2lm import (Qwen2LMConfig, qwen2lm_decode,
@@ -74,6 +74,24 @@ class TTS2Pipeline:
         self._final_out_tokens = -(-(self.token_hop_len +
                                      flow_cfg.pre_lookahead_len) // 32) * 32
 
+        # AOT-cache salt (utils/aot.py): everything the jit closures bake in
+        # that the abstract arg signature cannot see — a config flip must
+        # produce a different cache key, never a stale executable
+        import os as _os
+
+        def _salt():
+            return "|".join(
+                [repr(self.lcfg), repr(self.fcfg), repr(self.hcfg),
+                 repr(self.icfg)]
+                + [f"{k}={_os.environ.get(k)}" for k in (
+                    "COSY_TPU_ATTN_WINDOW", "COSY_TPU_FLASH",
+                    "COSY_TPU_FUSED_BLOCK", "COSY_TPU_HIFT_GEMM",
+                    "COSY_TPU_FLASH_MIN_T")])
+
+        def _ajit(fn, static_argnames=(), name=None):
+            return _aot_jit_base(fn, static_argnames=static_argnames,
+                                 name=name, salt=_salt)
+
         # jitted stages (eager = per-op RPC on remote TPU runtimes; one
         # program per shape bucket instead — see pipeline.py)
         def _flow_fn(params, token, prompt_token, prompt_feat, spk, *,
@@ -83,13 +101,13 @@ class TTS2Pipeline:
                 streaming=streaming, finalize=finalize, n_timesteps=n_timesteps,
                 sampler=self.icfg.sampler)
 
-        self._flow_jit = aot_jit(
+        self._flow_jit = _ajit(
             _flow_fn, static_argnames=("streaming", "finalize", "n_timesteps"))
 
         def _hift_fn(params, rng, mel, cache_source):
             return H.hift_inference(P(params), self.hcfg, rng, mel, cache_source)
 
-        self._hift_jit = aot_jit(_hift_fn)
+        self._hift_jit = _ajit(_hift_fn)
 
         # fused non-streaming token2wav (flow + trim + HiFT in one program —
         # saves a host round-trip per request; see pipeline.py)
@@ -104,7 +122,7 @@ class TTS2Pipeline:
             wav, _ = H.hift_inference(P(hift_p), self.hcfg, rng, mel, None)
             return wav
 
-        self._t2w_jit = aot_jit(_t2w_fn, static_argnames=("offset", "n_timesteps"))
+        self._t2w_jit = _ajit(_t2w_fn, static_argnames=("offset", "n_timesteps"))
 
         # fused STREAMING chunk (non-final): causal flow + offset trim +
         # HiFT caches/fade in one program (see pipeline.py _t2w_stream_jit;
@@ -132,7 +150,7 @@ class TTS2Pipeline:
             return (wav[:, : -self.source_cache_len], new_mel, new_source,
                     new_speech)
 
-        self._t2w_stream_jit = aot_jit(
+        self._t2w_stream_jit = _ajit(
             _t2w_stream_fn, static_argnames=("offset", "streaming", "n_timesteps"))
 
         # bucketed FINAL chunk (prompt-free): the final window is the FULL
@@ -169,7 +187,7 @@ class TTS2Pipeline:
                 wav = fade_in_out_jnp(wav, hift_speech, self.speech_window)
             return wav  # callers slice [:, :hift_valid * hop_samples]
 
-        self._t2w_final_jit = aot_jit(
+        self._t2w_final_jit = _ajit(
             _t2w_final_fn, static_argnames=("out_tokens", "n_timesteps"))
 
         def _decode_fn(params, rng, prefix, min_len, cap, *, max_len, top_p,
@@ -180,7 +198,7 @@ class TTS2Pipeline:
                                   max_len, top_p=top_p, top_k=top_k,
                                   win_size=win_size, tau_r=tau_r, stop_at=cap)
 
-        self._decode_jit = aot_jit(
+        self._decode_jit = _ajit(
             _decode_fn, static_argnames=("max_len", "top_p", "top_k",
                                          "win_size", "tau_r"))
 
@@ -192,7 +210,7 @@ class TTS2Pipeline:
                                   stop_at=stop_at, state=state,
                                   return_state=True)
 
-        self._decode_seg_jit = aot_jit(
+        self._decode_seg_jit = _ajit(
             _decode_seg_fn, static_argnames=("max_len", "top_p", "top_k",
                                              "win_size", "tau_r"))
 
@@ -204,7 +222,7 @@ class TTS2Pipeline:
                 win_size=self.icfg.ras_win_size, tau_r=self.icfg.ras_tau_r,
                 max_lens=max_lens)
 
-        self._decode_batch_jit = aot_jit(_decode_batch_fn,
+        self._decode_batch_jit = _ajit(_decode_batch_fn,
                                          static_argnames=("max_len",))
 
         # segment-wise batched decode for streaming cohorts
@@ -218,7 +236,7 @@ class TTS2Pipeline:
                 max_lens=max_lens, stop_at=stop_at, state=state,
                 return_state=True, attend_width=attend_width)
 
-        self._decode_batch_seg_jit = aot_jit(
+        self._decode_batch_seg_jit = _ajit(
             _decode_batch_seg_fn,
             static_argnames=("max_len", "attend_width"))
 
@@ -233,7 +251,7 @@ class TTS2Pipeline:
                 top_k=self.icfg.sampling_top_k,
                 win_size=self.icfg.ras_win_size, tau_r=self.icfg.ras_tau_r)
 
-        self._admit_jit = aot_jit(_admit_fn)
+        self._admit_jit = _ajit(_admit_fn)
 
     # ------------------------------------------------------------------
 

@@ -162,10 +162,10 @@ def hift_decode(
         s_stft = s_stft * vmask(s_stft.shape[-1], sf_valid)
 
     _genv = os.environ.get("COSY_TPU_HIFT_GEMM")
-    if _genv not in (None, "0", "1"):
+    if _genv not in (None, "", "0", "1"):  # "" = unset the shell way
         raise ValueError(
             f"COSY_TPU_HIFT_GEMM must be '0' or '1', got {_genv!r}")
-    gemm = cfg.gemm_convs if _genv is None else _genv == "1"
+    gemm = cfg.gemm_convs if not _genv else _genv == "1"
     conv_s1 = conv1d_gemm if gemm else conv1d  # stride-1 decode convs only
 
     x = conv_s1(p, "conv_pre", mel, padding=3, ctx=ctx)

@@ -460,26 +460,32 @@ def make_handler(server: TTSServer, sample_rate: int):
 
         def do_POST(self):
             t_req = time.time()
-            route = "bad_request"
             audio_samples = 0
             ttfa = None
             ok = False
+            # _tts updates _cur_route as routing decisions are made, so an
+            # exception AFTER route selection (client disconnect mid-stream,
+            # synthesis failure) is attributed to the REAL route in /stats,
+            # not lumped under bad_request
+            self._cur_route = "bad_request"
             with server._stats_lock:
                 server.active_requests += 1
             try:
-                route, audio_samples, ttfa, ok = self._tts(t_req)
+                audio_samples, ttfa, ok = self._tts(t_req)
             finally:
                 with server._stats_lock:
                     server.active_requests -= 1
                 server.record_request(
-                    route, time.time() - t_req,
+                    self._cur_route, time.time() - t_req,
                     audio_samples / sample_rate, ttfa_s=ttfa, error=not ok)
 
         def _tts(self, t_req):
-            """Returns (route, audio_samples, ttfa_s | None, ok)."""
+            """Returns (audio_samples, ttfa_s | None, ok); sets
+            self._cur_route for stats attribution."""
             if self.path != "/tts":
                 self._plain(404, b"not found")
-                return "not_found", 0, None, False
+                self._cur_route = "not_found"
+                return 0, None, False
             n = int(self.headers.get("Content-Length", 0))
             try:
                 req = json.loads(self.rfile.read(n) or b"{}")
@@ -492,19 +498,19 @@ def make_handler(server: TTSServer, sample_rate: int):
                 # TypeError: non-object JSON body ([1,2], "hi"); ValueError:
                 # non-numeric speed — both are client errors, not 500s
                 self._plain(400, f"bad request: {e}".encode())
-                return "bad_request", 0, None, False
+                return 0, None, False
             if voice:
                 if spk_id:
                     # spk_id routes to inference_sft, which has no voice
                     # wiring — honoring one silently would drop the other
                     self._plain(400, b"voice and spk_id are mutually "
                                      b"exclusive; pass one")
-                    return "bad_request", 0, None, False
+                    return 0, None, False
                 known = getattr(server.api.model, "voice_names", [])
                 if voice not in known:
                     self._plain(400, f"unknown voice {voice!r}; registered: "
                                      f"{known}".encode())
-                    return "bad_request", 0, None, False
+                    return 0, None, False
             if stream:
                 # true chunked streaming: WAV header with unknown-length
                 # markers, then PCM16 per synthesis chunk as it is produced
@@ -528,17 +534,17 @@ def make_handler(server: TTSServer, sample_rate: int):
                     # continuous batching: join the persistent decode batch
                     # (voiced requests skip the engine — its persistent
                     # program has no vids wiring — and join a cohort below)
-                    route = "stream_engine"
+                    self._cur_route = "stream_engine"
                     pieces = server.synthesize_stream_engine(text)
                 elif (not spk_id and speed == 1.0
                         and hasattr(server.api.model, "synthesize_stream_batch")):
                     # concurrent prompt-free streams share a lock-step
                     # segmented decode (cohort batching); voiced rows route
                     # their adapters per row inside the SHARED decode
-                    route = "stream_cohort"
+                    self._cur_route = "stream_cohort"
                     pieces = server.synthesize_stream_batched(text, voice)
                 else:
-                    route = "stream_solo"
+                    self._cur_route = "stream_solo"
                     pieces = server.synthesize(text, spk_id, speed,
                                                stream=True, voice=voice)
                 samples, ttfa = 0, None
@@ -555,15 +561,15 @@ def make_handler(server: TTSServer, sample_rate: int):
                     # is abandoned: close() runs its finally block (engine
                     # slot cancel / cohort dead-mark / device-lock release)
                     pieces.close()
-                return route, samples, ttfa, True
+                return samples, ttfa, True
             if (not spk_id
                     and hasattr(server.api.model, "synthesize_batch")):
                 # concurrent prompt-free requests share a micro-batched
                 # decode (voiced rows route adapters per row)
-                route = "batched"
+                self._cur_route = "batched"
                 wav = server.synthesize_batched(text, speed, voice)
             else:
-                route = "solo_sft" if spk_id else "solo"
+                self._cur_route = "solo_sft" if spk_id else "solo"
                 wav = np.concatenate(list(server.synthesize(
                     text, spk_id, speed, stream=False, voice=voice)))
             body = wav_bytes(wav, sample_rate)
@@ -572,7 +578,7 @@ def make_handler(server: TTSServer, sample_rate: int):
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
-            return route, int(np.size(wav)), None, True
+            return int(np.size(wav)), None, True
 
     return Handler
 

@@ -6,15 +6,26 @@ that).  XLA's own persistent compilation cache does not survive across
 processes through the axon tunnel (PERF.md), but
 ``jax.experimental.serialize_executable`` does: the compiled TPU executable
 round-trips through bytes and ``deserialize_and_load`` is ~free (measured:
-0.7 s compile vs 0.00 s load for a 17-matmul scan program; the win scales
-with program size — real serving programs compile for minutes).
+full serving warmup 389.7 s -> 135.7 s cross-process, 11/11 programs loaded,
+zero recompiles — PERF.md "AOT executable cache").
 
-``aot_jit(fn, static_argnames=..., name=...)`` is a drop-in ``jax.jit``:
-with no cache directory configured it IS ``jax.jit`` (zero overhead).  With
-``COSY_TPU_AOT_CACHE=<dir>`` (or :func:`set_cache_dir`), every compiled
-signature is serialized into the directory keyed by (program name, abstract
-arg signature, static argument values, jax version + device fingerprint),
-and later processes load the executable instead of compiling.
+``aot_jit(fn, static_argnames=..., name=..., salt=...)`` is a drop-in
+``jax.jit``: with no cache directory configured it IS ``jax.jit`` (zero
+overhead).  With ``COSY_TPU_AOT_CACHE=<dir>`` (or :func:`set_cache_dir`),
+every compiled signature is serialized into the directory keyed by (program
+name, salt, abstract arg signature, static argument values, jax version +
+device fingerprint + cache schema version), and later processes load the
+executable instead of compiling.
+
+``salt`` is the caller's responsibility and the load-bearing safety knob: a
+jitted closure bakes in configuration that is invisible to the abstract arg
+signature (sampler/NFE choices, mel-norm flags, kernel-routing env vars) —
+the pipelines pass a salt string covering everything their closures capture
+(see ``TTSPipeline._aot_salt``), so a config flip produces a different key
+instead of silently loading a stale program.  ``_AOT_SCHEMA`` must be
+bumped when the traced program semantics change without a config change
+(i.e. on compute-path code changes) — release discipline, like any on-disk
+format.
 
 A stale or incompatible blob falls back to compilation and is overwritten —
 the cache can never break execution, only fail to speed it up.
@@ -40,9 +51,13 @@ import numpy as np
 
 __all__ = ["aot_jit", "set_cache_dir", "cache_dir", "AOT_STATS"]
 
-_lock = threading.Lock()
+# bump when compiled-program semantics can change without any config/shape
+# change (compute-path refactors) — invalidates every existing blob
+_AOT_SCHEMA = "1"
+
 _cache_dir: Optional[str] = None
 _env_read = False
+_fingerprint_cache: Optional[str] = None
 
 # observability/testing: hits = executables loaded from disk, misses =
 # compiles (first-ever or fallback), errors = stale-blob load failures
@@ -69,56 +84,64 @@ def cache_dir() -> Optional[str]:
 
 
 def _fingerprint() -> str:
-    dev = jax.devices()[0]
-    return f"{jax.__version__}|{dev.platform}|{getattr(dev, 'device_kind', '?')}"
+    global _fingerprint_cache
+    if _fingerprint_cache is None:
+        dev = jax.devices()[0]
+        _fingerprint_cache = (f"{jax.__version__}|{dev.platform}|"
+                              f"{getattr(dev, 'device_kind', '?')}|"
+                              f"schema{_AOT_SCHEMA}")
+    return _fingerprint_cache
 
 
-def _sig_of(tree) -> str:
-    leaves, treedef = jax.tree.flatten(tree)
-    parts = [str(treedef)]
-    for leaf in leaves:
-        if hasattr(leaf, "shape") and hasattr(leaf, "dtype"):
-            parts.append(f"{tuple(leaf.shape)}:{np.dtype(leaf.dtype).str}")
-        else:
-            parts.append(f"py:{leaf!r}")
-    return ";".join(parts)
+def _leaf_sig(leaf):
+    if hasattr(leaf, "shape") and hasattr(leaf, "dtype"):
+        return (tuple(leaf.shape), np.dtype(leaf.dtype).str)
+    return ("py", repr(leaf))
 
 
 class _AotJit:
     """jax.jit plus executable persistence, per abstract signature."""
 
-    def __init__(self, fn, static_argnames, name):
+    def __init__(self, fn, static_argnames, name, salt=""):
         self._jitted = jax.jit(fn, static_argnames=static_argnames)
         self._static = tuple(static_argnames)
         self._name = name or getattr(fn, "__name__", "fn")
-        self._loaded: dict = {}
+        self._salt = salt
+        self._loaded: dict = {}  # hashable signature key -> compiled
         self._lock = threading.Lock()
 
-    def _key(self, args, dyn_kwargs, static_kwargs) -> str:
-        raw = "|".join([
-            self._name, _fingerprint(), _sig_of((args, dyn_kwargs)),
-            repr(sorted(static_kwargs.items())),
-        ])
-        return hashlib.sha256(raw.encode()).hexdigest()[:32]
+    def _sig(self, args, dyn_kwargs, static_kwargs):
+        """Hashable per-call signature — tuples of shapes/dtypes, no string
+        building or hashing on the hot path (the sha256 filename is computed
+        only on the load/compile slow path)."""
+        leaves, treedef = jax.tree.flatten((args, dyn_kwargs))
+        return (treedef, tuple(_leaf_sig(x) for x in leaves),
+                tuple(sorted(static_kwargs.items())))
+
+    def _path(self, sig) -> str:
+        salt = self._salt() if callable(self._salt) else self._salt
+        raw = "|".join([self._name, salt, _fingerprint(), repr(sig)])
+        digest = hashlib.sha256(raw.encode()).hexdigest()[:32]
+        return os.path.join(cache_dir(), f"{self._name}-{digest}.aot")
 
     def __call__(self, *args, **kwargs):
         static_kwargs = {k: v for k, v in kwargs.items() if k in self._static}
         dyn_kwargs = {k: v for k, v in kwargs.items() if k not in self._static}
-        key = self._key(args, dyn_kwargs, static_kwargs)
-        fn = self._loaded.get(key)
+        sig = self._sig(args, dyn_kwargs, static_kwargs)
+        fn = self._loaded.get(sig)
         if fn is None:
             with self._lock:
-                fn = self._loaded.get(key)
+                fn = self._loaded.get(sig)
                 if fn is None:
-                    fn = self._load_or_compile(key, args, kwargs)
-                    self._loaded[key] = fn
+                    fn = self._load_or_compile(sig, args, kwargs)
+                    self._loaded[sig] = fn
         return fn(*args, **dyn_kwargs)
 
-    def _load_or_compile(self, key, args, kwargs):
+    def _load_or_compile(self, sig, args, kwargs):
         from jax.experimental.serialize_executable import (
             deserialize_and_load, serialize)
 
-        path = os.path.join(cache_dir(), f"{self._name}-{key}.aot")
+        path = self._path(sig)
         if os.path.exists(path):
             try:
                 with open(path, "rb") as f:
@@ -149,10 +172,15 @@ class _AotJit:
         return compiled
 
 
-def aot_jit(fn, static_argnames=(), name: Optional[str] = None):
+def aot_jit(fn, static_argnames=(), name: Optional[str] = None,
+            salt=""):
     """Drop-in ``jax.jit(fn, static_argnames=...)`` with executable
     persistence when a cache directory is configured (COSY_TPU_AOT_CACHE or
-    set_cache_dir); plain jax.jit otherwise."""
+    set_cache_dir); plain jax.jit otherwise.  ``salt`` (a string, or a
+    zero-arg callable evaluated at compile/load time for values that can
+    change after construction, e.g. set_voices adapter scales) must cover
+    every configuration value the closure bakes into the traced program
+    (see module docstring)."""
     if cache_dir() is None:
         return jax.jit(fn, static_argnames=static_argnames)
-    return _AotJit(fn, static_argnames, name)
+    return _AotJit(fn, static_argnames, name, salt)

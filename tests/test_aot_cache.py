@@ -61,6 +61,26 @@ def test_cache_round_trip_with_statics(aot_dir):
     assert aot.AOT_STATS["hits"] == 1
 
 
+def test_salt_isolates_configurations(aot_dir):
+    """Closures bake config the arg signature cannot see — different salts
+    must produce different cache entries (a flipped flag loading a stale
+    executable would serve silently wrong results)."""
+    import os
+
+    x = jnp.ones((2, 4)); w = jnp.ones((4, 4))
+    fa = aot.aot_jit(_fn, static_argnames=("scale",), name="s", salt="cfgA")
+    fb = aot.aot_jit(_fn, static_argnames=("scale",), name="s",
+                     salt=lambda: "cfgB")  # callable salt (late-bound config)
+    fa(x, w, scale=1.0)
+    fb(x, w, scale=1.0)
+    assert aot.AOT_STATS["misses"] == 2 and aot.AOT_STATS["hits"] == 0
+    assert len([p for p in os.listdir(aot_dir) if p.startswith("s-")]) == 2
+    # same salt string reloads
+    fa2 = aot.aot_jit(_fn, static_argnames=("scale",), name="s", salt="cfgA")
+    fa2(x, w, scale=1.0)
+    assert aot.AOT_STATS["hits"] == 1
+
+
 def test_corrupt_blob_falls_back(aot_dir):
     import os
 

@@ -87,6 +87,40 @@ def test_stats_and_metrics_round_trip(monkeypatch):
         httpd.shutdown()
 
 
+def test_synthesis_failure_attributed_to_real_route(monkeypatch):
+    """An exception AFTER route selection must count against that route in
+    /stats, not against bad_request (operators would chase phantom
+    malformed-client problems otherwise)."""
+    import urllib.error
+    import http.client
+
+    api = _make_api()
+    server = TTSServer(api)
+
+    def boom(text, spk_id="", speed=1.0, stream=False, voice=""):
+        raise ValueError("synthesis exploded")
+        yield  # pragma: no cover — make it a generator
+
+    server.synthesize = boom
+    if hasattr(api.model, "synthesize_batch"):
+        monkeypatch.delattr(type(api.model), "synthesize_batch")
+
+    httpd, port = _spin_up(server)
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/tts",
+            data=json.dumps({"text": "hi."}).encode())
+        try:
+            urllib.request.urlopen(req, timeout=60)
+        except (urllib.error.URLError, http.client.HTTPException, OSError):
+            pass  # handler dies mid-response; the stats are the point
+        s = server.stats()
+        assert s["errors"].get("solo") == 1, s
+        assert "bad_request" not in s["errors"], s
+    finally:
+        httpd.shutdown()
+
+
 def test_streaming_records_ttfa():
     api = _make_api()
     orig = api.frontend.extract_text_token

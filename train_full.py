@@ -75,8 +75,6 @@ def build_loader(list_path: str, args, tokenizer=None, gan: bool = False):
     return Pr.build_pipeline(rows(), stages)
 
 
-_PAD_VALUES = {"speech_feat": -11.5}  # dataset.py:526 mel pad; rest pad 0
-
 # keys each objective consumes — extra pipeline keys are dropped before the
 # jitted step (they would ride the lax.scan as dead weight otherwise)
 _MODEL_KEYS = {
@@ -90,22 +88,22 @@ _MODEL_KEYS = {
 }
 
 
-def _pad_to(arr: np.ndarray, shape):
-    pads = [(0, t - s) for s, t in zip(arr.shape, shape)]
-    if not any(hi for _, hi in pads):
-        return arr
-    return np.pad(arr, pads, constant_values=0.0)
-
-
 def stack_accum(batches, accum: int, bucket: int):
     """Group ``accum`` same-B batches into one (accum, B, ...) super batch,
     padding time axes to the group max rounded up to ``bucket`` (masked
     regions carry no loss — lens ride along).  Partial trailing groups are
     dropped (reference drop_last)."""
+    from cosy_tpu.data.dataset import MEL_PADDING_VALUE
+
+    pad_values = {"speech_feat": MEL_PADDING_VALUE}  # -11.5; rest pad 0
     buf = []
+    first_B = None
     for b in batches:
-        if buf and b[next(iter(b))].shape[0] != buf[0][next(iter(buf[0]))].shape[0]:
-            buf = []  # final partial batch: different B — drop
+        B = b[next(iter(b))].shape[0]
+        if first_B is None:
+            first_B = B
+        if B != first_B:
+            buf = []  # trailing partial batch: different B — drop
             continue
         buf.append(b)
         if len(buf) < accum:
@@ -120,7 +118,7 @@ def stack_accum(batches, accum: int, bucket: int):
             # per-sample lens stay exact
             if len(tgt) >= 2 and k != "embedding":
                 tgt[1] = -(-tgt[1] // bucket) * bucket
-            pv = _PAD_VALUES.get(k, 0)
+            pv = pad_values.get(k, 0)
             padded = [np.pad(a, [(0, t - s) for s, t in zip(a.shape, tgt)],
                              constant_values=pv) for a in arrs]
             out[k] = np.stack(padded)
