@@ -1,7 +1,19 @@
 """AOT executable cache (utils/aot.py): persistence + exactness.
 
 The cache must never change results — only skip compilation.  A stale or
-corrupt blob falls back to compiling."""
+corrupt blob falls back to compiling.
+
+Every scenario that DESERIALIZES an executable runs in a fresh subprocess:
+XLA:CPU's AOT loader itself warns that loading its results can cause
+execution errors (machine-feature pseudo-mismatch, cpu_aot_loader.cc) — the
+production target is the TPU backend, where executables round-trip cleanly
+(PERF.md "AOT executable cache", measured 11/11 loads, zero recompiles).
+Sandboxing keeps any loader side effects out of the long-running suite
+process."""
+
+import os
+import subprocess
+import sys
 
 import numpy as np
 import pytest
@@ -10,112 +22,135 @@ import jax.numpy as jnp
 
 from cosy_tpu.utils import aot
 
+_ENV = {**os.environ,
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+        "COSY_TPU_NO_CACHE": "1"}
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-@pytest.fixture()
-def aot_dir(tmp_path):
-    aot.set_cache_dir(str(tmp_path / "aot"))
-    aot.AOT_STATS.update(hits=0, misses=0, errors=0)
-    yield str(tmp_path / "aot")
-    aot.set_cache_dir(None)
 
+def _run_sandboxed(script: str, cache_dir: str) -> str:
+    """Run a scenario in a fresh interpreter; return stdout (asserts inside
+    the child; non-zero exit fails the test with the child's output)."""
+    proc = subprocess.run(
+        [sys.executable, "-c", script], env={**_ENV, "AOT_DIR": cache_dir},
+        cwd=_REPO, capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    return proc.stdout
+
+
+_PRELUDE = """
+import os
+import numpy as np
+import jax, jax.numpy as jnp
+from cosy_tpu.utils import aot
+aot.set_cache_dir(os.environ["AOT_DIR"])
 
 def _fn(x, w, *, scale):
     return jnp.tanh(x @ w) * scale
 
+x = jnp.ones((4, 8)); w = jnp.ones((8, 8))
+"""
+
 
 def test_plain_jit_without_cache_dir():
+    # no deserialization happens on this path — safe in-process
     aot.set_cache_dir(None)
+
+    def _fn(x, w, *, scale):
+        return jnp.tanh(x @ w) * scale
+
     f = aot.aot_jit(_fn, static_argnames=("scale",))
-    x = jnp.ones((4, 8)); w = jnp.ones((8, 8))
-    out = f(x, w, scale=2.0)
-    assert out.shape == (4, 8)
+    out = f(jnp.ones((4, 8)), jnp.ones((8, 8)), scale=2.0)
     np.testing.assert_allclose(np.asarray(out),
                                np.tanh(np.ones((4, 8)) * 8) * 2, rtol=1e-6)
 
 
-def test_cache_round_trip_with_statics(aot_dir):
-    import os
+def test_cache_round_trip_with_statics(tmp_path):
+    out = _run_sandboxed(_PRELUDE + """
+f1 = aot.aot_jit(_fn, static_argnames=("scale",), name="t")
+o1 = np.asarray(f1(x, w, scale=2.0))
+assert aot.AOT_STATS["misses"] == 1, aot.AOT_STATS
+blobs = [p for p in os.listdir(os.environ["AOT_DIR"]) if p.endswith(".aot")]
+assert len(blobs) == 1 and blobs[0].startswith("t-"), blobs
 
-    x = jnp.asarray(np.random.default_rng(0).standard_normal((4, 8)),
-                    jnp.float32)
-    w = jnp.asarray(np.random.default_rng(1).standard_normal((8, 8)),
-                    jnp.float32)
+# a FRESH wrapper (new process stand-in) loads instead of compiling
+f2 = aot.aot_jit(_fn, static_argnames=("scale",), name="t")
+o2 = np.asarray(f2(x, w, scale=2.0))
+assert aot.AOT_STATS["hits"] == 1 and aot.AOT_STATS["misses"] == 1, aot.AOT_STATS
+np.testing.assert_array_equal(o1, o2)
 
-    f1 = aot.aot_jit(_fn, static_argnames=("scale",), name="t")
-    out1 = np.asarray(f1(x, w, scale=2.0))
-    assert aot.AOT_STATS["misses"] == 1
-    blobs = [p for p in os.listdir(aot_dir) if p.endswith(".aot")]
-    assert len(blobs) == 1 and blobs[0].startswith("t-")
-
-    # a FRESH wrapper (new process stand-in) loads instead of compiling
-    f2 = aot.aot_jit(_fn, static_argnames=("scale",), name="t")
-    out2 = np.asarray(f2(x, w, scale=2.0))
-    assert aot.AOT_STATS["hits"] == 1 and aot.AOT_STATS["misses"] == 1
-    np.testing.assert_array_equal(out1, out2)
-
-    # different static value = different program
-    f2(x, w, scale=3.0)
-    assert aot.AOT_STATS["misses"] == 2
-    # repeated call: in-memory, no new loads
-    f2(x, w, scale=2.0)
-    assert aot.AOT_STATS["hits"] == 1
+# different static value = different program; repeats stay in memory
+f2(x, w, scale=3.0)
+assert aot.AOT_STATS["misses"] == 2, aot.AOT_STATS
+f2(x, w, scale=2.0)
+assert aot.AOT_STATS["hits"] == 1, aot.AOT_STATS
+print("ROUND_TRIP_OK")
+""", str(tmp_path / "aot"))
+    assert "ROUND_TRIP_OK" in out
 
 
-def test_salt_isolates_configurations(aot_dir):
+def test_salt_isolates_configurations(tmp_path):
     """Closures bake config the arg signature cannot see — different salts
     must produce different cache entries (a flipped flag loading a stale
     executable would serve silently wrong results)."""
-    import os
-
-    x = jnp.ones((2, 4)); w = jnp.ones((4, 4))
-    fa = aot.aot_jit(_fn, static_argnames=("scale",), name="s", salt="cfgA")
-    fb = aot.aot_jit(_fn, static_argnames=("scale",), name="s",
-                     salt=lambda: "cfgB")  # callable salt (late-bound config)
-    fa(x, w, scale=1.0)
-    fb(x, w, scale=1.0)
-    assert aot.AOT_STATS["misses"] == 2 and aot.AOT_STATS["hits"] == 0
-    assert len([p for p in os.listdir(aot_dir) if p.startswith("s-")]) == 2
-    # same salt string reloads
-    fa2 = aot.aot_jit(_fn, static_argnames=("scale",), name="s", salt="cfgA")
-    fa2(x, w, scale=1.0)
-    assert aot.AOT_STATS["hits"] == 1
-
-
-def test_corrupt_blob_falls_back(aot_dir):
-    import os
-
-    x = jnp.ones((2, 4)); w = jnp.ones((4, 4))
-    f = aot.aot_jit(_fn, static_argnames=("scale",), name="c")
-    want = np.asarray(f(x, w, scale=1.0))
-    path = [p for p in os.listdir(aot_dir) if p.startswith("c-")][0]
-    with open(os.path.join(aot_dir, path), "wb") as fh:
-        fh.write(b"garbage")
-    f2 = aot.aot_jit(_fn, static_argnames=("scale",), name="c")
-    got = np.asarray(f2(x, w, scale=1.0))
-    assert aot.AOT_STATS["errors"] >= 1
-    np.testing.assert_array_equal(got, want)
+    out = _run_sandboxed(_PRELUDE + """
+fa = aot.aot_jit(_fn, static_argnames=("scale",), name="s", salt="cfgA")
+fb = aot.aot_jit(_fn, static_argnames=("scale",), name="s",
+                 salt=lambda: "cfgB")  # callable salt (late-bound config)
+fa(x, w, scale=1.0)
+fb(x, w, scale=1.0)
+assert aot.AOT_STATS["misses"] == 2 and aot.AOT_STATS["hits"] == 0, aot.AOT_STATS
+n = len([p for p in os.listdir(os.environ["AOT_DIR"]) if p.startswith("s-")])
+assert n == 2, n
+fa2 = aot.aot_jit(_fn, static_argnames=("scale",), name="s", salt="cfgA")
+fa2(x, w, scale=1.0)
+assert aot.AOT_STATS["hits"] == 1, aot.AOT_STATS
+print("SALT_OK")
+""", str(tmp_path / "aot"))
+    assert "SALT_OK" in out
 
 
-def test_pipeline_programs_persist_and_reload(aot_dir):
+def test_corrupt_blob_falls_back(tmp_path):
+    out = _run_sandboxed(_PRELUDE + """
+f = aot.aot_jit(_fn, static_argnames=("scale",), name="c")
+want = np.asarray(f(x, w, scale=1.0))
+path = [p for p in os.listdir(os.environ["AOT_DIR"]) if p.startswith("c-")][0]
+with open(os.path.join(os.environ["AOT_DIR"], path), "wb") as fh:
+    fh.write(b"garbage")
+f2 = aot.aot_jit(_fn, static_argnames=("scale",), name="c")
+got = np.asarray(f2(x, w, scale=1.0))
+assert aot.AOT_STATS["errors"] >= 1, aot.AOT_STATS
+np.testing.assert_array_equal(got, want)
+print("CORRUPT_FALLBACK_OK")
+""", str(tmp_path / "aot"))
+    assert "CORRUPT_FALLBACK_OK" in out
+
+
+def test_pipeline_programs_persist_and_reload(tmp_path):
     """A rebuilt pipeline (server restart stand-in) loads its serving
     programs from the cache; synthesis output stays finite and non-empty."""
-    import os
+    out = _run_sandboxed("""
+import os, sys
+sys.path.insert(0, "tests")
+import numpy as np
+from cosy_tpu.utils import aot
+aot.set_cache_dir(os.environ["AOT_DIR"])
+from test_api import _make_api
 
-    from test_api import _make_api
+api = _make_api()
+ids = np.asarray([[3, 5, 7]], np.int32)
+zero = np.zeros((1, 12), np.float32)
+list(api.model.synthesize(api._next_rng(), ids, spk_embedding=zero))
+assert aot.AOT_STATS["misses"] > 0, aot.AOT_STATS
+m0 = aot.AOT_STATS["misses"]
 
-    api = _make_api()
-    ids = np.asarray([[3, 5, 7]], np.int32)
-    zero = np.zeros((1, 12), np.float32)
-    list(api.model.synthesize(api._next_rng(), ids, spk_embedding=zero))
-    assert aot.AOT_STATS["misses"] > 0
-    assert len(os.listdir(aot_dir)) >= aot.AOT_STATS["misses"] - \
-        aot.AOT_STATS["errors"]
-    m0 = aot.AOT_STATS["misses"]
-
-    api2 = _make_api()
-    out = list(api2.model.synthesize(api2._next_rng(), ids,
-                                     spk_embedding=zero))
-    assert aot.AOT_STATS["hits"] > 0, "rebuilt pipeline did not reload"
-    assert aot.AOT_STATS["misses"] == m0, "rebuilt pipeline recompiled"
-    wav = out[-1]["tts_speech"]
-    assert np.isfinite(wav).all() and wav.size > 0
+api2 = _make_api()
+out = list(api2.model.synthesize(api2._next_rng(), ids, spk_embedding=zero))
+assert aot.AOT_STATS["hits"] > 0, ("rebuilt pipeline did not reload", aot.AOT_STATS)
+assert aot.AOT_STATS["misses"] == m0, ("rebuilt pipeline recompiled", aot.AOT_STATS)
+wav = out[-1]["tts_speech"]
+assert np.isfinite(wav).all() and wav.size > 0
+print("PIPELINE_RELOAD_OK")
+""", str(tmp_path / "aot"))
+    assert "PIPELINE_RELOAD_OK" in out
