@@ -135,8 +135,14 @@ def fallback_embedding(seed: int = 0) -> np.ndarray:
 
 
 def whisper_log_mel(wav: np.ndarray, n_mels: int = 128, sr: int = 16000) -> np.ndarray:
-    """Whisper-style log-mel: n_fft 400, hop 160, htk?  Whisper uses slaney
-    mel from librosa too; magnitudes**2, log10 with dynamic-range clamp."""
+    """whisper.log_mel_spectrogram parity (reference frontend.py:131-141 feeds
+    this to the S3 speech tokenizer): periodic hann 400 / hop 160, center=True
+    reflect pad, power spectrum with the final frame dropped, SLANEY (htk=False,
+    norm='slaney') librosa filterbank — whisper's bundled mel_filters.npz is
+    generated exactly that way — then log10(clamp(x, 1e-10)), a max()-8
+    dynamic-range clamp, and (x+4)/4 scaling.  Pinned to a recorded independent
+    torch oracle: tests/goldens/whisper_mel.npz via
+    tests/test_audio_ops.py::test_whisper_log_mel_golden (max|err| ~5e-5)."""
     n_fft, hop = 400, 160
     pad = n_fft // 2
     y = np.pad(wav, (pad, pad), mode="reflect")

@@ -1,5 +1,7 @@
 """Audio op tests: STFT parity vs torch.stft golden; mel filterbank properties;
-iSTFT round-trip."""
+iSTFT round-trip; whisper log-mel vs recorded oracle golden."""
+
+import os
 
 import numpy as np
 import jax
@@ -52,3 +54,25 @@ def test_istft_round_trip():
     n = min(x.shape[1], y.shape[1])
     np.testing.assert_allclose(np.asarray(y)[0, 8 : n - 8], np.asarray(x)[0, 8 : n - 8],
                                atol=1e-4, rtol=1e-4)
+
+
+def test_whisper_log_mel_golden():
+    """prepare.whisper_log_mel vs a recorded independent whisper oracle.
+
+    The golden (tests/goldens/whisper_mel.npz, tools/gen_whisper_golden.py)
+    reimplements whisper.log_mel_spectrogram(n_mels=128) — the op feeding the
+    S3 speech tokenizer (reference cosyvoice/cli/frontend.py:131-141) — with
+    torch.stft (center=True, periodic hann 400/160) and a float64 slaney
+    filterbank, a fully independent stack from the numpy implementation under
+    test.  Tolerance 1e-4 in the (log10+4)/4 domain: the oracle computes the
+    mel matmul in float32 (as whisper does), ours in float64; observed
+    max|err| is ~5e-5.
+    """
+    from cosy_tpu.data import prepare
+
+    g = np.load(os.path.join(os.path.dirname(__file__), "goldens", "whisper_mel.npz"))
+    for name in ["noise_1s", "chirp_2p3s", "harm_1s"]:
+        got = prepare.whisper_log_mel(np.asarray(g[f"wav_{name}"]))
+        ref = np.asarray(g[f"mel_{name}"])
+        assert got.shape == ref.shape, name
+        assert np.abs(got - ref).max() < 1e-4, (name, np.abs(got - ref).max())
