@@ -442,7 +442,9 @@ def _pool(node: _Node, x, mode: str):
         pads = _auto_pads(auto, x.shape[2:], k, strides, [1] * sp)
     else:
         pads = _pair_pads(node.attr("pads") or [0] * (2 * sp))
-    if int(node.attr("ceil_mode", 0)):
+    declared = list(pads)
+    ceil = int(node.attr("ceil_mode", 0))
+    if ceil:
         # extend the upper pad so the last partial window is included
         pads = [(lo, hi + s - 1) for (lo, hi), s in zip(pads, strides)]
     dims = (1, 1) + tuple(k)
@@ -454,7 +456,17 @@ def _pool(node: _Node, x, mode: str):
         return lax.reduce_window(x, init, lax.max, dims, strd, pd)
     s = lax.reduce_window(x, 0.0, lax.add, dims, strd, pd)
     if int(node.attr("count_include_pad", 0)):
-        return s / float(np.prod(k))
+        if not ceil:
+            return s / float(np.prod(k))
+        # ORT counts declared-pad cells in the denominator but NOT the
+        # ceil-mode upper extension: count window cells over the
+        # declared-pad extent, with the extension as zero padding
+        ones = jnp.ones([x.shape[2 + i] + lo + hi
+                         for i, (lo, hi) in enumerate(declared)], x.dtype)
+        ext = [p[1] - d[1] for p, d in zip(pads, declared)]
+        cnt = lax.reduce_window(ones, 0.0, lax.add, tuple(k), tuple(strides),
+                                [(0, e) for e in ext])
+        return s / cnt[None, None]
     ones = jnp.ones(x.shape[2:], x.dtype)
     cnt = lax.reduce_window(ones, 0.0, lax.add, tuple(k), tuple(strides), pads)
     return s / cnt[None, None]

@@ -22,10 +22,12 @@ jitted closure bakes in configuration that is invisible to the abstract arg
 signature (sampler/NFE choices, mel-norm flags, kernel-routing env vars) —
 the pipelines pass a salt string covering everything their closures capture
 (see ``TTSPipeline._aot_salt``), so a config flip produces a different key
-instead of silently loading a stale program.  ``_AOT_SCHEMA`` must be
-bumped when the traced program semantics change without a config change
-(i.e. on compute-path code changes) — release discipline, like any on-disk
-format.
+instead of silently loading a stale program.  Code changes are covered
+automatically: a hash of every ``.py`` source in the package is folded into
+the fingerprint, so any edit to traced compute code invalidates all blobs
+without anyone remembering to bump a schema.  Blobs deserialize via pickle,
+so the cache dir is created 0700 and loading is refused from a directory
+owned by someone else or group/world-writable.
 
 A stale or incompatible blob falls back to compilation and is overwritten —
 the cache can never break execution, only fail to speed it up.
@@ -51,9 +53,9 @@ import numpy as np
 
 __all__ = ["aot_jit", "set_cache_dir", "cache_dir", "AOT_STATS"]
 
-# bump when compiled-program semantics can change without any config/shape
-# change (compute-path refactors) — invalidates every existing blob
-_AOT_SCHEMA = "1"
+# bump on on-disk *format* changes; compute-path code changes are covered
+# automatically by the package source hash folded into _fingerprint()
+_AOT_SCHEMA = "2"
 
 _cache_dir: Optional[str] = None
 _env_read = False
@@ -69,7 +71,22 @@ def set_cache_dir(path: Optional[str]) -> None:
     _cache_dir = os.path.abspath(path) if path else None
     _env_read = True
     if _cache_dir:
-        os.makedirs(_cache_dir, exist_ok=True)
+        # 0700: blobs are unpickled at load — nobody else may plant them
+        os.makedirs(_cache_dir, mode=0o700, exist_ok=True)
+
+
+def _dir_is_trusted(path: str) -> bool:
+    """Blobs deserialize via pickle, so loading from a directory another
+    user can write into is arbitrary code execution at startup.  Only load
+    when the dir is ours and not group/world-writable (POSIX; on platforms
+    without st_uid semantics this degrades to allowing)."""
+    try:
+        st = os.stat(path)
+    except OSError:
+        return False
+    if hasattr(os, "getuid") and st.st_uid not in (os.getuid(), 0):
+        return False
+    return not (st.st_mode & 0o022)
 
 
 def cache_dir() -> Optional[str]:
@@ -83,13 +100,33 @@ def cache_dir() -> Optional[str]:
     return _cache_dir
 
 
+def _source_hash() -> str:
+    """sha256 over every .py source in the cosy_tpu package, so any code
+    edit that could change traced-program semantics invalidates all blobs
+    automatically — no hand-bumped schema to forget.  ~1 MB of reads, once
+    per process."""
+    import cosy_tpu
+
+    root = os.path.dirname(os.path.abspath(cosy_tpu.__file__))
+    h = hashlib.sha256()
+    for dirpath, dirnames, filenames in os.walk(root):
+        dirnames.sort()
+        for fname in sorted(filenames):
+            if fname.endswith(".py"):
+                p = os.path.join(dirpath, fname)
+                h.update(os.path.relpath(p, root).encode())
+                with open(p, "rb") as f:
+                    h.update(f.read())
+    return h.hexdigest()[:16]
+
+
 def _fingerprint() -> str:
     global _fingerprint_cache
     if _fingerprint_cache is None:
         dev = jax.devices()[0]
         _fingerprint_cache = (f"{jax.__version__}|{dev.platform}|"
                               f"{getattr(dev, 'device_kind', '?')}|"
-                              f"schema{_AOT_SCHEMA}")
+                              f"schema{_AOT_SCHEMA}|src{_source_hash()}")
     return _fingerprint_cache
 
 
@@ -142,7 +179,7 @@ class _AotJit:
             deserialize_and_load, serialize)
 
         path = self._path(sig)
-        if os.path.exists(path):
+        if os.path.exists(path) and _dir_is_trusted(cache_dir()):
             try:
                 with open(path, "rb") as f:
                     blob, in_tree, out_tree, n_dev = pickle.load(f)

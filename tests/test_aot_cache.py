@@ -154,3 +154,35 @@ assert np.isfinite(wav).all() and wav.size > 0
 print("PIPELINE_RELOAD_OK")
 """, str(tmp_path / "aot"))
     assert "PIPELINE_RELOAD_OK" in out
+
+
+def test_fingerprint_includes_source_hash():
+    """Code edits must invalidate blobs automatically (ADVICE r3 #1): the
+    fingerprint folds in a hash over every package .py source."""
+    fp = aot._fingerprint()
+    assert "|src" in fp
+    # deterministic within a process
+    assert aot._source_hash() == aot._source_hash()
+
+
+def test_untrusted_cache_dir_refuses_load(tmp_path, monkeypatch):
+    """A group/world-writable cache dir must never be unpickled from
+    (ADVICE r3 #2) — the call still works, it just recompiles."""
+    d = tmp_path / "aotcache"
+    aot.set_cache_dir(str(d))
+    try:
+        assert aot._dir_is_trusted(str(d))  # created 0700
+        f = aot.aot_jit(lambda x: x * 2.0, name="trustcheck")
+        x = jnp.ones((4,), jnp.float32)
+        np.testing.assert_allclose(np.asarray(f(x)), 2.0)
+        os.chmod(d, 0o777)
+        assert not aot._dir_is_trusted(str(d))
+        before = dict(aot.AOT_STATS)
+        g = aot.aot_jit(lambda x: x * 2.0, name="trustcheck")
+        np.testing.assert_allclose(np.asarray(g(x)), 2.0)
+        # same signature + name, but the world-writable dir forced a
+        # compile (miss), not a pickle load (hit)
+        assert aot.AOT_STATS["hits"] == before["hits"]
+        assert aot.AOT_STATS["misses"] == before["misses"] + 1
+    finally:
+        aot.set_cache_dir(None)

@@ -451,3 +451,39 @@ def test_prepare_extractors_route_through_native_runtime(tmp_path):
     spk = OnnxCampplus(camp_path)
     emb = spk(wav)
     assert emb.shape == (192,) and np.isfinite(emb).all()
+
+
+def test_avgpool_ceil_mode_count_include_pad_matches_torch():
+    """ceil_mode=1 + count_include_pad=1: the ceil extension must NOT count
+    toward the denominator (ORT/torch semantics) — ADVICE r3 #3."""
+    import torch
+
+    torch.manual_seed(5)
+    # length 16, k 4, stride 3, pad 1 -> ceil adds a 6th window whose last
+    # cell lies past the declared pad; its denominator must be 3, not 4
+    x = torch.randn(2, 3, 16)
+    want = torch.nn.functional.avg_pool1d(
+        x, 4, stride=3, padding=1, ceil_mode=True,
+        count_include_pad=True).numpy()
+    m = OnnxModel(model(
+        nodes=[node("AveragePool", ["x"], ["y"], kernel_shape=[4], strides=[3],
+                    pads=[1, 1], ceil_mode=1, count_include_pad=1)],
+        inputs=[vinfo("x", np.float32, (2, 3, 16))], outputs=[vinfo("y")]))
+    got = np.asarray(m(x.numpy())[0])
+    assert got.shape == want.shape == (2, 3, 6)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    # 2-D as well (the campplus pooling shape class): H hits the ceil
+    # extension, W does not
+    x2 = torch.randn(1, 4, 10, 11)
+    want2 = torch.nn.functional.avg_pool2d(
+        x2, (3, 2), stride=(2, 3), padding=(1, 0), ceil_mode=True,
+        count_include_pad=True).numpy()
+    m2 = OnnxModel(model(
+        nodes=[node("AveragePool", ["x"], ["y"], kernel_shape=[3, 2],
+                    strides=[2, 3], pads=[1, 0, 1, 0], ceil_mode=1,
+                    count_include_pad=1)],
+        inputs=[vinfo("x", np.float32, (1, 4, 10, 11))], outputs=[vinfo("y")]))
+    got2 = np.asarray(m2(x2.numpy())[0])
+    assert got2.shape == want2.shape == (1, 4, 6, 4)
+    np.testing.assert_allclose(got2, want2, rtol=1e-5, atol=1e-6)

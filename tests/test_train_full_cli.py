@@ -267,3 +267,48 @@ def test_hifigan_branch(tmp_path, yaml_path, capsys):
     out = capsys.readouterr().out
     assert "gen/loss" in out or "disc/loss" in out
     assert os.path.exists(os.path.join(mdir, "hift_epoch0.pt"))
+
+
+def test_epochs_zero_exits_cleanly(tmp_path, yaml_path):
+    """--epochs 0 (CV-only / dry run) must not crash in the ckptr drain
+    (ADVICE r3 #5)."""
+    train = _write_dataset(tmp_path, "train")
+    mdir = str(tmp_path / "out_e0")
+    assert train_full.main(
+        ["--model", "llm", "--train_data", train, "--config", yaml_path,
+         "--model_dir", mdir, "--epochs", "0", "--batch_size", "8",
+         "--shuffle_size", "8", "--sort_size", "4"]) == 0
+
+
+def test_llm_raw_text_rows_build_tokenizer_or_fail_fast(tmp_path, yaml_path):
+    """Rows carrying only raw text (no text_token) must either tokenize via a
+    discovered vocab or exit with a clear message (ADVICE r3 #4)."""
+    import pandas as pd
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(8):
+        rows.append({
+            "utt": f"u{i}",
+            "text": "你好世界",
+            "speech_token": rng.integers(0, 30, 8).tolist(),
+            "utt_embedding": rng.standard_normal(12).astype(np.float32).tolist(),
+        })
+    pq = str(tmp_path / "rawtext.parquet")
+    pd.DataFrame(rows).to_parquet(pq)
+    lst = str(tmp_path / "rawtext.list")
+    with open(lst, "w") as f:
+        f.write(pq + "\n")
+
+    from cosy_tpu.data.tokenizer import find_vocab_file
+
+    ns = type("NS", (), {"model": "llm", "shuffle_size": 8, "sort_size": 4,
+                         "batch_size": 4, "use_spk_embedding": False,
+                         "gan_truncate": 24576})()
+    if find_vocab_file() is None:
+        with pytest.raises(SystemExit, match="lack text_token"):
+            train_full.build_loader(lst, ns)
+    else:
+        loader = train_full.build_loader(lst, ns)
+        batch = next(iter(loader))
+        assert "text_token" in batch

@@ -50,6 +50,18 @@ def build_loader(list_path: str, args, tokenizer=None, gan: bool = False):
     first = next(iter(Pr.parquet_opener(shards[:1])), None)
     if first is None:
         raise SystemExit(f"{list_path}: no rows")
+    if tokenizer is None and "text_token" not in first:
+        # rows carry only raw text: build the tokenizer like prepare.py does
+        # (reference bin/train.py constructs it from the yaml config) — or
+        # fail fast here instead of as an opaque KeyError in the jitted loss
+        from cosy_tpu.data.tokenizer import TextTokenizer, find_vocab_file
+
+        if find_vocab_file() is not None:
+            tokenizer = TextTokenizer()
+        elif args.model == "llm":
+            raise SystemExit(
+                f"{list_path}: rows lack text_token and no tokenizer vocab was "
+                "found — run prepare first, or set COSY_TPU_TOKENIZER_VOCAB")
     have_feats = "speech_feat" in first
     need_feats = gan or args.model == "flow"
     stages = [(Pr.tokenize, {"tokenizer": tokenizer}), (Pr.filter_stage, {})]
@@ -256,8 +268,9 @@ def main(argv=None):
             print(f"== epoch {epoch} done ({time.time() - t0:.1f}s)")
             if args.max_steps and step - start_step >= args.max_steps:
                 break
-        trainer._ckptr.wait()  # drain async saves before interpreter exit
-        trainer._ckptr.close()
+        if getattr(trainer, "_ckptr", None):  # absent when --epochs 0
+            trainer._ckptr.wait()  # drain async saves before interpreter exit
+            trainer._ckptr.close()
         tb.close()
         return 0
 
@@ -396,8 +409,9 @@ def main(argv=None):
               f"step {trainer.step_count})")
         if args.max_steps and trainer.step_count - start_step >= args.max_steps:
             break
-    trainer._ckptr.wait()  # drain async saves before interpreter exit
-    trainer._ckptr.close()
+    if getattr(trainer, "_ckptr", None):  # absent when --epochs 0
+        trainer._ckptr.wait()  # drain async saves before interpreter exit
+        trainer._ckptr.close()
     tb.close()
     return 0
 
