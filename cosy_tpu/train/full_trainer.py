@@ -169,6 +169,17 @@ class FullTrainer:
                 micro, r = xs
                 (loss, aux), grads = jax.value_and_grad(self.loss_fn, has_aux=True)(
                     params, r, micro)
+                # under seq sharding, keep per-micro grads and the
+                # accumulator in the PARAM layout: without this pin the
+                # post-scan ZeRO-2 layout propagates back into the scan
+                # carry and the partitioner falls into involuntary full
+                # rematerialization on the AD-generated conv-weight reverse
+                # ops (13 warnings -> 0, tools/probe_sp_remat.py); the
+                # reduce-scatter then happens once, after the scan.  dp-only
+                # ZeRO-2 keeps the unpinned carry (per-micro reduce-scatter
+                # is half the bytes of the allreduce this pin would force).
+                if self.sequence_parallel:
+                    grads = jax.lax.with_sharding_constraint(grads, param_shardings)
                 asum = jax.tree.map(
                     lambda a, s: s + a.astype(jnp.float32), aux, asum)
                 return (jax.tree.map(jnp.add, gsum, grads), lsum + loss, asum), None

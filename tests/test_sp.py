@@ -1,10 +1,13 @@
 """Sequence parallelism (parallel/sp.py): seq-axis activation sharding is a
 layout annotation — flow losses and gradients equal the replicated run."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 import optax
+import pytest
 
 from cosy_tpu.config import EncoderConfig, EstimatorConfig, FlowConfig
 from cosy_tpu.ctx import Ctx
@@ -85,3 +88,25 @@ def test_sequence_parallel_composes_with_dp():
     loss_dpsp = run(pmesh.make_mesh(dp=2, seq=2,
                                     devices=jax.devices("cpu")[:4]), True)
     np.testing.assert_allclose(loss_dpsp, loss_rep, atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_sp_phase_compiles_without_involuntary_remat():
+    """The dp2 x seq2 x tp2 train step must compile with ZERO spmd_partitioner
+    'Involuntary full rematerialization' warnings (VERDICT r3 weak #1) — these
+    are weight-gradient-path allgathers at real scale.  Subprocess because the
+    warnings are C++ glog stderr at compile time."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ,
+               XLA_FLAGS="--xla_force_host_platform_device_count=8",
+               JAX_PLATFORMS="cpu")
+    root = os.path.join(os.path.dirname(__file__), "..")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(root, "tools", "probe_sp_remat.py")],
+        capture_output=True, text=True, timeout=600, env=env, cwd=root)
+    out = proc.stdout + proc.stderr
+    assert proc.returncode == 0, out[-2000:]
+    assert "SP phase loss=" in out
+    assert "Involuntary full rematerialization" not in out, out[-3000:]
