@@ -186,3 +186,53 @@ def test_untrusted_cache_dir_refuses_load(tmp_path, monkeypatch):
         assert aot.AOT_STATS["misses"] == before["misses"] + 1
     finally:
         aot.set_cache_dir(None)
+
+
+def test_int8_decode_programs_persist_and_reload(tmp_path):
+    """The --int8 serving path composed with the AOT cache (VERDICT r3 next
+    #4): int8 decode programs persist, a rebuilt pipeline reloads them with
+    zero recompiles and bit-identical tokens, and the int8 cache keys are
+    disjoint from bf16's (the salt carries icfg.int8_decode)."""
+    out = _run_sandboxed("""
+import os, sys
+sys.path.insert(0, "tests")
+import numpy as np
+import jax
+from cosy_tpu.utils import aot
+aot.set_cache_dir(os.environ["AOT_DIR"])
+from cosy_tpu.config import InferenceConfig
+from cosy_tpu.infer.pipeline import TTSPipeline
+from cosy_tpu.models import flow as F, llm as L
+from cosy_tpu.models.hift import init_hift_params
+from test_api import MODEL_CFG
+
+key = jax.random.PRNGKey(0)
+params = (L.init_llm_params(jax.random.fold_in(key, 1), MODEL_CFG.llm),
+          F.init_flow_params(jax.random.fold_in(key, 2), MODEL_CFG.flow),
+          init_hift_params(jax.random.fold_in(key, 3), MODEL_CFG.hift))
+
+def make(int8):
+    return TTSPipeline(MODEL_CFG, *params,
+                       InferenceConfig(int8_decode=int8), finetuned_norm=True)
+
+ids = np.asarray([[3, 5, 7]], np.int32)
+
+pipe = make(True)
+toks1 = pipe.generate_tokens(jax.random.PRNGKey(7), ids)
+m0 = aot.AOT_STATS["misses"]
+assert m0 > 0, aot.AOT_STATS
+
+# rebuilt pipeline (server restart stand-in): hits, no new compiles
+pipe2 = make(True)
+toks2 = pipe2.generate_tokens(jax.random.PRNGKey(7), ids)
+assert aot.AOT_STATS["hits"] > 0, aot.AOT_STATS
+assert aot.AOT_STATS["misses"] == m0, ("int8 pipeline recompiled", aot.AOT_STATS)
+np.testing.assert_array_equal(np.asarray(toks1), np.asarray(toks2))
+
+# bf16 must NOT collide with the int8 entries: same signature, new compile
+pipe3 = make(False)
+pipe3.generate_tokens(jax.random.PRNGKey(7), ids)
+assert aot.AOT_STATS["misses"] > m0, ("bf16 hit an int8 blob", aot.AOT_STATS)
+print("INT8_AOT_OK")
+""", str(tmp_path / "aot"))
+    assert "INT8_AOT_OK" in out

@@ -7,6 +7,7 @@ against torch eager / numpy, which is what the reference's onnxruntime
 sessions compute (cosyvoice/cli/frontend.py:54-63).
 """
 
+import os
 import struct
 
 import numpy as np
@@ -487,3 +488,57 @@ def test_avgpool_ceil_mode_count_include_pad_matches_torch():
     got2 = np.asarray(m2(x2.numpy())[0])
     assert got2.shape == want2.shape == (1, 4, 6, 4)
     np.testing.assert_allclose(got2, want2, rtol=1e-5, atol=1e-6)
+
+
+def test_supported_ops_registry_consistent():
+    """supported_ops() is derived from the dispatcher source — sanity-pin
+    the families the campplus / S3-tokenizer export recipes need
+    (docs/onnx_coverage.md)."""
+    from cosy_tpu.compat.onnx import supported_ops
+
+    ops = supported_ops()
+    must = {
+        # CNN family (campplus D-TDNN)
+        "Conv", "BatchNormalization", "Relu", "MaxPool", "AveragePool",
+        "GlobalAveragePool", "Concat", "Gemm", "ReduceMean", "Sub", "Mul",
+        "Div", "Sqrt", "Transpose", "Reshape", "Flatten", "Slice",
+        # transformer/VQ family (S3 whisper-style tokenizer)
+        "MatMul", "Add", "Softmax", "LayerNormalization", "Erf", "Gelu",
+        "Gather", "ArgMin", "ReduceSum", "Cast", "Range", "Unsqueeze",
+        "Shape", "Pow", "Sigmoid", "Where", "Constant", "ConstantOfShape",
+    }
+    missing = must - ops
+    assert not missing, f"dispatcher lost ops: {sorted(missing)}"
+    assert len(ops) >= 70
+
+
+def test_onnx_coverage_tool(tmp_path, capsys):
+    """tools/onnx_coverage.py preflight: clean report for a supported graph,
+    clean MISSING inventory (no crash) for a graph with an unknown op
+    (VERDICT r3 next #6)."""
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import onnx_coverage
+
+    good = model(
+        nodes=[node("Relu", ["x"], ["r"]),
+               node("MatMul", ["r", "r"], ["y"])],
+        inputs=[vinfo("x", np.float32, (4, 4))], outputs=[vinfo("y")])
+    p_good = tmp_path / "good.onnx"
+    p_good.write_bytes(good)
+    assert onnx_coverage.main([str(p_good)]) == 0
+    out = capsys.readouterr().out
+    assert "all ops supported" in out and "[OK ] MatMul" in out
+
+    bad = model(
+        nodes=[node("Relu", ["x"], ["r"]),
+               node("STFT", ["r"], ["s"]),       # not implemented
+               node("MelWeightMatrix", ["s"], ["y"])],
+        inputs=[vinfo("x", np.float32, (4, 4))], outputs=[vinfo("y")])
+    p_bad = tmp_path / "bad.onnx"
+    p_bad.write_bytes(bad)
+    assert onnx_coverage.main([str(p_bad)]) == 1
+    out = capsys.readouterr().out
+    assert "[MISSING] STFT" in out and "MelWeightMatrix" in out
+    assert "2 unsupported" in out
