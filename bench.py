@@ -583,10 +583,12 @@ def main():
         secondary["decode_tok_per_s_latency"] = round(tps_lat, 1)
     except Exception as e:  # noqa: BLE001
         log(f"[decode] bench failed: {e}")
-    if os.environ.get("COSY_TPU_BENCH_INT8"):
-        # opt-in: the int8 decode program takes ~20 min to compile through
-        # the remote tunnel (measured r4: 1240.7 tok/s steady-state, +21%
-        # over bf16 — PERF.md); too slow for the default bench budget
+    if os.environ.get("COSY_TPU_BENCH_INT8", "1") != "0":
+        # default-on since builder R4: the int8 program's compile dropped to
+        # ~4-9 min through the tunnel (was ~20 in r4; measured 1434-1440
+        # tok/s steady-state, +32% over bf16 — tools/probe_aot_int8.py), and
+        # serving restarts amortize it to zero via the AOT cache.
+        # COSY_TPU_BENCH_INT8=0 skips when the compile budget is tight.
         try:
             tps_i8, _ = bench_ar_decode(model_cfg, int8=True)
             secondary["decode_int8_tok_per_s"] = round(tps_i8, 1)

@@ -574,6 +574,7 @@ class OnnxModel:
             "Tanh": xp.tanh, "Sqrt": xp.sqrt, "Exp": xp.exp, "Log": xp.log,
             "Neg": lambda x: -x, "Abs": xp.abs, "Floor": xp.floor,
             "Ceil": xp.ceil, "Identity": lambda x: x,
+            "Sin": xp.sin, "Cos": xp.cos,
             "Erf": None, "Round": xp.round, "Sign": xp.sign,
             "Softplus": lambda x: xp.logaddexp(x, 0.0),
             "Reciprocal": lambda x: 1 / x,

@@ -396,8 +396,11 @@ class InferenceConfig:
     ras_win_size: int = 10
     ras_tau_r: float = 0.1
     # int8 weight-only AR decode (bs=1 decode is weight-bandwidth-bound;
-    # ~1.24x tokens/s measured, PERF.md).  Off by default: it perturbs the
-    # sampled token distribution slightly vs the bf16 reference path.
+    # 1.32x tokens/s measured, PERF.md "int8 decode x AOT cache").  Off by
+    # default because it perturbs the sampled token distribution vs the
+    # bf16 reference path — validate per voice before enabling; the old
+    # compile-cost objection is gone (the AOT cache restores the program
+    # with zero recompiles across restarts).
     int8_decode: bool = False
     # bucketed final streaming chunk: pad the final token window to a static
     # bucket + traced true length so ONE compiled program serves every

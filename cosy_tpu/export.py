@@ -96,3 +96,65 @@ def find_checkpoints(pattern: str, num: int = 5) -> List[str]:
     """Latest-N checkpoint selection by mtime (average_model.py --num)."""
     cands = sorted(glob.glob(pattern), key=os.path.getmtime, reverse=True)
     return cands[:num]
+
+
+def export_flow_estimator_onnx(
+    params: Params,
+    model_cfg: ModelConfig,
+    out_path: str,
+    B: int = 2,
+    T: int = 256,
+    verify: bool = True,
+) -> str:
+    """ONNX export of the CFM estimator — the reference's export_onnx.py
+    surface (bin/export_onnx.py:34-56), for hand-back to its GPU/ORT/TRT
+    serving stack.  Static shapes (export one file per serving bucket).
+
+    ``verify`` runs a parity check of the emitted graph against the JAX
+    forward through onnxruntime when installed, else through the native
+    ingestion runtime (compat/onnx.py) — an independent reader/executor."""
+    import numpy as np
+
+    from .compat.onnx_export import export_estimator_onnx
+    from .layers.unet import conditional_decoder
+
+    cfg = model_cfg.flow.estimator
+    est = {k[len("decoder.estimator."):]: np.asarray(v, np.float32)
+           for k, v in params.items() if k.startswith("decoder.estimator.")}
+    if not est:  # a bare estimator tree (e.g. distilled student export)
+        est = {k: np.asarray(v, np.float32) for k, v in params.items()}
+    data = export_estimator_onnx(est, cfg, T=T, B=B)
+    with open(out_path, "wb") as f:
+        f.write(data)
+    if verify:
+        rng = np.random.default_rng(0)
+        mel = cfg.out_channels
+        feeds = {
+            "x": rng.standard_normal((B, mel, T)).astype(np.float32),
+            "mask": np.ones((B, 1, T), np.float32),
+            "mu": rng.standard_normal((B, mel, T)).astype(np.float32),
+            "t": np.linspace(0.1, 0.9, B).astype(np.float32),
+            "spks": rng.standard_normal((B, mel)).astype(np.float32),
+            "cond": rng.standard_normal((B, mel, T)).astype(np.float32),
+        }
+        want = np.asarray(jax.jit(
+            lambda p, x, mask, mu, t, spks, cond: conditional_decoder(
+                P(p), cfg, x, mask, mu, t, spks, cond, EVAL))(
+            est, feeds["x"], feeds["mask"], feeds["mu"], feeds["t"],
+            feeds["spks"], feeds["cond"]), np.float32)
+        try:
+            import onnxruntime as ort
+
+            sess = ort.InferenceSession(data, providers=["CPUExecutionProvider"])
+            got = sess.run(None, feeds)[0]
+            backend = "onnxruntime"
+        except ImportError:
+            from .compat.onnx import OnnxModel
+
+            got = np.asarray(OnnxModel(data).run(feeds)[0], np.float32)
+            backend = "compat.onnx"
+        err = float(np.max(np.abs(got - want)))
+        if err > 5e-3:
+            raise AssertionError(
+                f"ONNX export parity check failed via {backend}: max|err| {err}")
+    return out_path
