@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import InferenceConfig, ModelConfig
-from ..ctx import EVAL
+from ..ctx import EVAL, Ctx
 from ..params import P, Params
 from ..utils.aot import aot_jit as _aot_jit_base
 from ..layers.basic import dense
@@ -328,6 +328,34 @@ class TTSPipeline:
 
         self._t2w_jit = _ajit(_t2w_fn, static_argnames=("trim",))
 
+        # LM-prefix pack as ONE jitted program: sos + spk affine + text
+        # encoder + task + prompt-speech embeddings.  Eager execution here
+        # was the dominant term of streaming TTFA (634-1931 ms of per-op
+        # RPC through the remote runtime vs ~25 ms compiled — PERF.md
+        # "v1 streaming TTFA decomposition"); every serving route builds a
+        # prefix per request, so all of them gain.  One program per
+        # (text_len, options) signature — the same granularity the decode
+        # programs already compile at (static prefix_len).
+        def _prefix_fn(params, tt, spk, pst, lora=None, vid=None):
+            p = P(params)
+            pctx = EVAL if lora is None else Ctx(
+                lora=lora, lora_scale=self._llm_lora_scale, lora_vids=vid[None])
+            cfg_l = self.cfg.llm
+            text_enc = L.llm_encode_text(
+                p, cfg_l, tt, jnp.full((1,), tt.shape[1], jnp.int32), pctx)
+            parts = [params["llm_embedding.weight"][cfg_l.sos_eos][None, None]]
+            if spk is not None:
+                parts.append(dense(p, "spk_embed_affine_layer",
+                                   L._l2_normalize(spk, axis=1), pctx)[:, None])
+            parts += [text_enc,
+                      params["llm_embedding.weight"][cfg_l.task_id][None, None]]
+            if pst is not None:
+                pse = jnp.take(params["speech_embedding.weight"], pst, axis=0)
+                parts.append(pse.reshape(1, -1, cfg_l.llm_input_size))
+            return jnp.concatenate(parts, axis=1)
+
+        self._prefix_jit = _ajit(_prefix_fn)
+
         def _decode_fn(params, rng, prefix, min_len, cap, lora=None, vid=None,
                        *, prefix_len, max_len, top_p, top_k, win_size, tau_r):
             # cap = the request's true stop bound (traced); max_len = the
@@ -520,16 +548,9 @@ class TTSPipeline:
         (prefix, min_len, max_len).  ``voice`` routes the text encoding
         through that voice's llm adapters (set_voices) so the prefix matches
         a merged-weights build exactly."""
-        cfg = self.cfg.llm
-        p = P(self.llm_params)
-        ctx = EVAL
+        bank = vid = None
         if voice is not None:
             bank, vid, _ = self._voice(voice)
-            if bank is not None:
-                from ..ctx import Ctx
-
-                ctx = Ctx(lora=bank, lora_scale=self._llm_lora_scale,
-                          lora_vids=vid[None])
 
         tt = np.asarray(text_tokens)
         if prompt_text is not None and prompt_text.size:
@@ -537,28 +558,16 @@ class TTSPipeline:
         text_len = tt.shape[1]
         prompt_text_len = prompt_text.shape[1] if prompt_text is not None else 0
 
-        text_enc = L.llm_encode_text(p, cfg, jnp.asarray(tt, jnp.int32),
-                                     jnp.asarray([text_len]), ctx)
-
-        parts = [
-            self.llm_params["llm_embedding.weight"][cfg.sos_eos][None, None],
-        ]
-        if spk_embedding is not None:
-            # spk_embedding=None omits the speaker row entirely, matching the
-            # reference's empty-embedding path (llm.py:188-193, instruct mode)
-            spk = dense(p, "spk_embed_affine_layer",
-                        L._l2_normalize(jnp.asarray(spk_embedding), axis=1),
-                        ctx)
-            parts.append(spk[:, None])
-        parts += [
-            text_enc,
-            self.llm_params["llm_embedding.weight"][cfg.task_id][None, None],
-        ]
-        if prompt_speech_token is not None and prompt_speech_token.size:
-            pse = jnp.take(self.llm_params["speech_embedding.weight"],
-                           jnp.asarray(prompt_speech_token, jnp.int32), axis=0)
-            parts.append(pse.reshape(1, -1, cfg.llm_input_size))
-        prefix = jnp.concatenate(parts, axis=1)
+        # spk_embedding=None omits the speaker row entirely, matching the
+        # reference's empty-embedding path (llm.py:188-193, instruct mode);
+        # the whole pack runs as one jitted program (see _prefix_fn)
+        spk = None if spk_embedding is None else \
+            jnp.asarray(spk_embedding, jnp.float32)
+        pst = None
+        if prompt_speech_token is not None and np.asarray(prompt_speech_token).size:
+            pst = jnp.asarray(prompt_speech_token, jnp.int32)
+        prefix = self._prefix_jit(self.llm_params, jnp.asarray(tt, jnp.int32),
+                                  spk, pst, bank, vid)
 
         target_text = text_len - prompt_text_len
         min_len = int(target_text * self.icfg.min_token_text_ratio)
