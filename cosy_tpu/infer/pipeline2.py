@@ -109,6 +109,22 @@ class TTS2Pipeline:
 
         self._hift_jit = _ajit(_hift_fn)
 
+        # LM-prefix pack as one program (pipeline.py learned this the hard
+        # way — PERF.md "v1 streaming TTFA decomposition"; here the pack is
+        # only embedding gathers + concat, but eagerly that is still 4-6
+        # per-op RPCs ≈ 100+ ms of TTFA per request through a remote runtime)
+        def _prefix_fn(params, tt, pst):
+            p = P(params)
+            parts = [params["llm_embedding.weight"][self.lcfg.sos_eos][None, None],
+                     embedding(p.sub("llm.model.model"), "embed_tokens", tt),
+                     params["llm_embedding.weight"][self.lcfg.task_id][None, None]]
+            if pst is not None:
+                pse = embedding(p, "speech_embedding", pst)
+                parts.append(pse.reshape(1, -1, self.lcfg.llm_input_size))
+            return jnp.concatenate(parts, axis=1)
+
+        self._prefix_jit = _ajit(_prefix_fn)
+
         # fused non-streaming token2wav (flow + trim + HiFT in one program —
         # saves a host round-trip per request; see pipeline.py)
         def _t2w_fn(flow_p, hift_p, rng, token, prompt_token, prompt_feat, spk,
@@ -257,24 +273,15 @@ class TTS2Pipeline:
 
     def _build_prefix(self, text_tokens, prompt_text, prompt_speech_token,
                       max_len_cap):
-        p = P(self.llm_params)
         tt = np.asarray(text_tokens)
         if prompt_text is not None and prompt_text.size:
             tt = np.concatenate([np.asarray(prompt_text), tt], axis=1)
         prompt_text_len = prompt_text.shape[1] if prompt_text is not None else 0
 
-        text_emb = embedding(p.sub("llm.model.model"), "embed_tokens",
-                             jnp.asarray(tt, jnp.int32))
-        parts = [
-            self.llm_params["llm_embedding.weight"][self.lcfg.sos_eos][None, None],
-            text_emb,
-            self.llm_params["llm_embedding.weight"][self.lcfg.task_id][None, None],
-        ]
-        if prompt_speech_token is not None and prompt_speech_token.size:
-            pse = embedding(p, "speech_embedding",
-                            jnp.asarray(prompt_speech_token, jnp.int32))
-            parts.append(pse.reshape(1, -1, self.lcfg.llm_input_size))
-        prefix = jnp.concatenate(parts, axis=1)
+        pst = None
+        if prompt_speech_token is not None and np.asarray(prompt_speech_token).size:
+            pst = jnp.asarray(prompt_speech_token, jnp.int32)
+        prefix = self._prefix_jit(self.llm_params, jnp.asarray(tt, jnp.int32), pst)
 
         target_text = tt.shape[1] - prompt_text_len
         min_len = int(target_text * self.icfg.min_token_text_ratio)
