@@ -515,6 +515,13 @@ def bench_stream_e2e(model_cfg: ModelConfig, text_len=64):
     return ttfa, rtf, audio_s
 
 
+# headline result shared with the watchdog: if the total-budget guard fires
+# AFTER the headline metric was measured (the secondary sections grew to
+# ~35-50 min cold this round: cfm_long T2560, stream e2e, int8 compile),
+# emit the JSON line and exit 0 with partial secondaries instead of rc 3
+_HEADLINE = {"line": None}
+
+
 def _watchdog(seconds: float, code: int, what: str):
     """Hard exit if the process outlives ``seconds``.  A dead axon tunnel
     hangs inside libtpu RPCs (observed: ``jax.devices()`` never returning),
@@ -523,6 +530,12 @@ def _watchdog(seconds: float, code: int, what: str):
     import threading
 
     def fire():
+        if _HEADLINE["line"] is not None:
+            log(f"[watchdog] {what} exceeded {seconds:.0f}s after the "
+                f"headline metric completed — emitting it with partial "
+                f"secondaries (rc 0)")
+            print(_HEADLINE["line"], flush=True)
+            os._exit(0)
         log(f"[watchdog] {what} exceeded {seconds:.0f}s — TPU tunnel likely "
             f"unreachable; aborting bench (rc {code})")
         os._exit(code)
@@ -531,6 +544,22 @@ def _watchdog(seconds: float, code: int, what: str):
     t.daemon = True
     t.start()
     return t
+
+
+def _headline_json(fps: float) -> str:
+    base = 1.0
+    if os.path.exists("BENCH_baseline.json"):
+        try:
+            prev = json.load(open("BENCH_baseline.json"))
+            base = fps / float(prev["value"])
+        except Exception:  # noqa: BLE001
+            base = 1.0
+    return json.dumps({
+        "metric": "cfm_mel_frames_per_sec_per_chip",
+        "value": round(fps, 1),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(base, 3),
+    })
 
 
 def main():
@@ -559,6 +588,7 @@ def main():
     fps = 0.0
     try:
         fps = bench_cfm(model_cfg)
+        _HEADLINE["line"] = _headline_json(fps)
     except Exception as e:  # noqa: BLE001
         log(f"[cfm] bench failed: {e}")
     secondary = {}
@@ -632,19 +662,7 @@ def main():
         log(f"[batch-decode] bench failed: {e}")
     log(f"secondary: {json.dumps(secondary)}")
 
-    base = 1.0
-    if os.path.exists("BENCH_baseline.json"):
-        try:
-            prev = json.load(open("BENCH_baseline.json"))
-            base = fps / float(prev["value"])
-        except Exception:  # noqa: BLE001
-            base = 1.0
-    print(json.dumps({
-        "metric": "cfm_mel_frames_per_sec_per_chip",
-        "value": round(fps, 1),
-        "unit": "frames/s/chip",
-        "vs_baseline": round(base, 3),
-    }))
+    print(_headline_json(fps))
     if fps <= 0:
         # the headline metric never ran — exit non-zero so a broken chip or
         # tunnel is recorded as a failure, not a 0.0 "measurement"
