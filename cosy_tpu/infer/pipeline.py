@@ -625,18 +625,29 @@ class TTSPipeline:
                   top_p=self.icfg.sampling_top_p, top_k=self.icfg.sampling_top_k,
                   win_size=self.icfg.ras_win_size, tau_r=self.icfg.ras_tau_r)
         seg = self.token_min_hop_len + self.token_overlap_len
-        state = None
         target = min(seg, max_len)  # targets bound by the TRUE request cap
+        pending = self._decode_seg_jit(
+            self.llm_params, rng, prefix, jnp.asarray(min_len),
+            jnp.asarray(target), None, bank, vid, **kw)
         while True:
-            res, state = self._decode_seg_jit(
-                self.llm_params, rng, prefix, jnp.asarray(min_len),
-                jnp.asarray(target), state, bank, vid, **kw)
+            res, state = pending
+            # prefetch: submit segment k+1 from the (still in-flight) device
+            # state BEFORE syncing segment k — the next segment executes
+            # while the consumer synthesizes chunk k (pure dispatch
+            # pipelining; the token stream is bit-identical, the resumed
+            # while_loop sees the same state either way, and a post-EOS
+            # submission exits its loop immediately)
+            next_target = min(target + self.token_min_hop_len, max_len)
+            if next_target > target:
+                pending = self._decode_seg_jit(
+                    self.llm_params, rng, prefix, jnp.asarray(min_len),
+                    jnp.asarray(next_target), state, bank, vid, **kw)
             n = int(res.length)
             done = bool(state.done) or n >= max_len
             yield np.asarray(res.tokens)[None, :n], done
             if done:
                 return
-            target = min(target + self.token_min_hop_len, max_len)
+            target = next_target
 
     def synthesize_batch(
         self,
