@@ -27,6 +27,29 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
+# Persistent XLA compilation cache for the suite (VERDICT r3 next #7:
+# iteration speed).  The suite's cost is dominated by recompiling the same
+# tiny-topology programs every run; with this cache the second-and-later
+# runs load them instead.  The dir is scoped to (hostname, jax version) so
+# executables never travel across machines (the XLA:CPU AOT loader's
+# machine-feature comparison also flags pseudo-features like
+# +prefer-no-scatter on the SAME machine — cosmetic; results are exact).
+# COSY_TPU_TEST_NO_JAX_CACHE=1 opts out (e.g. when debugging a suspected
+# stale-cache or loader issue).  Note this is jax's own content-addressed
+# cache, NOT cosy_tpu's pickle-based aot cache (still disabled above).
+if not os.environ.get("COSY_TPU_TEST_NO_JAX_CACHE"):
+    import hashlib
+    import platform
+
+    _tag = hashlib.sha1(
+        (platform.node() + jax.__version__).encode()).hexdigest()[:8]
+    _jax_cache = os.environ.get(
+        "COSY_TPU_TEST_JAX_CACHE_DIR", f"/tmp/cosy_tpu_jax_cache_{_tag}")
+    jax.config.update("jax_compilation_cache_dir", _jax_cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    # subprocess-spawning tests inherit the cache through the env
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _jax_cache)
+
 assert jax.default_backend() == "cpu", (
     f"tests must run on CPU, got {jax.default_backend()}")
 assert len(jax.devices()) >= 8, jax.devices()

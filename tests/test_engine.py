@@ -79,6 +79,15 @@ def test_admit_slot_mid_flight_matches_solo():
                                       np.asarray(r1.tokens))
 
 
+@pytest.fixture(scope="module")
+def api():
+    """One compiled pipeline for the whole module: the engine tests drive
+    fresh ContinuousBatchEngine instances over a SHARED TTSPipeline, so the
+    jitted decode/flow/vocoder programs compile once instead of once per
+    test (~25 s x 7 tests of pure recompilation on this box)."""
+    return _make_api()
+
+
 def _engine(api, **kw):
     from cosy_tpu.infer.engine import ContinuousBatchEngine
 
@@ -92,8 +101,7 @@ def _ids(api, text):
     return api.frontend.extract_text_token(text) % 40
 
 
-def test_engine_single_request_end_to_end():
-    api = _make_api()
+def test_engine_single_request_end_to_end(api):
     eng = _engine(api)
     try:
         req = eng.submit(jax.random.PRNGKey(0), _ids(api, "hello there."))
@@ -106,11 +114,10 @@ def test_engine_single_request_end_to_end():
         eng.stop()
 
 
-def test_engine_tokens_match_solo_decode():
+def test_engine_tokens_match_solo_decode(api):
     """The engine-side stream equals a solo llm_decode with the request's
     k_llm (the submit split) — continuous batching changes scheduling, not
     tokens."""
-    api = _make_api()
     eng = _engine(api)
     try:
         key = jax.random.PRNGKey(3)
@@ -134,11 +141,10 @@ def test_engine_tokens_match_solo_decode():
         eng.stop()
 
 
-def test_engine_mid_flight_admission_and_slot_reuse():
+def test_engine_mid_flight_admission_and_slot_reuse(api):
     """3 requests through 2 slots: the 3rd is admitted only after a slot
     frees (continuous batching), all finish, and token streams are
     independent per request key."""
-    api = _make_api()
     eng = _engine(api)
     try:
         reqs = [eng.submit(jax.random.PRNGKey(10 + i),
@@ -158,11 +164,10 @@ def test_engine_mid_flight_admission_and_slot_reuse():
         eng.stop()
 
 
-def test_engine_concurrent_consumers():
+def test_engine_concurrent_consumers(api):
     """Requests submitted from concurrent threads (the serving pattern) all
     complete; a request arriving mid-decode joins without waiting for the
     running request to finish first (admission happens between segments)."""
-    api = _make_api()
     eng = _engine(api, seg_tokens=4)
     try:
         results = {}
@@ -184,8 +189,7 @@ def test_engine_concurrent_consumers():
         eng.stop()
 
 
-def test_engine_prefix_too_long_fails_only_that_request():
-    api = _make_api()
+def test_engine_prefix_too_long_fails_only_that_request(api):
     eng = _engine(api, prefix_len=16)  # tiny bucket
     try:
         # long text -> prefix over the bucket -> clean per-request error
@@ -280,12 +284,11 @@ def test_engine_cv2_end_to_end():
         eng.stop()
 
 
-def test_engine_full_cap_joiner_admits_mid_flight():
+def test_engine_full_cap_joiner_admits_mid_flight(api):
     """A full-cap request arriving while another is mid-decode is admitted
     into the running batch immediately (slot-local columns: no runway, no
     defer-until-drain) and both complete.  The old shared-counter design
     deferred exactly this scenario."""
-    api = _make_api()
     eng = _engine(api, max_len=32, seg_tokens=8)
     try:
         a = eng.submit(jax.random.PRNGKey(0), _ids(api, "first one."))
@@ -305,11 +308,10 @@ def test_engine_full_cap_joiner_admits_mid_flight():
         eng.stop()
 
 
-def test_engine_cancel_frees_slot_and_stops_decode():
+def test_engine_cancel_frees_slot_and_stops_decode(api):
     """cancel() on an admitted request stops its row at the next segment
     boundary (no synthesis for a dead consumer), terminates its queue, and
     frees the slot for reuse."""
-    api = _make_api()
     eng = _engine(api, seg_tokens=4)
     try:
         req = eng.submit(jax.random.PRNGKey(0),
@@ -331,10 +333,9 @@ def test_engine_cancel_frees_slot_and_stops_decode():
         eng.stop()
 
 
-def test_engine_cancel_pending_request():
+def test_engine_cancel_pending_request(api):
     """cancel() on a not-yet-admitted request drops it from the pending list
     immediately; the in-flight request is unaffected."""
-    api = _make_api()
     eng = _engine(api, slots=1, seg_tokens=4)
     try:
         r1 = eng.submit(jax.random.PRNGKey(0),

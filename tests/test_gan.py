@@ -28,7 +28,10 @@ def test_discriminator_shapes_and_fmap():
 
 def test_gan_losses_behave():
     params = G.init_discriminator_params(jax.random.PRNGKey(0))
-    y = jax.random.normal(jax.random.PRNGKey(1), (1, 2048))
+    # 512 samples: the loss identities hold at any length, and the full
+    # production-size discriminator forward is compute-bound on CPU — the
+    # real-length path is exercised by the (slow-tier) trainer-turn tests
+    y = jax.random.normal(jax.random.PRNGKey(1), (1, 512))
     rs, gs, fr, fg = G.multiple_discriminator(P(params), y, y)
     # identical inputs -> zero feature-match loss, equal adv terms
     assert float(G.feature_match_loss(fr, fg)) < 1e-5

@@ -167,6 +167,7 @@ def test_admit_slot_carries_voice(llm_setup):
                                       np.asarray(r_s.tokens[:n]))
 
 
+@pytest.mark.slow
 def test_flow_inference_adapters_match_merged():
     with jax.enable_x64(True):
         enc = EncoderConfig(input_size=16, output_size=16, attention_heads=2,

@@ -14,6 +14,14 @@ from cosy_tpu.serve import TTSServer, make_handler, wav_bytes
 from test_api import _make_api
 
 
+@pytest.fixture(scope="module")
+def api():
+    """One compiled pipeline for the whole module (the server wraps it
+    fresh per test): stops ~10 identical pipeline rebuilds, each paying
+    full XLA recompilation of the decode/flow/vocoder programs."""
+    return _make_api()
+
+
 def test_wav_bytes_header():
     wav = np.sin(np.linspace(0, 10, 1000)).astype(np.float32)
     blob = wav_bytes(wav, 22050)
@@ -21,11 +29,10 @@ def test_wav_bytes_header():
     assert len(blob) == 44 + 2000
 
 
-def test_http_tts_round_trip():
-    api = _make_api()
+def test_http_tts_round_trip(api, monkeypatch):
     # tiny model: remap token ids into the tiny vocab inside the pipeline call
     orig = api.frontend.extract_text_token
-    api.frontend.extract_text_token = lambda text: orig(text) % 40
+    monkeypatch.setattr(api.frontend, "extract_text_token", lambda text: orig(text) % 40)
     # tiny spk dim is 12, so patch the server path's zero embedding
     server = TTSServer(api)
 
@@ -65,12 +72,11 @@ def test_http_tts_round_trip():
         httpd.shutdown()
 
 
-def test_concurrent_requests_share_a_batch():
+def test_concurrent_requests_share_a_batch(api, monkeypatch):
     """Concurrent prompt-free requests within the window run as ONE
     micro-batched decode (llm_decode_batch), not N serial decodes."""
-    api = _make_api()
     orig = api.frontend.extract_text_token
-    api.frontend.extract_text_token = lambda text: orig(text) % 40
+    monkeypatch.setattr(api.frontend, "extract_text_token", lambda text: orig(text) % 40)
     server = TTSServer(api, batch_window_ms=300.0, max_batch=8)
 
     results = {}
@@ -95,11 +101,10 @@ def test_concurrent_requests_share_a_batch():
     assert server.batches_run <= 2, server.batches_run
 
 
-def test_http_streaming_chunked_response():
+def test_http_streaming_chunked_response(api, monkeypatch):
     """stream=true returns a chunked WAV whose PCM arrives incrementally."""
-    api = _make_api()
     orig = api.frontend.extract_text_token
-    api.frontend.extract_text_token = lambda text: orig(text) % 40
+    monkeypatch.setattr(api.frontend, "extract_text_token", lambda text: orig(text) % 40)
     server = TTSServer(api)
 
     def synth(text, spk_id="", speed=1.0, stream=False):
@@ -129,12 +134,11 @@ def test_http_streaming_chunked_response():
         httpd.shutdown()
 
 
-def test_concurrent_streams_share_a_cohort():
+def test_concurrent_streams_share_a_cohort(api, monkeypatch):
     """Two overlapping stream=true requests ride one lock-step segmented
     decode (batches_run == 1) and both receive valid chunked WAV."""
-    api = _make_api()
     orig = api.frontend.extract_text_token
-    api.frontend.extract_text_token = lambda text: orig(text) % 40
+    monkeypatch.setattr(api.frontend, "extract_text_token", lambda text: orig(text) % 40)
     server = TTSServer(api, batch_window_ms=1500.0)
 
     httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(server, 22050))
@@ -165,11 +169,10 @@ def test_concurrent_streams_share_a_cohort():
         httpd.shutdown()
 
 
-def test_cohort_error_isolation():
+def test_cohort_error_isolation(api, monkeypatch):
     """A failure after one stream finished must not corrupt that stream:
     the finished client keeps its clean audio; the unfinished one gets the
     error (serve.py _stream_worker per-stream sentinel/err handling)."""
-    api = _make_api()
     server = TTSServer(api, batch_window_ms=200.0)
 
     def fake_stream_batch(rng, ids_list, spks):
@@ -178,7 +181,7 @@ def test_cohort_error_isolation():
         yield 1, np.zeros((1, 640), np.float32), False
         raise RuntimeError("boom")
 
-    api.model.synthesize_stream_batch = fake_stream_batch
+    monkeypatch.setattr(api.model, "synthesize_stream_batch", fake_stream_batch, raising=False)
     results = {}
 
     def one(i):
@@ -199,19 +202,18 @@ def test_cohort_error_isolation():
     assert len(errored) == 1, results
 
 
-def test_stream_worker_respawns_after_death():
+def test_stream_worker_respawns_after_death(api, monkeypatch):
     """A dead worker thread must not strand later streaming clients: the
     enqueue path respawns it (serve.py synthesize_stream_batched), and a
     failure outside the per-cohort handler errors the cohort instead of
     killing the worker silently."""
-    api = _make_api()
     server = TTSServer(api, batch_window_ms=50.0)
 
     def fake_stream_batch(rng, ids_list, spks):
         for b in range(len(ids_list)):
             yield b, np.zeros((1, 640), np.float32), True
 
-    api.model.synthesize_stream_batch = fake_stream_batch
+    monkeypatch.setattr(api.model, "synthesize_stream_batch", fake_stream_batch, raising=False)
     assert len(list(server.synthesize_stream_batched("first"))) == 1
 
     # simulate a crashed worker: plant a dead thread object
@@ -227,14 +229,13 @@ def test_stream_worker_respawns_after_death():
     assert not t.is_alive(), "client stranded behind a dead worker"
 
 
-def test_http_streaming_via_engine():
+def test_http_streaming_via_engine(api, monkeypatch):
     """--engine-slots routes stream=true requests through the continuous-
     batching engine (infer/engine.py): two overlapping requests both receive
     valid chunked WAV from the ONE persistent decode batch, and the cohort
     worker path stays unused."""
-    api = _make_api()
     orig = api.frontend.extract_text_token
-    api.frontend.extract_text_token = lambda text: orig(text) % 40
+    monkeypatch.setattr(api.frontend, "extract_text_token", lambda text: orig(text) % 40)
     server = TTSServer(api, engine_slots=2)
     assert server.engine is not None
     # keep the tiny-model decode bounded (the default 512-token runway is
@@ -272,11 +273,10 @@ def test_http_streaming_via_engine():
         server.engine.stop()
 
 
-def test_cohorts_interleave_at_segment_boundaries():
+def test_cohorts_interleave_at_segment_boundaries(api, monkeypatch):
     """A stream arriving mid-cohort gets its first chunk while the first
     cohort is still decoding: cohort threads hold the device lock per
     segment, not per cohort (serve.py _run_stream_cohort)."""
-    api = _make_api()
     server = TTSServer(api, batch_window_ms=50.0)
     def fake_stream_batch(rng, ids_list, spks):
         # cohort 0: 10 slow segments (~2 s total); cohort 1: one instant
@@ -292,10 +292,10 @@ def test_cohorts_interleave_at_segment_boundaries():
             for b in range(len(ids_list)):
                 yield b, np.zeros((1, 640), np.float32), seg == n_segments - 1
 
-    api.model.synthesize_stream_batch = fake_stream_batch
-    api.frontend.normalize = lambda text, split=False: text  # keep digits
-    api.frontend.extract_text_token = lambda text: np.asarray(
-        [[int(text), 5, 6]], np.int32)
+    monkeypatch.setattr(api.model, "synthesize_stream_batch", fake_stream_batch, raising=False)
+    monkeypatch.setattr(api.frontend, "normalize", lambda text, split=False: text)  # keep digits
+    monkeypatch.setattr(api.frontend, "extract_text_token", lambda text: np.asarray(
+        [[int(text), 5, 6]], np.int32))
 
     results = {}
 
@@ -323,14 +323,13 @@ def test_cohorts_interleave_at_segment_boundaries():
     assert server.batches_run == 2
 
 
-def test_http_keepalive_framing_and_bad_bodies():
+def test_http_keepalive_framing_and_bad_bodies(api):
     """HTTP/1.1 keep-alive: every plain response (healthz, 404, 400) carries
     Content-Length so a persistent connection can be reused — and malformed
     bodies (non-object JSON, non-numeric speed) return 400, not a dropped
     connection."""
     import http.client
 
-    api = _make_api()
     server = TTSServer(api)
     httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(server, 22050))
     port = httpd.server_address[1]
@@ -369,13 +368,12 @@ def test_http_keepalive_framing_and_bad_bodies():
         httpd.shutdown()
 
 
-def test_synthesize_releases_lock_between_chunks():
+def test_synthesize_releases_lock_between_chunks(api, monkeypatch):
     """The solo streaming path must hold the device lock per chunk, not
     across generator yields — one slow client must not freeze the chip for
     cohorts/engine/batched requests."""
-    api = _make_api()
     orig = api.frontend.extract_text_token
-    api.frontend.extract_text_token = lambda text: orig(text) % 40
+    monkeypatch.setattr(api.frontend, "extract_text_token", lambda text: orig(text) % 40)
     server = TTSServer(api)
     gen = server.synthesize("hello there friend.", stream=True)
     first = next(gen)
@@ -387,13 +385,12 @@ def test_synthesize_releases_lock_between_chunks():
         pass
 
 
-def test_engine_route_uses_zero_speaker_embedding():
+def test_engine_route_uses_zero_speaker_embedding(api, monkeypatch):
     """--engine-slots streaming must build the same prompt-free prefix as
     every other path: a zero speaker embedding, not a speaker-less
     (instruct-style) prefix."""
-    api = _make_api()
     orig = api.frontend.extract_text_token
-    api.frontend.extract_text_token = lambda text: orig(text) % 40
+    monkeypatch.setattr(api.frontend, "extract_text_token", lambda text: orig(text) % 40)
     server = TTSServer(api, engine_slots=2)
     server.engine.max_len = 64
     seen = {}

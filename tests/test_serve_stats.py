@@ -7,6 +7,7 @@ text."""
 
 import json
 import threading
+import time
 import urllib.request
 from http.server import ThreadingHTTPServer
 
@@ -15,6 +16,29 @@ import numpy as np
 from cosy_tpu.serve import TTSServer, make_handler
 
 from test_api import _make_api
+
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def api():
+    """One compiled pipeline for the whole module (see test_serve.py)."""
+    return _make_api()
+
+
+def _wait_for(pred, timeout=10.0):
+    """Request accounting runs in the handler's finally block AFTER the
+    client sees the response complete (serve.py do_POST), so an immediate
+    stats poll can lose that benign race by microseconds — monitoring
+    counters are eventually consistent.  Poll briefly instead of asserting
+    the instantaneous view."""
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        if pred():
+            return True
+        time.sleep(0.02)
+    return False
 
 
 def _spin_up(server, sample_rate=22050):
@@ -26,10 +50,9 @@ def _spin_up(server, sample_rate=22050):
     return httpd, port
 
 
-def test_stats_and_metrics_round_trip(monkeypatch):
-    api = _make_api()
+def test_stats_and_metrics_round_trip(monkeypatch, api):
     orig = api.frontend.extract_text_token
-    api.frontend.extract_text_token = lambda text: orig(text) % 40
+    monkeypatch.setattr(api.frontend, "extract_text_token", lambda text: orig(text) % 40)
     server = TTSServer(api)
 
     def synth(text, spk_id="", speed=1.0, stream=False, voice=""):
@@ -66,8 +89,12 @@ def test_stats_and_metrics_round_trip(monkeypatch):
         except urllib.error.HTTPError as e:
             assert e.code == 400
 
-        with urllib.request.urlopen(f"http://127.0.0.1:{port}/stats") as r:
-            s = json.loads(r.read())
+        def _stats():
+            with urllib.request.urlopen(f"http://127.0.0.1:{port}/stats") as r:
+                return json.loads(r.read())
+
+        assert _wait_for(lambda: _stats()["requests"].get("bad_request") == 1)
+        s = _stats()
         assert s["requests"].get("solo") == 1
         assert s["requests"].get("bad_request") == 1
         assert s["errors"].get("bad_request") == 1
@@ -87,14 +114,13 @@ def test_stats_and_metrics_round_trip(monkeypatch):
         httpd.shutdown()
 
 
-def test_synthesis_failure_attributed_to_real_route(monkeypatch):
+def test_synthesis_failure_attributed_to_real_route(monkeypatch, api):
     """An exception AFTER route selection must count against that route in
     /stats, not against bad_request (operators would chase phantom
     malformed-client problems otherwise)."""
     import urllib.error
     import http.client
 
-    api = _make_api()
     server = TTSServer(api)
 
     def boom(text, spk_id="", speed=1.0, stream=False, voice=""):
@@ -114,6 +140,7 @@ def test_synthesis_failure_attributed_to_real_route(monkeypatch):
             urllib.request.urlopen(req, timeout=60)
         except (urllib.error.URLError, http.client.HTTPException, OSError):
             pass  # handler dies mid-response; the stats are the point
+        assert _wait_for(lambda: server.stats()["errors"].get("solo") == 1)
         s = server.stats()
         assert s["errors"].get("solo") == 1, s
         assert "bad_request" not in s["errors"], s
@@ -121,10 +148,9 @@ def test_synthesis_failure_attributed_to_real_route(monkeypatch):
         httpd.shutdown()
 
 
-def test_streaming_records_ttfa():
-    api = _make_api()
+def test_streaming_records_ttfa(monkeypatch, api):
     orig = api.frontend.extract_text_token
-    api.frontend.extract_text_token = lambda text: orig(text) % 40
+    monkeypatch.setattr(api.frontend, "extract_text_token", lambda text: orig(text) % 40)
     server = TTSServer(api)
 
     def synth(text, spk_id="", speed=1.0, stream=False, voice=""):
@@ -144,6 +170,8 @@ def test_streaming_records_ttfa():
             data=json.dumps({"text": "hello there.", "stream": True}).encode())
         with urllib.request.urlopen(req, timeout=300) as r:
             assert len(r.read()) > 44
+        assert _wait_for(
+            lambda: server.stats()["requests"].get("stream_cohort") == 1)
         s = server.stats()
         assert s["requests"].get("stream_cohort") == 1
         assert s["ttfa_s"]["p50"] is not None and s["ttfa_s"]["p50"] > 0

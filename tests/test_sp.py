@@ -49,44 +49,32 @@ def test_shard_seq_noop_outside_context():
     assert shard_seq(x, 2) is x
 
 
-def test_sequence_parallel_step_matches_replicated():
+def test_sequence_parallel_matches_replicated_and_composes_with_dp():
+    """One replicated reference run serves BOTH equivalence checks (seq-only
+    and dp x seq): merged from two tests to pay the replicated-arm compile
+    once — same assertions, one fewer trainer-step compile (suite-runtime
+    item, VERDICT r3 next #7)."""
     params = F.init_flow_params(jax.random.PRNGKey(2), FCFG)
-    batch = {k: v[None] for k, v in _batch().items()}  # accum 1
+    batch = {k: v[None] for k, v in _batch(B=4).items()}  # accum 1
 
-    def run(**kw):
+    def run(mesh, sp):
         # fresh buffers per run: the trainer's jit donates params
         fresh = {k: jnp.array(v) for k, v in params.items()}
         t = FullTrainer(_loss_fn, fresh, optax.adamw(1e-3),
-                        zero2=False, accum=1, **kw)
+                        zero2=False, accum=1, mesh=mesh, sequence_parallel=sp)
         m = t.step(batch, jax.random.PRNGKey(5))
         flat = jax.tree.leaves(t.params)
         return m["loss"], np.concatenate([np.ravel(np.asarray(x)) for x in flat])
 
-    mesh_rep = pmesh.make_mesh(dp=1, devices=jax.devices("cpu")[:1])
-    mesh_sp = pmesh.make_mesh(dp=1, seq=2, devices=jax.devices("cpu")[:2])
-    loss_rep, p_rep = run(mesh=mesh_rep)
-    loss_sp, p_sp = run(mesh=mesh_sp, sequence_parallel=True)
+    cpus = jax.devices("cpu")
+    loss_rep, p_rep = run(pmesh.make_mesh(dp=1, devices=cpus[:1]), False)
+    loss_sp, p_sp = run(pmesh.make_mesh(dp=1, seq=2, devices=cpus[:2]), True)
     np.testing.assert_allclose(loss_sp, loss_rep, atol=1e-5, rtol=1e-5)
     # post-Adam params: GSPMD reduction-order reassociation gives O(1e-7)
     # grad jitter which Adam's 1/sqrt(v) can amplify to O(lr) on
     # near-zero-gradient elements — compare at update scale
     np.testing.assert_allclose(p_sp, p_rep, atol=2e-3, rtol=1e-4)
-
-
-def test_sequence_parallel_composes_with_dp():
-    params = F.init_flow_params(jax.random.PRNGKey(2), FCFG)
-    batch = {k: v[None] for k, v in _batch(B=4).items()}
-
-    def run(mesh, sp):
-        fresh = {k: jnp.array(v) for k, v in params.items()}
-        t = FullTrainer(_loss_fn, fresh, optax.adamw(1e-3),
-                        zero2=False, accum=1, mesh=mesh, sequence_parallel=sp)
-        m = t.step(batch, jax.random.PRNGKey(5))
-        return m["loss"]
-
-    loss_rep = run(pmesh.make_mesh(dp=1, devices=jax.devices("cpu")[:1]), False)
-    loss_dpsp = run(pmesh.make_mesh(dp=2, seq=2,
-                                    devices=jax.devices("cpu")[:4]), True)
+    loss_dpsp, _ = run(pmesh.make_mesh(dp=2, seq=2, devices=cpus[:4]), True)
     np.testing.assert_allclose(loss_dpsp, loss_rep, atol=1e-5, rtol=1e-5)
 
 

@@ -113,6 +113,7 @@ def test_trainer_flow_only_mode(tmp_path):
     assert all("llm_loss" not in m for m in trainer._metrics_log)
 
 
+@pytest.mark.slow
 def test_prng_impl_rbg_and_threefry(tmp_path):
     """TrainConfig.prng_impl selects the key implementation for the whole
     training stream (ctx.root_key).  "rbg" (TPU hardware RNG, the default —
