@@ -27,17 +27,18 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
-# Persistent XLA compilation cache for the suite (VERDICT r3 next #7:
-# iteration speed).  The suite's cost is dominated by recompiling the same
-# tiny-topology programs every run; with this cache the second-and-later
-# runs load them instead.  The dir is scoped to (hostname, jax version) so
-# executables never travel across machines (the XLA:CPU AOT loader's
-# machine-feature comparison also flags pseudo-features like
-# +prefer-no-scatter on the SAME machine — cosmetic; results are exact).
-# COSY_TPU_TEST_NO_JAX_CACHE=1 opts out (e.g. when debugging a suspected
-# stale-cache or loader issue).  Note this is jax's own content-addressed
-# cache, NOT cosy_tpu's pickle-based aot cache (still disabled above).
-if not os.environ.get("COSY_TPU_TEST_NO_JAX_CACHE"):
+# OPT-IN persistent XLA compilation cache (COSY_TPU_TEST_JAX_CACHE=1).
+# Measured: warm re-runs of a file drop ~4x (test_sp 129 s -> 31 s) — but
+# running the FULL suite with the cache enabled segfaults XLA:CPU mid-run
+# (rc 139 inside pytest_runtestloop, reproduced twice at ~40%, builder R4)
+# — the same upstream compiler/loader-state bug class that already forced
+# fresh-interpreter isolation of the voiced-batch test (r3).  Until the
+# upstream bug is fixed, the cache is safe ONLY for short, single-file
+# iteration loops; the full suite must run without it.  The dir is scoped
+# to (hostname, jax version) so executables never travel across machines.
+# This is jax's own content-addressed cache, NOT cosy_tpu's pickle AOT
+# cache (still disabled above).
+if os.environ.get("COSY_TPU_TEST_JAX_CACHE"):
     import hashlib
     import platform
 
