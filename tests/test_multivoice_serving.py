@@ -288,12 +288,18 @@ def _cohort_wavs(pipe, ids, voices, seed=5):
     return {b: np.concatenate(ws, axis=1) for b, ws in parts.items()}
 
 
-def test_voiced_cohort_streaming(setup):
+def _voiced_cohort_streaming_body():
     """Voiced rows route their adapters inside the SHARED cohort decode:
     a voiced B=1 cohort equals the same cohort on a merged-weights pipeline,
     and in a mixed cohort the base row is unaffected by its voiced
     neighbor (the bank's zero base row gives an exactly-zero delta)."""
-    pipe, voices, (llm_p, flow_p, hift_p) = setup
+    llm_p, flow_p, hift_p = _params()
+    pipe = TTSPipeline(MODEL_CFG, llm_p, flow_p, hift_p, InferenceConfig(),
+                       finetuned_norm=True)
+    voices = {"alice": _voice_adapters(llm_p, flow_p, 7),
+              "bob": _voice_adapters(llm_p, flow_p, 8)}
+    pipe.set_voices(voices, llm_scale=LLM_LORA.scaling,
+                    flow_scale=FLOW_LORA.scaling)
     ids = np.asarray([[3, 9, 2, 7, 1, 4]], np.int32)
 
     merged = TTSPipeline(
@@ -314,6 +320,32 @@ def test_voiced_cohort_streaming(setup):
     # voiced row actually differs from base
     assert (mixed[0].shape != pure[0].shape
             or not np.allclose(mixed[0], pure[0], atol=1e-4))
+
+
+def test_voiced_cohort_streaming():
+    """Fresh-interpreter isolation, same rationale as
+    test_voiced_batch_nonstreaming below: with accumulated suite compile
+    state, XLA:CPU segfaults while compiling this test's voiced cohort
+    programs (reproduced at ~185 tests in, builder R4 — the crash site
+    wandered here from the batched sibling when the suite's compile history
+    shifted); the identical body passes standalone.  Upstream XLA:CPU bug,
+    unreachable on the TPU backend."""
+    import os
+    import subprocess
+    import sys
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    script = ("import sys; sys.path.insert(0, sys.argv[1]); "
+              "import test_multivoice_serving as m; "
+              "m._voiced_cohort_streaming_body(); print('VOICED_COHORT_OK')")
+    proc = subprocess.run(
+        [sys.executable, "-c", script, here],
+        env={**os.environ, "JAX_PLATFORMS": "cpu",
+             "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+             "COSY_TPU_NO_CACHE": "1"},
+        capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "VOICED_COHORT_OK" in proc.stdout
 
 
 def _voiced_batch_nonstreaming_body():
