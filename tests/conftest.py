@@ -65,6 +65,34 @@ assert len(jax.devices()) >= 8, jax.devices()
 import pytest  # noqa: E402
 
 
+# ---------------------------------------------------------------------------
+# XLA:CPU accumulated-compile-state segfault mitigation.  With a few hundred
+# tests' compiled programs alive in one process, XLA:CPU deterministically
+# segfaults while COMPILING a later big program (rc 139 inside
+# backend_compile; reproduced at ~185 and ~358 tests in, different sites per
+# code state — r3 hit the same bug and isolated one test in a subprocess,
+# but the site wanders whenever the suite's compile history shifts).
+# Dropping every compiled program at each module boundary bounds the
+# accumulated state; within-module jit caches (the shared pipeline
+# fixtures) are unaffected.
+# ---------------------------------------------------------------------------
+import gc  # noqa: E402
+
+_LAST_MODULE = [None]
+
+
+@pytest.fixture(autouse=True)
+def _bound_xla_compile_state(request):
+    mod = getattr(request, "module", None)
+    name = getattr(mod, "__name__", None)
+    if name is not None and _LAST_MODULE[0] not in (None, name):
+        jax.clear_caches()
+        gc.collect()
+    if name is not None:
+        _LAST_MODULE[0] = name
+    yield
+
+
 def pytest_addoption(parser):
     parser.addoption("--runslow", action="store_true", default=False,
                      help="run tests marked slow")
