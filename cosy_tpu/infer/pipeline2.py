@@ -330,18 +330,25 @@ class TTS2Pipeline:
                   top_p=self.icfg.sampling_top_p, top_k=self.icfg.sampling_top_k,
                   win_size=self.icfg.ras_win_size, tau_r=self.icfg.ras_tau_r)
         seg = seg_tokens or (2 * self.token_hop_len)
-        state = None
         target = min(seg, max_len)  # targets bound by the TRUE request cap
+        pending = self._decode_seg_jit(
+            self.llm_params, rng, prefix, jnp.asarray(min_len),
+            jnp.asarray(target), None, **kw)
         while True:
-            res, state = self._decode_seg_jit(
-                self.llm_params, rng, prefix, jnp.asarray(min_len),
-                jnp.asarray(target), state, **kw)
+            res, state = pending
+            # prefetch: submit segment k+1 before syncing segment k (pure
+            # dispatch pipelining, bit-identical streams — see pipeline.py)
+            next_target = min(target + seg, max_len)
+            if next_target > target:
+                pending = self._decode_seg_jit(
+                    self.llm_params, rng, prefix, jnp.asarray(min_len),
+                    jnp.asarray(next_target), state, **kw)
             n = int(res.length)
             done = bool(np.asarray(state[-1])) or int(np.asarray(state[0])) >= max_len
             yield np.asarray(res.tokens)[None, :n], done
             if done:
                 return
-            target = min(target + seg, max_len)
+            target = next_target
 
     # ------------------------------------------------------------------
 
