@@ -92,7 +92,8 @@ class ContinuousBatchEngine:
 
     def __init__(self, pipeline, slots: int = 4, prefix_len: int = 128,
                  max_len: int = 512, seg_tokens: Optional[int] = None,
-                 device_lock: Optional[threading.Lock] = None):
+                 device_lock: Optional[threading.Lock] = None,
+                 prefetch: bool = False):
         self.pl = pipeline
         # family: TTSPipeline (300M, .cfg) vs TTS2Pipeline (CosyVoice2,
         # .lcfg/.fcfg) — same engine, different prefix builder / emission
@@ -133,6 +134,22 @@ class ContinuousBatchEngine:
         wdt = pipeline.llm_params["llm_embedding.weight"].dtype
         self._zero_prefix = jnp.zeros((slots, prefix_len, D), wdt)
         self.segments_run = 0  # observability
+        # dispatch pipelining: segment k+1 submitted from the in-flight
+        # device state before segment k is synced/emitted, so the decode
+        # executes while the loop thread fetches tokens and synthesizes
+        # audio.  (res, state, target, caps_snapshot) — discarded whenever
+        # an admission or a cancellation changes the inputs it was built
+        # with (the state is functional, so dropping it is always safe).
+        # Default OFF: at the engine's design point (sustained load, slots
+        # refilling) admissions discard most prefetched segments, and each
+        # discard is a wasted full decode segment — measured agg RTF 0.787
+        # -> 0.846 WORSE with prefetch on (tools/probe_engine.py --ab,
+        # 8 reqs / 4 slots).  Enable for low-concurrency deployments where
+        # admissions are rare; the single-stream pipelines keep their own
+        # always-on prefetch (-21% total RTF, PERF.md).
+        self._prefetch = None
+        self._prefetch_on = prefetch
+        self.prefetch_hits = 0  # observability
 
     # -- public API -------------------------------------------------------
 
@@ -275,6 +292,10 @@ class ContinuousBatchEngine:
             self._valid[b] = req.valid
             self._min_lens[b] = req.min_len
             self._caps[b] = req.cap
+            # any in-flight prefetched segment was built without this slot's
+            # prefill — drop it (next _segment submits fresh from the
+            # admitted state)
+            self._prefetch = None
 
     def _segment(self):
         """Run one decode segment and emit every slot's ready audio."""
@@ -298,14 +319,47 @@ class ContinuousBatchEngine:
         # is below their lens)
         live_lens = [int(self._lens[b]) for b, r in enumerate(self._slots)
                      if r is not None]
-        w_tokens = min(max(live_lens, default=1) + self.seg, self.max_len)
-        with self.lock:
-            res, self._state = pl._decode_batch_seg_jit(
-                pl.llm_params, self._dummy_rng, self._zero_prefix,
-                jnp.asarray(self._valid), jnp.asarray(self._min_lens),
-                jnp.asarray(self._caps), jnp.asarray(target), self._state,
-                max_len=self.max_len,
-                attend_width=attend_rung(self.L0, w_tokens, self.max_len))
+        # consume the prefetched segment if its inputs still hold: same
+        # target (the step counter advanced exactly seg while any slot was
+        # live) and same caps on every occupied slot (a cancel() since the
+        # prefetch was submitted changes the cap the slot must stop at)
+        pf, self._prefetch = self._prefetch, None
+        if (pf is not None and pf[2] == target
+                and all(pf[3][b] == self._caps[b]
+                        for b, r in enumerate(self._slots) if r is not None)):
+            res, self._state = pf[0], pf[1]
+            self.prefetch_hits += 1
+        else:
+            w_tokens = min(max(live_lens, default=1) + self.seg, self.max_len)
+            with self.lock:
+                res, self._state = pl._decode_batch_seg_jit(
+                    pl.llm_params, self._dummy_rng, self._zero_prefix,
+                    jnp.asarray(self._valid), jnp.asarray(self._min_lens),
+                    jnp.asarray(self._caps), jnp.asarray(target), self._state,
+                    max_len=self.max_len,
+                    attend_width=attend_rung(self.L0, w_tokens, self.max_len))
+        # prefetch segment k+1 from the (still in-flight) device state
+        # BEFORE syncing segment k — the decode executes while this thread
+        # fetches tokens and synthesizes audio (pure dispatch pipelining;
+        # token streams are bit-identical, the resumed while_loop sees the
+        # same state either way, and an all-done submission exits its loop
+        # immediately).  Skipped when an admission is already queued so a
+        # newcomer's admit program is not delayed behind a segment that
+        # would be discarded anyway.
+        with self._cv:
+            admission_waiting = bool(self._pending)
+        if self._prefetch_on and not admission_waiting:
+            next_target = target + self.seg
+            w_next = min(max(live_lens, default=1) + 2 * self.seg,
+                         self.max_len)
+            with self.lock:
+                nres, nstate = pl._decode_batch_seg_jit(
+                    pl.llm_params, self._dummy_rng, self._zero_prefix,
+                    jnp.asarray(self._valid), jnp.asarray(self._min_lens),
+                    jnp.asarray(self._caps), jnp.asarray(next_target),
+                    self._state, max_len=self.max_len,
+                    attend_width=attend_rung(self.L0, w_next, self.max_len))
+            self._prefetch = (nres, nstate, next_target, self._caps.copy())
         lengths = np.asarray(res.lengths)
         done_dev = np.asarray(self._state.done)
         all_tokens = np.asarray(res.tokens)
@@ -400,6 +454,7 @@ class ContinuousBatchEngine:
                 req.q.put(None)
             self._pending.clear()
         self._state = None  # force a fresh park on recovery
+        self._prefetch = None  # chained off the dead state
 
     def _loop(self):
         while True:

@@ -165,6 +165,7 @@ class TTSServer:
                     "slots": self.engine.B,
                     "active": sum(s is not None for s in self.engine._slots),
                     "segments_run": self.engine.segments_run,
+                    "prefetch_hits": self.engine.prefetch_hits,
                 }
             return out
 

@@ -350,3 +350,26 @@ def test_engine_cancel_pending_request(api):
         assert all(np.isfinite(c).all() for c in rest)
     finally:
         eng.stop()
+
+def test_engine_prefetch_hits_and_tokens_identical(api):
+    """The decode-segment prefetch (dispatch pipelining) actually fires
+    under a sustained stream AND changes nothing about the tokens: the
+    same request through a prefetch-off engine yields the same stream."""
+    text = _ids(api, "a long sentence so several segments run.")
+    toks = {}
+    for pf in (True, False):
+        eng = _engine(api, slots=1, seg_tokens=4, prefetch=pf)
+        try:
+            req = eng.submit(jax.random.PRNGKey(11), text)
+            for _ in req.chunks():
+                pass
+            assert req.tokens is not None
+            toks[pf] = np.asarray(req.tokens)
+            if pf:
+                assert eng.prefetch_hits > 0, "prefetch never consumed"
+            else:
+                assert eng.prefetch_hits == 0
+        finally:
+            eng.stop()
+    assert toks[True].shape == toks[False].shape
+    assert (toks[True] == toks[False]).all()

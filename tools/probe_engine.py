@@ -91,6 +91,10 @@ def main():
                          "many requests (default scenario set when 0)")
     ap.add_argument("--text-len", type=int, default=12)
     ap.add_argument("--stagger", type=float, default=0.25)
+    ap.add_argument("--ab", action="store_true",
+                    help="A/B the decode-segment prefetch (dispatch "
+                         "pipelining) in ONE process: sustained load with "
+                         "prefetch off then on, sharing compiled programs")
     args = ap.parse_args()
 
     jax.config.update("jax_log_compiles", True)  # show mid-run cold compiles
@@ -106,6 +110,32 @@ def main():
                                stagger_s=0)
     print(f"warmup done in {time.perf_counter() - t0:.0f}s "
           f"(audio {stats[0][3]:.1f}s)", flush=True)
+
+    if args.ab:
+        # prefetch A/B: same pipeline (shared jit caches), fresh engine per
+        # arm.  One cold pass per arm eats residual compiles (the prefetch
+        # arm can own one extra attend rung), then the warm pass is the
+        # steady-state comparison.
+        n_req = args.reqs or 8
+        for name, pf in (("prefetch-off", False), ("prefetch-on", True)):
+            e = ContinuousBatchEngine(pipe, slots=args.slots, prefix_len=64,
+                                      max_len=512, prefetch=pf)
+            for label in ("cold", "warm"):
+                wall, stats = run_requests(e, cfg, n_req=n_req,
+                                           text_len=args.text_len,
+                                           stagger_s=args.stagger)
+                total_audio = sum(s[3] for s in stats)
+                ttfas = [s[1] for s in stats]
+                print(f"[AB {name} {label}] {n_req} reqs / {args.slots} "
+                      f"slots: wall {wall:.2f}s, audio {total_audio:.1f}s, "
+                      f"agg RTF {wall / total_audio:.3f}, "
+                      f"TTFA mean {np.mean(ttfas):.2f}s "
+                      f"max {np.max(ttfas):.2f}s, "
+                      f"prefetch_hits {e.prefetch_hits}/{e.segments_run}",
+                      flush=True)
+            e.stop()
+        eng.stop()
+        os._exit(0)
 
     if args.reqs:
         # capacity mode: oversubscribed sustained load, steady-state pass
