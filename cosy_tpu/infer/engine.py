@@ -439,6 +439,13 @@ class ContinuousBatchEngine:
         self._caps[b] = 1
         self._min_lens[b] = 0
         # done[b] stays True on device; lens/valid are don't-cares
+        if all(r is None for r in self._slots):
+            # last live request finished: drop any dangling prefetched
+            # segment — it references a full (nl,2,B,H,S,dk) KV decode
+            # state that would otherwise stay allocated on-device while
+            # the engine idles (it could never be consumed anyway: the
+            # next admission resets the state)
+            self._prefetch = None
 
     def _fail_all(self, e: BaseException):
         for b, req in enumerate(self._slots):

@@ -73,7 +73,7 @@ def load_voice_adapters(path: str) -> dict:
 class TTSServer:
     def __init__(self, api, lock: Optional[threading.Lock] = None,
                  batch_window_ms: float = 20.0, max_batch: int = 8,
-                 engine_slots: int = 0):
+                 engine_slots: int = 0, engine_prefetch: bool = False):
         self.api = api
         # single-chip: serialize device work; the jitted stages batch internally
         self.lock = lock or threading.Lock()
@@ -85,8 +85,12 @@ class TTSServer:
         if engine_slots > 0 and hasattr(api.model, "_admit_jit"):
             from .infer.engine import ContinuousBatchEngine
 
+            # prefetch: dispatch-pipeline segment k+1 before syncing k.
+            # Default off — a win only at low concurrency where admissions
+            # are rare (PERF.md engine A/B); surfaced via --engine-prefetch.
             self.engine = ContinuousBatchEngine(
-                api.model, slots=engine_slots, device_lock=self.lock)
+                api.model, slots=engine_slots, device_lock=self.lock,
+                prefetch=engine_prefetch)
         # dynamic batching for non-streaming prompt-free requests: requests
         # arriving within the window share one llm_decode_batch call
         # (PERF.md: 2.5x aggregate tok/s at B=8)
@@ -633,6 +637,13 @@ def main():
                          "slots (vLLM-style: streaming requests join/leave "
                          "the one persistent decode batch at segment "
                          "boundaries; 0 = cohort batching)")
+    ap.add_argument("--engine-prefetch", action="store_true",
+                    help="with --engine-slots: speculatively submit decode "
+                         "segment k+1 before segment k is emitted (dispatch "
+                         "pipelining).  Wins at low concurrency (admissions "
+                         "discard prefetched segments, so keep it off for "
+                         "sustained full-slot load — measured A/B in "
+                         "PERF.md; hits show as prefetch_hits in /stats)")
     ap.add_argument("--warmup", action="store_true",
                     help="compile the synthesis programs before accepting "
                          "traffic (remote compilation takes minutes cold; "
@@ -793,7 +804,8 @@ def main():
         print(f"LLM+flow tensor-parallel over {args.tp} devices "
               f"({tpmod.count_sharded(api.model.llm_params)} llm + "
               f"{tpmod.count_sharded(api.model.flow_params)} flow split params)")
-    server = TTSServer(api, engine_slots=args.engine_slots)
+    server = TTSServer(api, engine_slots=args.engine_slots,
+                       engine_prefetch=args.engine_prefetch)
     if args.warmup:
         import time as _time
 

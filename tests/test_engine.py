@@ -367,6 +367,14 @@ def test_engine_prefetch_hits_and_tokens_identical(api):
             toks[pf] = np.asarray(req.tokens)
             if pf:
                 assert eng.prefetch_hits > 0, "prefetch never consumed"
+                # once the last live request finished, the dangling
+                # prefetched segment (holding a full decode-state KV
+                # buffer on device) must have been released (ADVICE r4)
+                deadline = time.time() + 5.0
+                while eng._prefetch is not None and time.time() < deadline:
+                    time.sleep(0.01)
+                assert eng._prefetch is None, \
+                    "idle engine retains a prefetched decode state"
             else:
                 assert eng.prefetch_hits == 0
         finally:

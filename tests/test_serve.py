@@ -238,6 +238,12 @@ def test_http_streaming_via_engine(api, monkeypatch):
     monkeypatch.setattr(api.frontend, "extract_text_token", lambda text: orig(text) % 40)
     server = TTSServer(api, engine_slots=2)
     assert server.engine is not None
+    # --engine-prefetch plumbing: the kwarg must reach the engine (off by
+    # default; ADVICE r4 — the flag was unreachable via the server)
+    assert server.engine._prefetch_on is False
+    pf_server = TTSServer(api, engine_slots=2, engine_prefetch=True)
+    assert pf_server.engine._prefetch_on is True
+    pf_server.engine.stop()
     # keep the tiny-model decode bounded (the default 512-token runway is
     # sized for the 300M production model)
     server.engine.max_len = 64
