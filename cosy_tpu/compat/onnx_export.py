@@ -76,8 +76,9 @@ def _ld(fno: int, payload: bytes) -> bytes:
 
 
 def _tensor(arr: np.ndarray, name: str = "") -> bytes:
+    shape = np.shape(arr)  # before ascontiguousarray: it promotes 0-d to (1,)
     arr = np.ascontiguousarray(arr)
-    out = b"".join(_f(1, 0) + _uv(d) for d in arr.shape)
+    out = b"".join(_f(1, 0) + _uv(d) for d in shape)
     out += _f(2, 0) + _uv(_NP2ONNX[arr.dtype])
     if name:
         out += _ld(8, name.encode())
