@@ -683,6 +683,13 @@ def main():
     ap.add_argument("--drain-timeout", type=float, default=30.0,
                     help="seconds to wait for in-flight requests after "
                          "SIGTERM/SIGINT before exiting")
+    ap.add_argument("--int8", action="store_true",
+                    help="weight-only int8 AR decode (+~30%% tok/s on the "
+                         "weight-bandwidth-bound bs=1 path).  Quantization "
+                         "rounds the logits so emitted tokens can diverge "
+                         "per voice — validate first with "
+                         "tools/validate_quant.py (token agreement + MCD "
+                         "thresholds, PERF.md int8 section)")
     ap.add_argument("--attn-window", type=int, default=0,
                     help="opt-in local-band estimator attention: each mel "
                          "frame attends only this many neighbor frames "
@@ -710,7 +717,7 @@ def main():
     # when the sampler must be overridden — and then start FROM the yaml
     # config so those knobs survive the override
     icfg = None
-    if args.sampler != "euler":
+    if args.sampler != "euler" or args.int8:
         import os as _os
         yaml_path = _os.path.join(args.model_dir, "cosyvoice.yaml")
         if not args.cosyvoice2 and _os.path.exists(yaml_path):
@@ -718,7 +725,8 @@ def main():
 
             icfg = inference_config_from_yaml(yaml_path)
         icfg = creplace(icfg or InferenceConfig(), sampler=args.sampler,
-                        meanflow_steps=args.meanflow_steps)
+                        meanflow_steps=args.meanflow_steps,
+                        int8_decode=args.int8)
     # v1 fine-tuned/distilled flow weights operate in normalized mel space
     # (flow_distill_loss / the fine-tune loss, MEL −6.0/2.0) and need the
     # denorm on the way out, exactly like inference_joint.py; CV2 flows

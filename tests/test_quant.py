@@ -37,3 +37,32 @@ def test_quantized_forward_close_to_fp():
     rel = (np.linalg.norm(np.asarray(h_q - h_fp)) /
            np.linalg.norm(np.asarray(h_fp)))
     assert rel < 0.05, rel
+
+
+def test_validate_int8_voice_harness():
+    """The per-voice int8 safety harness (tools/validate_quant.py core):
+    bf16-vs-int8 decode comparison over a small prompt set returns a
+    well-formed report with sane invariants, and the identical-tokens fast
+    path short-circuits the MCD at exactly 0."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "."))
+    from test_api import _make_api
+
+    from cosy_tpu.quant import validate_int8_voice
+
+    api = _make_api()
+    texts = [api.frontend.extract_text_token("hello there.") % 40,
+             api.frontend.extract_text_token("quant check.") % 40]
+    rep = validate_int8_voice(
+        api.cfg, api.model.llm_params, api.model.flow_params,
+        api.model.hift_params, api.model.icfg, texts, seeds=(0, 1),
+        finetuned_norm=True, max_len_cap=48)
+    assert len(rep["prompts"]) == 4
+    for r in rep["prompts"]:
+        assert 0.0 <= r["agreement"] <= 1.0
+        assert r["mcd_db"] >= 0.0
+        assert r["tokens_bf16"] > 0 and r["tokens_int8"] > 0
+        if r["agreement"] == 1.0:
+            assert r["mcd_db"] == 0.0
+    assert rep["agreement_min"] <= rep["agreement_mean"] <= 1.0
+    assert rep["mcd_db_max"] == max(r["mcd_db"] for r in rep["prompts"])
