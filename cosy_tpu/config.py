@@ -325,8 +325,17 @@ class TrainConfig:
     scheduler_decay_rate: float = 0.5  # noamhold_annealing only
     scheduler_d_model: int = 1024  # noam_annealing only
     max_epochs: int = 100
-    batch_size: int = 1
-    accumulate_grad_batches: int = 16
+    # TPU-efficient layout of the reference's effective batch 16: the
+    # reference trains bs1 x accum16 ONLY because it targets an 8 GB GPU
+    # (reference config.py:219-224 documents the VRAM budget); folding the
+    # same 16 samples as bs8 x accum2 is 1.63x faster per optimizer step on
+    # this chip (BENCH joint_step_ms 131.4 -> 80.5) with an equivalent
+    # training trajectory (tools/ab_batch_layout.py, 300M on-chip 40-step
+    # A/B: held-out eval curves pointwise within 0.01%).  Restore the
+    # reference layout with train_joint.py --reference-layout (or set
+    # batch_size=1, accumulate_grad_batches=16).
+    batch_size: int = 8
+    accumulate_grad_batches: int = 2
     gradient_clip_val: float = 1.0
     max_feat_len: int = 250  # mel frames; padded/truncated statically
 
@@ -409,6 +418,16 @@ class InferenceConfig:
     # region is exactly the unpadded computation (test_bucket_masking); only
     # the noise draw shapes differ (distribution-preserving).
     bucket_final: bool = True
+    # v1 single-stream TTFA lever: emit the FIRST streaming chunk after this
+    # many tokens instead of token_min_hop_len (reference model.py:51-61
+    # pins the first hop to 2 s * 50 tok/s = 100).  0 = off.  A shorter
+    # first hop (e.g. 50) roughly halves first-segment decode + first
+    # token2wav, at a possible seam-quality cost where chunk 1 joins
+    # chunk 2 — measured with the seam-MCD triple in PERF.md
+    # (tools/probe_first_chunk.py) and shipped default-off like the engine
+    # prefetch.  Applies to the single-stream pipelines only; the cohort /
+    # engine paths keep uniform hops (sustained-load design point).
+    first_chunk_tokens: int = 0
 
 
 def replace(cfg, **kw):

@@ -177,6 +177,18 @@ class TTSPipeline:
         self.mel_cache_len = 20
         self.source_cache_len = self.mel_cache_len * 256
         self.speech_window = np.hamming(2 * self.source_cache_len)
+        # opt-in short first streaming hop (InferenceConfig.first_chunk_tokens,
+        # TTFA lever, single-stream paths only).  Clamped below by the
+        # smallest window whose emitted audio is non-empty: the non-final
+        # emission trims mel_overlap_len frames (next-chunk fade) and
+        # source_cache_len samples (HiFT crossfade cache), so a window of
+        # W tokens emits ~(W*ratio - mel_overlap - mel_cache) frames
+        ratio = model_cfg.flow.token_mel_ratio
+        min_first = max(1, int(-(-(self.mel_overlap_len + self.mel_cache_len + 1)
+                                 // ratio)) - self.token_overlap_len)
+        self.first_hop = (min(max(infer_cfg.first_chunk_tokens, min_first),
+                              self.token_min_hop_len)
+                          if infer_cfg.first_chunk_tokens else self.token_min_hop_len)
         # bucketed final chunk: single static token bucket (final windows are
         # < hop + overlap by the streaming loops' construction)
         self._final_tok_bucket = -(-(self.token_min_hop_len +
@@ -624,7 +636,7 @@ class TTSPipeline:
         kw = dict(prefix_len=prefix.shape[1], max_len=_cap_bucket(max_len),
                   top_p=self.icfg.sampling_top_p, top_k=self.icfg.sampling_top_k,
                   win_size=self.icfg.ras_win_size, tau_r=self.icfg.ras_tau_r)
-        seg = self.token_min_hop_len + self.token_overlap_len
+        seg = self.first_hop + self.token_overlap_len
         target = min(seg, max_len)  # targets bound by the TRUE request cap
         pending = self._decode_seg_jit(
             self.llm_params, rng, prefix, jnp.asarray(min_len),
@@ -1086,25 +1098,30 @@ class TTSPipeline:
 
         state = StreamState(mel_overlap=np.zeros((1, 80, 0), np.float32))
         hop = self.token_min_hop_len
+        # first chunk may use the shorter opt-in hop (first_chunk_tokens):
+        # first audio leaves after first_hop + overlap tokens, later chunks
+        # keep the reference hop geometry
+        cur_hop = self.first_hop
         pos = 0
         ki = 0
         tokens = np.zeros((1, 0), np.int32)
         llm_done = False
         while True:
-            while not llm_done and tokens.shape[1] - pos < hop + self.token_overlap_len:
+            while not llm_done and tokens.shape[1] - pos < cur_hop + self.token_overlap_len:
                 tokens, llm_done = next(producer)
-            if tokens.shape[1] - pos >= hop + self.token_overlap_len:
-                window = tokens[:, pos : pos + hop + self.token_overlap_len]
+            if tokens.shape[1] - pos >= cur_hop + self.token_overlap_len:
+                window = tokens[:, pos : pos + cur_hop + self.token_overlap_len]
                 wav, state = self.token2wav(
                     jax.random.fold_in(k_wav, ki), window, prompt_speech_token,
                     prompt_feat, spk_embedding, stream_state=state,
                     finalize=False, voice=voice)
                 yield {"tts_speech": wav}
-                pos += hop
-                # hop stays at token_min_hop_len: the reference's
-                # stream_scale_factor is pinned to 1 (model.py:54-56, with an
-                # assert), so its hop-growth hook (min with token_max_hop_len)
-                # never fires — not implemented here
+                pos += cur_hop
+                cur_hop = hop
+                # hop stays at token_min_hop_len after the first chunk: the
+                # reference's stream_scale_factor is pinned to 1
+                # (model.py:54-56, with an assert), so its hop-growth hook
+                # (min with token_max_hop_len) never fires — not implemented
                 ki += 1
                 continue
             if llm_done:

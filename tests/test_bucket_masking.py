@@ -239,7 +239,10 @@ def test_pipeline2_final_chunk_bucketed_one_program():
     pipe_off.icfg = cfg_replace(pipe_off.icfg, bucket_final=False)
     spk = np.zeros((1, pipe.fcfg.spk_embed_dim), np.float32)
     r = np.random.default_rng(7)
-    for i, (n, off) in enumerate([(6, 4), (9, 4), (11, 8)]):
+    # two (length, offset) pairs suffice: both land in the one bucketed
+    # program while the unbucketed arm compiles per-shape (the expensive
+    # part of this test); a third pair added no new geometry
+    for i, (n, off) in enumerate([(6, 4), (11, 8)]):
         tok = r.integers(0, pipe.fcfg.vocab_size, (1, n)).astype(np.int32)
         k = jax.random.PRNGKey(50 + i)
         wav_b, _ = pipe.token2wav(k, tok, None, None, spk, token_offset=off,

@@ -4,6 +4,7 @@ import threading
 from http.server import ThreadingHTTPServer
 
 import numpy as np
+import pytest
 
 from cosy_tpu.client import TTSClient
 from cosy_tpu.serve import TTSServer, make_handler
@@ -11,6 +12,9 @@ from cosy_tpu.serve import TTSServer, make_handler
 from test_api import _make_api
 
 
+@pytest.mark.slow  # full client->server->pipeline e2e (~3 min on this
+# 1-core box); the HTTP handler itself is covered by test_serve in the
+# default tier, and healthz below keeps the client module smoke-checked
 def test_client_round_trip_and_stream():
     api = _make_api()
     orig = api.frontend.extract_text_token

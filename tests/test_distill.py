@@ -150,6 +150,9 @@ def _sample_setup(teacher, batch):
     return h.transpose(0, 2, 1), spk, conds
 
 
+@pytest.mark.slow  # multi-minute quality A/B (150 distill steps); the
+# cheap structural distill tests (identity, branch-init, wiring, streaming
+# flag) stay in the default tier
 def test_distillation_beats_undistilled_few_step():
     teacher = _tiny_flow_params()
     # amplify the time-dependence of the random teacher so its trajectories
@@ -271,6 +274,7 @@ def _batch2(B=4, Ttok=8, seed=0):
     }
 
 
+@pytest.mark.slow  # multi-minute quality A/B (CV2 twin of the above)
 def test_flow2_distillation_and_meanflow_sampler():
     from cosy_tpu.models.flow2 import flow2_inference
 

@@ -193,3 +193,40 @@ def test_stream_with_speed_rejected():
     text = np.zeros((1, 3), np.int32)
     with pytest.raises(ValueError, match="speed"):
         list(pl.synthesize(jax.random.PRNGKey(0), text, stream=True, speed=1.5))
+
+
+def test_first_chunk_tokens_short_first_hop():
+    """InferenceConfig.first_chunk_tokens (TTFA lever): the token stream is
+    unchanged (segment boundaries never perturb sampling), the requested
+    first hop is clamped up to the smallest window that emits non-empty
+    audio, and the first streamed chunk is strictly shorter than the steady
+    hop while total coverage is preserved."""
+    key = jax.random.PRNGKey(0)
+    llm_params = L.init_llm_params(jax.random.fold_in(key, 1), MODEL_CFG.llm)
+    flow_params = F.init_flow_params(jax.random.fold_in(key, 2), MODEL_CFG.flow)
+    hift_params = init_hift_params(jax.random.fold_in(key, 3), MODEL_CFG.hift)
+    icfg = replace(InferenceConfig(), first_chunk_tokens=4)
+    pipe = TTSPipeline(MODEL_CFG, llm_params, flow_params, hift_params,
+                       icfg, finetuned_norm=True)
+    # 4 is below the emission floor (mel_overlap 34 + mel_cache 20 frames
+    # at ratio ~1.72) -> clamped up; still far below the 100-token hop
+    assert 4 < pipe.first_hop < pipe.token_min_hop_len
+    text = np.random.default_rng(3).integers(0, 40, (1, 8)).astype(np.int32)
+    rng = jax.random.PRNGKey(11)
+    # token stream identical to one uninterrupted decode despite the short
+    # first segment target
+    full = pipe.generate_tokens(rng, text)
+    chunks = list(pipe.generate_tokens_stream(rng, text))
+    np.testing.assert_array_equal(chunks[-1][0], full)
+    # streaming via the vc path (fixed source tokens, so the chunk geometry
+    # is deterministic): first window = first_hop + overlap tokens, emits a
+    # short but NON-EMPTY first chunk, then the final chunk
+    src = np.random.default_rng(5).integers(
+        0, MODEL_CFG.flow.vocab_size, (1, 60)).astype(np.int32)
+    outs = list(pipe.synthesize(jax.random.PRNGKey(12),
+                                source_speech_token=src, stream=True))
+    assert len(outs) == 2
+    first, last = outs[0]["tts_speech"], outs[1]["tts_speech"]
+    assert 0 < first.shape[1] < last.shape[1]
+    for o in outs:
+        assert np.isfinite(o["tts_speech"]).all()

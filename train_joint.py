@@ -39,10 +39,16 @@ def main():
     ap.add_argument("--tiny", action="store_true",
                     help="smoke-test topology (toy widths; not checkpoint-compatible)")
     ap.add_argument("--batched-micro", action="store_true",
-                    help="trade accumulation for batch at the same effective "
-                         "batch (bs*8, accum/8): ~1.3x faster per optimizer "
-                         "step on TPU (PERF.md) with identical expected "
-                         "gradients; needs 8x the activation memory")
+                    help="(no-op since the bs8 x accum2 default; kept for "
+                         "script compatibility) fold accumulation into the "
+                         "batch dim at the same effective batch")
+    ap.add_argument("--reference-layout", action="store_true",
+                    help="train with the reference's bs1 x grad-accum-16 "
+                         "layout (an 8 GB-GPU artifact, reference "
+                         "config.py:219-224) instead of the TPU default "
+                         "bs8 x accum2 — same effective batch and an "
+                         "equivalent trajectory (tools/ab_batch_layout.py), "
+                         "1.63x slower per step, 1/8 the activation memory")
     args = ap.parse_args()
 
     from cosy_tpu.config import tiny_model_config
@@ -58,7 +64,12 @@ def main():
         tcfg = replace(tcfg, max_feat_len=args.max_feat_len)
     if args.accum:
         tcfg = replace(tcfg, accumulate_grad_batches=args.accum)
-    if args.batched_micro:
+    if args.reference_layout:
+        if args.batch_size or args.accum:
+            raise SystemExit("--reference-layout conflicts with explicit "
+                             "--batch-size/--accum")
+        tcfg = replace(tcfg, batch_size=1, accumulate_grad_batches=16)
+    elif args.batched_micro and tcfg.accumulate_grad_batches > 1:
         # fold micro-batches into the batch dim only by powers of two that
         # divide accum exactly, so effective batch (and expected gradient)
         # is unchanged for any accum value
