@@ -108,12 +108,14 @@ def bench_cfm(model_cfg: ModelConfig, dtype=jnp.bfloat16, B=4, T=512, nfe=10,
 def bench_joint_step(model_cfg: ModelConfig, train_cfg: TrainConfig, dtype=jnp.bfloat16,
                      B=None, accum=None, params=None, depth=6):
     """Joint LLM+Flow LoRA train step, loss+grad only (optimizer cost is
-    negligible for LoRA params).  Default shape is the reference config
-    (bs1 x accum16, seq 250 — config.py:219-224); the b8 x accum2 variant is
-    the same effective batch folded into the batch dim (dp8-equivalent
-    per-chip load — the north-star v5e-8 projection, BASELINE.md).
+    negligible for LoRA params).  main() pins both layouts explicitly:
+    B=1 x accum16 (the reference's 8 GB-GPU shape, config.py:219-224 — kept
+    as the cross-round comparable row) and B=8 x accum2 (the same effective
+    batch folded into the batch dim; the TrainConfig DEFAULT since the
+    on-chip trajectory A/B, tools/ab_batch_layout.py).
 
-    Returns (steady, latency) seconds/step.  Steady-state = ``depth`` steps
+    Returns (steady, latency, mfu_pct) — seconds/step and model-FLOP
+    utilization vs the 198 TFLOP/s roof (ops/costs.py).  Steady-state = ``depth`` steps
     enqueued, synced once — how the trainer actually runs (it batches metric
     fetches per log interval, `train/trainer.py:274-297`), so per-step
     dispatch and the ~30 ms tunnel round-trip overlap device execution.
@@ -485,13 +487,15 @@ def bench_cfm_long_ab(model_cfg: ModelConfig, dtype=jnp.bfloat16, B=4,
     return t_xla, t_flash
 
 
-def bench_stream_e2e(model_cfg: ModelConfig, text_len=64):
+def bench_stream_e2e(model_cfg: ModelConfig, text_len=64, icfg=None):
     """v1 single-stream streaming e2e at the 300M topology: text tokens ->
     AR decode -> chunked flow -> HiFT, through TTSPipeline.synthesize
     (stream=True) — the reference's producer/consumer streaming path
     (model.py:221-288).  Reports TTFA (time to first audio chunk) and total
     RTF so the streaming row can't go stale again (VERDICT r3 weak #5).
-    Returns (ttfa_s, rtf, audio_s)."""
+    ``icfg`` overrides the InferenceConfig (tools/probe_first_chunk.py A/Bs
+    first_chunk_tokens through this same harness).
+    Returns (ttfa_s, rtf, audio_s, load1)."""
     from cosy_tpu.config import InferenceConfig
     from cosy_tpu.infer.pipeline import TTSPipeline
     from cosy_tpu.models.hift import init_hift_params
@@ -503,7 +507,7 @@ def bench_stream_e2e(model_cfg: ModelConfig, text_len=64):
         jax.random.fold_in(key, 1)), jnp.bfloat16)
     hift_params = init_hift_params(jax.random.fold_in(key, 3), model_cfg.hift)
     pipe = TTSPipeline(model_cfg, llm_params, flow_params, hift_params,
-                       InferenceConfig(), finetuned_norm=True)
+                       icfg or InferenceConfig(), finetuned_norm=True)
     rng = np.random.default_rng(0)
     text = rng.integers(0, 1000, (1, text_len)).astype(np.int32)
 

@@ -27,18 +27,23 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
-# OPT-IN persistent XLA compilation cache (COSY_TPU_TEST_JAX_CACHE=1).
-# Measured: warm re-runs of a file drop ~4x (test_sp 129 s -> 31 s) — but
-# running the FULL suite with the cache enabled segfaults XLA:CPU mid-run
-# (rc 139 inside pytest_runtestloop, reproduced twice at ~40%, builder R4)
-# — the same upstream compiler/loader-state bug class that already forced
-# fresh-interpreter isolation of the voiced-batch test (r3).  Until the
-# upstream bug is fixed, the cache is safe ONLY for short, single-file
-# iteration loops; the full suite must run without it.  The dir is scoped
-# to (hostname, jax version) so executables never travel across machines.
-# This is jax's own content-addressed cache, NOT cosy_tpu's pickle AOT
-# cache (still disabled above).
-if os.environ.get("COSY_TPU_TEST_JAX_CACHE"):
+# Persistent XLA compilation cache — DEFAULT ON since builder R5
+# (COSY_TPU_TEST_JAX_CACHE=0 opts out).  History: r4 measured ~4x warm
+# single-file re-runs (test_sp 129 s -> 31 s) but shipped it opt-in because
+# a full-suite run with the cache segfaulted XLA:CPU mid-run (rc 139,
+# reproduced twice at ~40%) — that was BEFORE the module-boundary
+# clear_caches mitigation below landed.  R5 re-tested the composition on
+# this 1-core box: cold populate run 376 passed rc 0 in 49:48, warm run
+# 374+2 passed rc 0 in 28:55 (the 2 were aot-cache tests whose sandboxed
+# children inherited this cache — fixed by scrubbing the env there).  The
+# two mitigations are complementary: clear_caches bounds the in-process
+# compiler state that triggers the segfault, while recompiles after each
+# clear hit the DISK cache instead of paying serial XLA:CPU compilation.
+# The dir is scoped to (hostname, jax version) so executables never travel
+# across machines (cpu_aot_loader machine-feature SIGILL risk).  This is
+# jax's own content-addressed cache, NOT cosy_tpu's pickle AOT cache
+# (still disabled above).
+if os.environ.get("COSY_TPU_TEST_JAX_CACHE", "1") != "0":
     import hashlib
     import platform
 

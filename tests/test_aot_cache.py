@@ -26,6 +26,11 @@ _ENV = {**os.environ,
         "JAX_PLATFORMS": "cpu",
         "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
         "COSY_TPU_NO_CACHE": "1"}
+# these tests assert cosy_tpu's OWN aot-cache hit/miss accounting; jax's
+# persistent compile cache (default-on for the suite since R5) would make
+# the "fresh process recompiles" arms hit ITS disk cache instead and skew
+# the miss counters — scrub it from the sandboxed children
+_ENV.pop("JAX_COMPILATION_CACHE_DIR", None)
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
